@@ -1,0 +1,230 @@
+"""Deterministic fixtures: Common-Crawl-style ``pages`` input table and the
+curated entity dictionary.
+
+The authoritative input shape (BASELINE.json ``input_hint``) is
+``(url:string, warc_ts:timestamp, html:binary, text:string, lang:string)``.
+No external data is allowed, so the pages table is *derived
+deterministically* from the driver-provided ``documents`` parquet (seed=42,
+fixed 31-word vocabulary): every derivation below is a pure column
+expression, written once as Spark ``F.*`` expressions and once as DuckDB
+SQL so the driver's oracle can recompute the golden values independently.
+
+The entity dictionary mirrors the reference's curated-identifier model:
+HGNC gene transform output (reference ``src/genegraph/transform/gene.clj:42-72``
+— preferred label, alternative label, hidden labels, same-as xrefs, type)
+and the keyword↔IRI maps of ``src/genegraph/database/names.clj:13-17``.
+In genegraph every transform resolves names through that dictionary; here
+it is a broadcast-joined DataFrame.
+
+Versioning / tombstones mirror the reference's event semantics:
+re-publishing an IRI replaces its named graph
+(``src/genegraph/database/load.clj:72-87``), unpublish removes it
+(``src/genegraph/sink/event.clj:41-46``, ``annotate/action.clj:6-31``).
+Here: ~10%% of urls get a v2 update, 2%% a v3 tombstone (html carries
+``<meta name="status" content="unpublished">``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EPOCH = "2024-01-01 00:00:00"
+
+# ---------------------------------------------------------------------------
+# Entity dictionary (curated, tiny, broadcastable — reference names.edn scale
+# is O(10^3) entries / tens of MB; ours maps the corpus' fixed vocabulary).
+# Fields follow transform/gene.clj:42-72:
+#   (iri, entity_type, preferred_label, alt_labels, hidden_labels, same_as)
+# ``same_as`` xrefs deliberately overlap to create multi-entity connected
+# components for the canonicalization stage (reference analog: owl/same-as
+# resolution, gene_validity_refactor.clj:347-348).
+# ---------------------------------------------------------------------------
+KG = "https://example.org/kg"
+
+ENTITIES: list[tuple[str, str, str, list[str], list[str], list[str]]] = [
+    # genes — xref structure: SPARK/STREAM share X:100 (one component);
+    # HASH—JOIN—MERGE chain via X:101/E:201 (one component).
+    (f"{KG}/entity/SPARK", "gene", "spark", ["spark protein"], [], [f"{KG}/xref/X100", f"{KG}/xref/E200"]),
+    (f"{KG}/entity/STREAM", "gene", "stream", [], ["streaming"], [f"{KG}/xref/X100"]),
+    (f"{KG}/entity/HASH", "gene", "hash", [], [], [f"{KG}/xref/X101"]),
+    (f"{KG}/entity/JOIN", "gene", "join", ["join factor"], [], [f"{KG}/xref/X101", f"{KG}/xref/E201"]),
+    (f"{KG}/entity/MERGE", "gene", "merge", [], [], [f"{KG}/xref/E201"]),
+    (f"{KG}/entity/SCAN", "gene", "scan", [], [], [f"{KG}/xref/X102"]),
+    (f"{KG}/entity/SORT", "gene", "sort", [], [], [f"{KG}/xref/X103"]),
+    (f"{KG}/entity/FILTER", "gene", "filter", [], [], [f"{KG}/xref/X104"]),
+    (f"{KG}/entity/WINDOW", "gene", "window", [], [], [f"{KG}/xref/X105"]),
+    (f"{KG}/entity/BATCH", "gene", "batch", [], [], [f"{KG}/xref/X106"]),
+    # diseases
+    (f"{KG}/entity/SLOWNESS", "disease", "slow", ["slowness syndrome"], [], [f"{KG}/xref/D100"]),
+    (f"{KG}/entity/BIGNESS", "disease", "big", [], [], [f"{KG}/xref/D101"]),
+    (f"{KG}/entity/DUPLICATION", "disease", "dup", ["duplication disorder"], [], [f"{KG}/xref/D102"]),
+    (f"{KG}/entity/SMALLNESS", "disease", "small", [], [], [f"{KG}/xref/D103"]),
+    (f"{KG}/entity/FASTNESS", "disease", "fast", [], [], [f"{KG}/xref/D104"]),
+    # variants — 'query' is ALSO a hidden label of QUERYOSIS (ambiguous
+    # token: exercises context-scored disambiguation, which the
+    # oracle-facing mention query sidesteps by using preferred labels only)
+    (f"{KG}/entity/VECTOR", "variant", "vector", [], [], [f"{KG}/xref/V100"]),
+    (f"{KG}/entity/COLUMN", "variant", "column", [], [], [f"{KG}/xref/V101"]),
+    (f"{KG}/entity/ROWVAR", "variant", "row", [], [], [f"{KG}/xref/V102"]),
+    (f"{KG}/entity/KEYVAR", "variant", "key", [], [], [f"{KG}/xref/V103"]),
+    (f"{KG}/entity/VALUEVAR", "variant", "value", [], [], [f"{KG}/xref/V104"]),
+    (f"{KG}/entity/QUERY", "variant", "query", [], [], [f"{KG}/xref/V105"]),
+    (f"{KG}/entity/QUERYOSIS", "disease", "queryosis", [], ["query"], [f"{KG}/xref/D105"]),
+]
+
+# words never linked (stopword analog)
+STOPWORDS = ["a", "the", "data", "line", "table", "order", "part", "customer", "group", "agg"]
+
+
+def dictionary_df(spark: SparkSession) -> DataFrame:
+    """Normalized dictionary: one row per entity (arrays for labels)."""
+    return spark.createDataFrame(
+        ENTITIES,
+        "iri string, entity_type string, preferred_label string, "
+        "alt_labels array<string>, hidden_labels array<string>, same_as array<string>",
+    )
+
+
+def alias_df(spark: SparkSession) -> DataFrame:
+    """Exploded label→entity table (iri, entity_type, label, label_kind).
+
+    This is the broadcast gazetteer. label_kind ∈ preferred|alt|hidden,
+    mirroring skos preferred/alternative/hidden labels in
+    transform/gene.clj:51-67.
+    """
+    rows = []
+    for iri, etype, pref, alts, hiddens, _ in ENTITIES:
+        rows.append((iri, etype, pref, "preferred"))
+        rows.extend((iri, etype, a, "alt") for a in alts)
+        rows.extend((iri, etype, h, "hidden") for h in hiddens)
+    return spark.createDataFrame(rows, "iri string, entity_type string, label string, label_kind string")
+
+
+def sameas_df(spark: SparkSession) -> DataFrame:
+    """Exploded same-as edge list (iri, xref)."""
+    rows = [(iri, x) for iri, _, _, _, _, xs in ENTITIES for x in xs]
+    return spark.createDataFrame(rows, "iri string, xref string")
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def alias_sql() -> str:
+    """DuckDB VALUES expression equivalent of :func:`alias_df`."""
+    rows = []
+    for iri, etype, pref, alts, hiddens, _ in ENTITIES:
+        labels = [(pref, "preferred")] + [(a, "alt") for a in alts] + [(h, "hidden") for h in hiddens]
+        for label, kind in labels:
+            rows.append(f"({_sql_quote(iri)}, {_sql_quote(etype)}, {_sql_quote(label)}, {_sql_quote(kind)})")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(iri, entity_type, label, label_kind)"
+    )
+
+
+def sameas_sql() -> str:
+    rows = [
+        f"({_sql_quote(iri)}, {_sql_quote(x)})" for iri, _, _, _, _, xs in ENTITIES for x in xs
+    ]
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(iri, xref)"
+
+
+# ---------------------------------------------------------------------------
+# pages table: deterministic derivation from `documents`
+# ---------------------------------------------------------------------------
+
+V2_SUFFIX = " updated content v2"
+
+
+def pages_df(spark: SparkSession, sf_dir: str, with_html: bool = True) -> DataFrame:
+    """Synthesize the pages table from ``{sf_dir}/documents.parquet``.
+
+    Columns: (url, warc_ts, html:binary, text, lang, version, doc_id).
+    ``text`` is the golden extracted text the HTML extractor must
+    reproduce byte-for-byte (BASELINE input_hint).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+
+    def common(df: DataFrame, version: int, day_offset: int, text_col):
+        out = (
+            df.withColumn("url", _url_col())
+            .withColumn(
+                "warc_ts",
+                F.expr(
+                    f"timestamp'{EPOCH}' + make_interval(0,0,0,{day_offset},0,0, cast(doc_id as int))"
+                ),
+            )
+            .withColumn("version", F.lit(version))
+            .withColumn("text", text_col)
+        )
+        return out
+
+    v1 = common(docs, 1, 0, F.col("text"))
+    v2 = common(docs.where(F.col("doc_id") % 10 == 0), 2, 1, F.concat(F.col("text"), F.lit(V2_SUFFIX)))
+    v3 = common(docs.where(F.col("doc_id") % 50 == 0), 3, 2, F.lit(""))
+    v3 = v3.withColumn("tombstone", F.lit(True))
+    pages = (
+        v1.withColumn("tombstone", F.lit(False))
+        .unionByName(v2.withColumn("tombstone", F.lit(False)))
+        .unionByName(v3)
+    )
+    if with_html:
+        pages = pages.withColumn("html", _html_col())
+    return pages.select(
+        "url", "warc_ts", *( ["html"] if with_html else [] ), "text", "lang", "version", "doc_id", "tombstone"
+    )
+
+
+def _url_col():
+    return F.concat(
+        F.lit("https://ex"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example.org/p/"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def _html_col():
+    """Template the golden text into realistic HTML (binary).
+
+    Round-trip contract with functions.text.extract_text: escape &<>,
+    wrap some words in inline markup, embed script/style noise whose
+    content contains tag-like characters, optional tombstone meta.
+    """
+    escaped = F.col("text")
+    for pat, rep in [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")]:
+        escaped = F.replace(escaped, F.lit(pat), F.lit(rep))
+    marked = F.regexp_replace(escaped, r"\bspark\b", "<b>spark</b>")
+    marked = F.regexp_replace(marked, r"\bvector\b", '<a href="/x">vector</a>')
+    meta = F.when(F.col("tombstone"), F.lit('<meta name="status" content="unpublished"/>')).otherwise(F.lit(""))
+    html_str = F.concat(
+        F.lit("<html><head><title>p"),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><script type="text/javascript">var x = 1 &amp;&amp; 2; var s = "<div>";</script>'),
+        F.lit("<style>p{color:#333} .x>span{display:none}</style>"),
+        meta,
+        F.lit("</head><body><p>"),
+        marked,
+        F.lit("</p></body></html>"),
+    )
+    return F.encode(html_str, "UTF-8")
+
+
+def pages_sql(with_html: bool = False) -> str:
+    """DuckDB CTE body producing the same pages rows (sans html) from the
+    pre-registered ``documents`` view. Golden side of the extraction check.
+    """
+    assert not with_html, "oracle never needs html"
+    base = (
+        "SELECT 'https://ex' || CAST(doc_id % 97 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR) AS url, "
+        "TIMESTAMP '{epoch}' + INTERVAL ({day}) DAY + to_seconds(CAST(doc_id AS BIGINT)) AS warc_ts, "
+        "{text} AS text, lang, {version} AS version, doc_id, {tomb} AS tombstone "
+        "FROM documents {where}"
+    )
+    v1 = base.format(epoch=EPOCH, day=0, text="text", version=1, tomb="FALSE", where="")
+    v2 = base.format(
+        epoch=EPOCH, day=1, text=f"text || '{V2_SUFFIX}'", version=2, tomb="FALSE", where="WHERE doc_id % 10 = 0"
+    )
+    v3 = base.format(epoch=EPOCH, day=2, text="''", version=3, tomb="TRUE", where="WHERE doc_id % 50 = 0")
+    return f"{v1} UNION ALL {v2} UNION ALL {v3}"
