@@ -1,32 +1,36 @@
-"""Named-graph-partitioned triple store with replace-by-graph merge,
-per-commit lineage, and resume.
+"""Named-graph-partitioned triple store: per-bucket copy-on-write
+snapshots with a manifest — replace-by-graph merge, unpublish, lineage,
+resume, time travel.
 
 Reference analog: the Jena TDB2 named-graph dataset —
 ``replaceNamedModel`` upserts a whole graph atomically and
 ``removeNamedModel`` deletes it (``src/genegraph/database/load.clj:72-87``,
-``sink/event.clj:23-46``); lineage via the event recorder
-(``sink/event_recorder.clj:25-62``) and offset persistence
-(``sink/stream.clj:221-236``) make a killed run resumable.
+``sink/event.clj:23-46``); the event recorder (``sink/event_recorder.clj:25-62``)
+and offset file (``sink/stream.clj:221-236``) make a killed run resumable.
 
-Spark-first design: the store is a parquet table partitioned by
-``bucket = pmod(xxhash64(graph), n_buckets)``. A merge rewrites only the
-buckets touched by incoming graphs: read-side we anti-join the existing
-rows of those buckets against the incoming graph set, union the incoming
-rows, and dynamic-partition-overwrite just those buckets. At cluster
-scale this maps 1:1 onto Iceberg ``MERGE INTO triples USING new ON
-t.graph = n.graph WHEN MATCHED DELETE / WHEN NOT MATCHED INSERT``
-partitioned by ``bucket(graph, N)`` — the parquet implementation keeps
-the exact graph-granularity replace semantics the reference has, without
-requiring Iceberg jars in the sandbox.
+Design (a deliberate miniature of Iceberg's copy-on-write MERGE, which is
+what this maps to on a real cluster — ``MERGE INTO triples USING new ON
+t.graph = n.graph`` over a table partitioned by ``bucket(graph, N)``):
 
-Why whole-graph replace (not row upsert): the reference's idempotence
-story depends on it — replaying an event produces the same graph, so a
-resumed/duplicated write converges. Ours is identical: merges are
-idempotent because the incoming graph's rows fully determine the graph.
+- rows are hashed to ``bucket = pmod(xxhash64(graph), n_buckets)``;
+- a *commit* rewrites only the buckets touched by incoming/deleted
+  graphs: previous rows of those buckets are anti-joined against the
+  incoming graph set, unioned with the new rows, and written to a fresh
+  directory ``data/c<commit>``;
+- a JSON *manifest* per commit maps every bucket to the directory that
+  currently holds it (untouched buckets keep pointing at older commit
+  dirs) — never overwriting files in place gives snapshot isolation,
+  safe concurrent readers, time travel, and makes an interrupted commit
+  invisible (the manifest is written last);
+- whole-graph replace (not row upsert) keeps merges idempotent: the
+  incoming graph's rows fully determine the graph, so replaying a batch
+  after a crash converges — the reference's idempotence story, kept.
 
-Lineage: every commit writes ``_lineage/commit=<id>`` rows
-``(graph, n_triples, action)`` plus a ``_commits`` manifest. Resume =
-``committed_graphs()`` anti-join before reprocessing.
+Scale notes: a merge shuffles only the touched buckets' rows once (the
+anti-join on ``graph`` is co-partitioned with the bucket layout); the
+incoming side determines the touched set, so a small incremental batch
+rewrites a small fraction of a 100 TB table. Skewed graphs are bounded
+by page size; bucket counts are chosen so a bucket ≈ one task.
 """
 
 from __future__ import annotations
@@ -34,8 +38,9 @@ from __future__ import annotations
 import json
 import os
 import time
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 TRIPLE_SCHEMA = (
@@ -49,55 +54,94 @@ class NamedGraphStore:
         self.spark = spark
         self.path = path
         self.n_buckets = n_buckets
-        self._data = os.path.join(path, "data")
         self._lineage = os.path.join(path, "lineage")
-        self._commits = os.path.join(path, "commits.jsonl")
+        self._manifests = os.path.join(path, "manifests")
+        os.makedirs(self._manifests, exist_ok=True)
 
-    # -- helpers ----------------------------------------------------------
+    # -- manifest helpers ---------------------------------------------------
+    def _manifest_path(self, commit: int) -> str:
+        return os.path.join(self._manifests, f"c{commit:08d}.json")
+
+    def last_commit(self) -> int | None:
+        ms = sorted(os.listdir(self._manifests))
+        return int(ms[-1][1:-5]) if ms else None
+
+    def _read_manifest(self, commit: int) -> dict:
+        with open(self._manifest_path(commit)) as f:
+            return json.load(f)
+
+    def exists(self) -> bool:
+        return self.last_commit() is not None
+
     def _bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn("bucket", F.pmod(F.xxhash64("graph"), F.lit(self.n_buckets)))
 
-    def exists(self) -> bool:
-        return os.path.exists(self._data)
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], TRIPLE_SCHEMA + ", bucket bigint")
 
-    def read(self) -> DataFrame:
-        if not self.exists():
-            return self.spark.createDataFrame([], TRIPLE_SCHEMA + ", bucket bigint")
-        return self.spark.read.parquet(self._data)
+    def _read_segments(self, manifest: dict, buckets: set[int] | None = None) -> DataFrame:
+        """Union the manifest's segments, optionally restricted to buckets."""
+        by_dir: dict[str, list[int]] = {}
+        for b_str, d in manifest["buckets"].items():
+            b = int(b_str)
+            if buckets is None or b in buckets:
+                by_dir.setdefault(d, []).append(b)
+        parts = []
+        for d, bs in by_dir.items():
+            full = os.path.join(self.path, d)
+            if os.path.exists(full):
+                parts.append(self.spark.read.parquet(full).where(F.col("bucket").isin(bs)))
+        return reduce(lambda a, b: a.unionByName(b), parts) if parts else self._empty()
 
-    def triples(self) -> DataFrame:
-        """The union model: all named graphs (query.clj:15-16 analog)."""
-        return self.read().drop("bucket")
+    # -- read paths ----------------------------------------------------------
+    def read(self, commit: int | None = None) -> DataFrame:
+        if commit is None:
+            commit = self.last_commit()
+        if commit is None:
+            return self._empty()
+        return self._read_segments(self._read_manifest(commit))
 
-    # -- write paths -------------------------------------------------------
+    def triples(self, commit: int | None = None) -> DataFrame:
+        """The union model: all named graphs (query.clj:15-16 analog).
+        ``commit`` selects a historical snapshot (time travel)."""
+        return self.read(commit).drop("bucket")
+
+    # -- write path ------------------------------------------------------------
     def merge(self, triples: DataFrame, delete_graphs: DataFrame | None = None) -> dict:
-        """Replace every incoming graph's content; optionally delete graphs.
-
-        ``triples``: TRIPLE_SCHEMA rows. ``delete_graphs``: one column
-        ``graph``. Returns commit metadata.
-        """
+        """Replace every incoming graph's content; optionally delete graphs."""
+        last = self.last_commit()
+        commit = 0 if last is None else last + 1
         new = self._bucket(triples)
-        incoming_graphs = new.select("graph").distinct()
+        affected = new.select("graph").distinct()
         if delete_graphs is not None:
-            incoming_graphs = incoming_graphs.union(delete_graphs.select("graph")).distinct()
-        incoming_graphs = self._bucket(incoming_graphs)
+            affected = affected.union(delete_graphs.select("graph")).distinct()
+        affected = self._bucket(affected).cache()
+        touched = {r["bucket"] for r in affected.select("bucket").distinct().collect()}
 
-        if self.exists():
-            touched = [r["bucket"] for r in incoming_graphs.select("bucket").distinct().collect()]
-            existing = self.read().where(F.col("bucket").isin(touched))
-            keep = existing.join(incoming_graphs.select("graph"), "graph", "left_anti")
-            out = keep.unionByName(new)
-            writer = out.repartition("bucket").write.partitionBy("bucket").mode("overwrite")
-            # dynamic overwrite: only touched bucket partitions are replaced
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            writer.parquet(self._data)
+        data_dir = f"data/c{commit:08d}"
+        if last is not None:
+            prev = self._read_manifest(last)
+            keep = self._read_segments(prev, touched).join(
+                affected.select("graph"), "graph", "left_anti"
+            )
+            out = keep.unionByName(new.where(F.col("bucket").isin(list(touched))))
+            buckets_map = dict(prev["buckets"])
         else:
-            self._bucket(triples).repartition("bucket").write.partitionBy("bucket").mode(
-                "overwrite"
-            ).parquet(self._data)
+            out = new
+            touched = set(range(self.n_buckets))
+            buckets_map = {}
+        out.repartition("bucket").sortWithinPartitions("bucket", "graph").write.mode(
+            "error"
+        ).parquet(os.path.join(self.path, data_dir))
+        for b in touched:
+            buckets_map[str(b)] = data_dir
 
-        commit = self._record_lineage(triples, delete_graphs)
-        return commit
+        self._write_lineage(commit, triples, delete_graphs)
+        meta = {"commit": commit, "buckets": buckets_map, "wall_ts": time.time()}
+        with open(self._manifest_path(commit), "w") as f:
+            json.dump(meta, f)
+        affected.unpersist()
+        return meta
 
     def delete_graphs(self, graphs: DataFrame) -> dict:
         """Unpublish: remove graphs entirely (sink/event.clj:41-46)."""
@@ -105,33 +149,20 @@ class NamedGraphStore:
         return self.merge(empty, delete_graphs=graphs)
 
     # -- lineage / resume ---------------------------------------------------
-    def _record_lineage(self, triples: DataFrame, delete_graphs: DataFrame | None) -> dict:
-        commit_id = self._next_commit_id()
-        lin = triples.groupBy("graph").agg(F.count("*").alias("n_triples")).withColumn(
-            "action", F.lit("publish")
+    def _write_lineage(self, commit: int, triples: DataFrame, delete_graphs: DataFrame | None):
+        lin = (
+            triples.groupBy("graph")
+            .agg(F.count("*").alias("n_triples"))
+            .withColumn("action", F.lit("publish"))
         )
         if delete_graphs is not None:
             lin = lin.unionByName(
                 delete_graphs.select("graph")
                 .distinct()
-                .withColumn("n_triples", F.lit(0))
+                .withColumn("n_triples", F.lit(0).cast("long"))
                 .withColumn("action", F.lit("unpublish"))
             )
-        lin.write.mode("overwrite").parquet(os.path.join(self._lineage, f"commit={commit_id}"))
-        meta = {
-            "commit": commit_id,
-            "wall_ts": time.time(),
-        }
-        with open(self._commits, "a") as f:
-            f.write(json.dumps(meta) + "\n")
-        return meta
-
-    def _next_commit_id(self) -> int:
-        if not os.path.exists(self._commits):
-            return 0
-        with open(self._commits) as f:
-            lines = [ln for ln in f if ln.strip()]
-        return (max(json.loads(ln)["commit"] for ln in lines) + 1) if lines else 0
+        lin.write.mode("overwrite").parquet(os.path.join(self._lineage, f"commit={commit}"))
 
     def lineage(self) -> DataFrame:
         return self.spark.read.option("basePath", self._lineage).parquet(
@@ -139,9 +170,9 @@ class NamedGraphStore:
         )
 
     def committed_graphs(self) -> DataFrame:
-        """Graphs whose latest lineage action is publish — the resume set."""
-        from pyspark.sql import Window
-
+        """Graphs whose latest lineage action is publish — the resume set:
+        a restarted run anti-joins its input against this before
+        reprocessing (offset-file analog, stream.clj:221-236)."""
         lin = self.lineage()
         w = Window.partitionBy("graph").orderBy(F.desc("commit"))
         return (
