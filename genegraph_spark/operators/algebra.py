@@ -1,0 +1,229 @@
+"""SPARQL-algebra-shaped query operators over the triples table.
+
+The reference constructs Jena ARQ algebra programmatically from Clojure
+data (``src/genegraph/database/query/algebra.clj:67-95``) — bgp, join,
+conditional (OPTIONAL), union, minus, diff, distinct, project, slice,
+order, filter — and compiles SPARQL strings with SELECT / ASK / CONSTRUCT
+/ COUNT execution modes (``query/resource.clj:201-239``). This module is
+that operator menu re-expressed as DataFrame combinators: a triple
+pattern is a filtered scan of the triples table, shared variables become
+equi-join keys, and Catalyst handles join ordering / broadcast /
+pushdown. ``ld_path`` reproduces the RDFResource traversal semantics
+(``query/types.clj:249-278``: ``:>`` out-edge, ``:<`` in-edge);
+``transitive_closure`` is the ``rdfs:subClassOf*``-style fixpoint
+(``source/graphql/common/curation.clj:303-314``).
+
+Variables are strings starting with ``?``; everything else in a pattern
+is a constant. ``bgp`` returns one column per variable.
+
+Scale notes: each pattern scan pushes its predicate/subject constants to
+the parquet scan (PushedFilters); per-predicate filters are highly
+selective on a real triple store, and the join chain shuffles on the
+shared variable — typically the subject, so a star-shaped BGP reuses one
+partitioning across all joins.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+Term = str  # '?var' or constant
+
+
+def _is_var(t: Term) -> bool:
+    return isinstance(t, str) and t.startswith("?")
+
+
+def scan(triples: DataFrame, s: Term, p: Term, o: Term, graph: Term | None = None) -> DataFrame:
+    """One triple pattern → bindings DataFrame (one column per variable)."""
+    df = triples
+    cols: list[Column] = []
+    seen: dict[str, str] = {}
+    for term, col in [(s, "subject"), (p, "predicate"), (o, "object"), (graph, "graph")]:
+        if term is None:
+            continue
+        if _is_var(term):
+            name = term[1:]
+            if name in seen:  # repeated var within one pattern → self-equality
+                df = df.where(F.col(col) == F.col(seen[name]))
+            else:
+                seen[name] = col
+                cols.append(F.col(col).alias(name))
+        else:
+            df = df.where(F.col(col) == term)
+    return df.select(*cols) if cols else df.select(F.lit(1).alias("_const"))
+
+
+def join(left: DataFrame, right: DataFrame) -> DataFrame:
+    """Natural join on shared variables (ARQ :join, algebra.clj:82);
+    cross join when disjoint (SPARQL semantics)."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    return left.join(right, shared, "inner") if shared else left.crossJoin(right)
+
+
+def bgp(triples: DataFrame, patterns: list[tuple]) -> DataFrame:
+    """Basic graph pattern: conjunction of triple patterns
+    (algebra.clj:74; shared variables = equi-joins)."""
+    return reduce(join, (scan(triples, *pat) for pat in patterns))
+
+
+def optional(left: DataFrame, right: DataFrame) -> DataFrame:
+    """OPTIONAL / OpConditional (algebra.clj:75) → left outer join."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    return left.join(right, shared, "left_outer")
+
+
+def union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Bag union of solutions (algebra.clj:60-65,77)."""
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def minus(a: DataFrame, b: DataFrame) -> DataFrame:
+    """MINUS / FILTER NOT EXISTS on compatible bindings (algebra.clj:86)."""
+    shared = sorted(set(a.columns) & set(b.columns))
+    return a.join(b, shared, "left_anti") if shared else a
+
+
+def exists(a: DataFrame, b: DataFrame) -> DataFrame:
+    """FILTER EXISTS → semi-join (curation.clj:33-72 activity membership)."""
+    shared = sorted(set(a.columns) & set(b.columns))
+    return a.join(b, shared, "left_semi") if shared else a
+
+
+def diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Solution/triple-set difference (algebra.clj:76; model difference
+    query.clj:167-170)."""
+    return a.exceptAll(b)
+
+
+def project(df: DataFrame, variables: list[str]) -> DataFrame:
+    return df.select(*[v.lstrip("?") for v in variables])
+
+
+def distinct(df: DataFrame) -> DataFrame:
+    return df.dropDuplicates()
+
+
+def order_by(df: DataFrame, *specs: tuple[str, str]) -> DataFrame:
+    """specs: (var, 'asc'|'desc') — resource.clj:32-36 addOrderBy."""
+    cols = [F.col(v.lstrip("?")).desc() if d == "desc" else F.col(v.lstrip("?")).asc() for v, d in specs]
+    return df.orderBy(*cols)
+
+
+def slice(df: DataFrame, limit: int | None = None, offset: int = 0, order: list | None = None) -> DataFrame:
+    """LIMIT/OFFSET (algebra.clj:91). Spark has no native OFFSET on
+    DataFrames pre-ordering, so offset uses a row_number window over the
+    given total order (pagination requires a total order anyway)."""
+    if offset:
+        from pyspark.sql import Window
+
+        assert order, "offset pagination requires an explicit order"
+        w = Window.orderBy(*[F.col(v.lstrip("?")).desc() if d == "desc" else F.col(v.lstrip("?")) for v, d in order])
+        df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") > offset).drop("_rn")
+    elif order:
+        df = order_by(df, *order)
+    return df.limit(limit) if limit is not None else df
+
+
+def ask(df: DataFrame) -> bool:
+    """Boolean existence (resource.clj:213 execAsk)."""
+    return df.limit(1).count() > 0
+
+
+def count(df: DataFrame) -> int:
+    """Result cardinality (resource.clj:210-212)."""
+    return df.count()
+
+
+def bind_params(df: DataFrame, **params) -> DataFrame:
+    """Pre-bound query variables (QuerySolutionMap, resource.clj:86-92):
+    filter the bindings on constants."""
+    for k, v in params.items():
+        df = df.where(F.col(k.lstrip("?")) == v)
+    return df
+
+
+def construct(bindings: DataFrame, templates: list[tuple], graph: Term = None) -> DataFrame:
+    """CONSTRUCT: instantiate triple templates from bindings
+    (resource.clj:153-161; the 40 .sparql CONSTRUCT files). Each template
+    is (s, p, o, object_is_iri[, datatype]); vars pull from bindings."""
+
+    def term(t: Term) -> Column:
+        return F.col(t[1:]).cast("string") if _is_var(t) else F.lit(t)
+
+    outs = []
+    for tpl in templates:
+        s, p, o, is_iri = tpl[:4]
+        dt = tpl[4] if len(tpl) > 4 else None
+        outs.append(
+            bindings.select(
+                (term(graph) if graph else F.lit(None).cast("string")).alias("graph"),
+                term(s).alias("subject"),
+                term(p).alias("predicate"),
+                term(o).alias("object"),
+                F.lit(is_iri).alias("object_is_iri"),
+                F.lit(dt).cast("string").alias("object_datatype"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs).dropDuplicates()
+
+
+# -- traversal ---------------------------------------------------------------
+
+def ld_path(triples: DataFrame, start: DataFrame, steps: list[tuple[str, str]]) -> DataFrame:
+    """RDFResource ``ld->`` traversal (query/types.clj:144-152, step
+    semantics :249-278): start is a one-column DF of node ids; each step
+    ('>' pred) follows out-edges, ('<' pred) in-edges, ('-' pred) both.
+    Returns one column ``node``."""
+    cur = start.toDF("node")
+    for direction, pred in steps:
+        edges = triples.where(F.col("predicate") == pred)
+        hops = []
+        if direction in (">", "-"):
+            hops.append(edges.select(F.col("subject").alias("node"), F.col("object").alias("next")))
+        if direction in ("<", "-"):
+            hops.append(edges.select(F.col("object").alias("node"), F.col("subject").alias("next")))
+        hop = reduce(lambda a, b: a.unionByName(b), hops)
+        cur = cur.join(hop, "node").select(F.col("next").alias("node")).distinct()
+    return cur
+
+
+def transitive_closure(triples: DataFrame, pred: str, max_iter: int = 30) -> DataFrame:
+    """``pred*`` reachability pairs (start, node), start != node excluded
+    reflexively — iterative join to fixpoint with localCheckpoint per
+    round (the reference's only recursive operator; curation.clj:303-314).
+    """
+    edges = (
+        triples.where(F.col("predicate") == pred)
+        .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
+        .distinct()
+    )
+    closure = edges.localCheckpoint(eager=True)
+    frontier = closure
+    for _ in range(max_iter):
+        step = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .select(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .distinct()
+        )
+        new = step.exceptAll(closure).localCheckpoint(eager=True)
+        if new.limit(1).count() == 0:
+            break
+        closure = closure.union(new).distinct().localCheckpoint(eager=True)
+        frontier = new
+    return closure
+
+
+def text_search(triples: DataFrame, term: str, predicate: str | None = None) -> DataFrame:
+    """Full-text match joined into a BGP (Lucene text:query analog,
+    database/query.clj:133-153): returns (node, text) for literal objects
+    containing the term, token-boundary aware."""
+    df = triples.where(~F.col("object_is_iri"))
+    if predicate:
+        df = df.where(F.col("predicate") == predicate)
+    hit = F.array_contains(F.split(F.lower(F.col("object")), r"\s+"), term.lower())
+    return df.where(hit).select(F.col("subject").alias("node"), F.col("object").alias("text"))
