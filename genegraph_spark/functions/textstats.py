@@ -1,0 +1,81 @@
+"""Text analysis for training-data pipelines: token counting, language-ID
+heuristic, quality scoring, document fingerprints.
+
+All JVM-side column expressions (no UDFs): deterministic and
+oracle-recomputable. The reference's closest analogs are its text
+normalization helpers (lowercase/trim, ``clinical_assertion.clj:84-91``)
+and Lucene text indexing; these stats are engine capabilities required by
+the training-data mandate."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: word pieces, numbers, or single non-space symbols
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(F.filter(F.split(text, r"\s+"), lambda t: t != ""))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish regex tokens (a cheap proxy for tokenizer cost)."""
+    return F.coalesce(F.regexp_count(text, F.lit(BPE_RE)), F.lit(0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    hits = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+    return F.when(F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_id_en(text: Column, threshold: float = 0.05) -> Column:
+    """N-gram-free heuristic language ID: 'en' when the English stopword
+    ratio clears the threshold, else 'unknown'. (A real model plugs in
+    here; the pipeline contract is a deterministic string column.)"""
+    return F.when(stopword_ratio(text) >= threshold, F.lit("en")).otherwise(F.lit("unknown"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality: length band + lexical diversity +
+    punctuation sanity. Deterministic; rounded for cross-engine compare."""
+    n = whitespace_token_count(text)
+    length_ok = F.when((n >= 20) & (n <= 10000), 1.0).otherwise(0.5)
+    diversity = distinct_token_ratio(text)
+    punct = F.length(F.regexp_replace(text, r"[^!?.,;:]", "")) / F.greatest(F.length(text), F.lit(1))
+    punct_ok = F.when(punct <= 0.2, 1.0).otherwise(0.0)
+    return F.round((length_ok + diversity + punct_ok) / 3.0, 6)
+
+
+def content_fingerprint(text: Column) -> Column:
+    """Exact content fingerprint (md5 of the raw text)."""
+    return F.md5(text)
+
+
+def rolling_fingerprint(text: Column, k: int = 3) -> Column:
+    """Shingle fingerprint: min md5 over word k-shingles — a locality-ish
+    rolling-window fingerprint; equal docs ⇒ equal prints, near-dups
+    likely share them (the MinHash h0 of operators.dedup)."""
+    toks = F.split(text, " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
+    )
+    return F.array_min(sh)

@@ -1,0 +1,232 @@
+"""Deduplication family for large-scale training-data pipelines: exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Not present in the reference (its dedup is version-head compaction,
+``transform/clinvar/ga4gh.clj:170-190``); required by the engine's
+training-data mandate. All hashes are md5-based so results are
+deterministic across engines and partitionings (and so the DuckDB oracle
+can recompute them bit-for-bit). No Python in any hot path.
+
+Scale notes (100 TB):
+- exact dedup: one shuffle on the content hash; map-side partial agg.
+- MinHash: the shingle explode is map-only; signatures reduce per doc
+  (partial min per seed map-side); LSH banding turns all-pairs into a
+  per-band bucket join — only same-bucket pairs materialize, and bucket
+  skew (boilerplate-heavy shingles) is AQE-skew-splittable. The verify
+  join recomputes true Jaccard only for candidates.
+- SimHash: one agg per doc; near-dup pairs via byte-band blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, keep_id, n_dups).
+    keep_id = min id per group (deterministic winner)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Survivors of exact dedup (the min-id row per content hash)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return docs.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per doc: (id, shingle). JVM-side:
+    split → slide via transform(sequence(...)) → explode → distinct."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+    return (
+        docs.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", n_hashes: int = 16
+) -> DataFrame:
+    """(id, h0..h{n-1}): h_i = min(md5(i || ':' || shingle)) over the doc's
+    shingles — deterministic permutation-free MinHash. Partial-aggregates
+    map-side; one shuffle keyed by doc id."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", n_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket."""
+    rows_per_band = n_hashes // n_bands
+    bands = []
+    for b in range(n_bands):
+        cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("a")
+    b_ = banded.alias("b")
+    return (
+        a.join(b_, ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """True Jaccard over shingle sets for the given pairs:
+    (id_a, id_b, jaccard)."""
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"))
+    inter = (
+        pairs.join(a, "id_a").join(b, ["id_b", "shingle"]).groupBy("id_a", "id_b").agg(
+            F.count("*").alias("n_inter")
+        )
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "n_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
+    join → exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
+    sh = shingles(docs, id_col, text_col, k)
+    sigs = minhash_signatures(sh, id_col, n_hashes)
+    cands = lsh_candidates(sigs, id_col, n_hashes, n_bands)
+    return jaccard(sh, cands, id_col).where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs that share ≥1 shingle (inverted-
+    index join — exact but quadratic in the worst case; the MinHash path
+    is the scale path, this is the verifier/baseline)."""
+    sh = shingles(docs, id_col, text_col, k)
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    pairs = a.join(b, "shingle").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    return jaccard(sh, pairs, id_col).where(F.col("jaccard") >= threshold)
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """(id, simhash): token-level SimHash. Each token hashes to a
+    ``bits``-wide value (md5 prefix); per bit, the majority sign over the
+    doc's tokens sets the output bit. Deterministic, engine-independent."""
+    toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, bits // 4), 16, 10).cast("bigint")
+    toks = toks.select(id_col, h.alias("th"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_aggs)
+    sim = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming; blocking
+    on each of the 4 bytes (a pair within distance 3 of a 32-bit hash
+    must agree on ≥1 byte — pigeonhole)."""
+    s = simhash(docs, id_col, text_col, bits)
+    blocks = None
+    for byte in range(4):
+        blk = s.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(byte).alias("block"),
+            F.shiftright(F.col("simhash"), byte * 8).bitwiseAND(F.lit(255)).alias("key"),
+        )
+        blocks = blk if blocks is None else blocks.unionByName(blk)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(b, ["block", "key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = "label",
+    threshold: float = 0.995,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
+    ``group_col`` is the blocking key (cluster/partition label); at scale
+    the blocker is an LSH/IVF assignment, here any coarse key works."""
+    from .similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                   *( [F.col(group_col)] if group_col else [] ))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                   *( [F.col(group_col)] if group_col else [] ))
+    pairs = a.join(b, [group_col] if group_col else None, "inner") if group_col else a.crossJoin(b)
+    pairs = pairs.where(F.col("id_a") < F.col("id_b"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).where(
+        F.col("cosine") >= threshold
+    )

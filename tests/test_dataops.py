@@ -1,0 +1,136 @@
+"""Training-data operator tests: dedup family, similarity search, text
+stats, multimodal plumbing — crafted micro-corpora with hand-computed
+expectations."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from genegraph_spark.functions import multimodal, textstats
+from genegraph_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (4, "completely different words entirely here now"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.cache().count()
+    return df
+
+
+def test_exact_dedup(docs):
+    groups = {r["keep_id"]: r["n_dups"] for r in dedup.exact_duplicates(docs).collect()}
+    assert groups == {1: 3, 3: 1, 4: 1}
+    survivors = {r["doc_id"] for r in dedup.dedup_exact(docs).collect()}
+    assert survivors == {1, 3, 4}
+
+
+def test_shingles_and_jaccard(docs):
+    sh = dedup.shingles(docs, k=3)
+    d1 = {r["shingle"] for r in sh.where("doc_id = 1").collect()}
+    assert "the quick brown" in d1 and len(d1) == 7
+    pairs = dedup.ngram_jaccard_pairs(docs, k=3, threshold=0.0)
+    j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert j[(1, 2)] == 1.0 and j[(1, 5)] == 1.0
+    # docs 1 and 3 differ only in the final shingle: 6 shared of 8 distinct
+    assert math.isclose(j[(1, 3)], 6 / 8)
+    assert (1, 4) not in j
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    out = dedup.minhash_near_duplicates(docs, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert {(1, 2), (1, 5), (2, 5)} <= pairs  # exact dups always collide
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_simhash(docs):
+    s = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert s[1] == s[2] == s[5]  # identical text ⇒ identical simhash
+    assert s[1] != s[4]
+    ham = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_duplicates(docs, max_hamming=8).collect()
+    }
+    assert ham[(1, 2)] == 0
+    assert (1, 3) in ham  # one-word change stays within 8 bits here
+
+
+def test_embedding_near_dups_and_topk(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.999, 0.01, 0.0], 0),  # near dup of 1
+        (3, [0.0, 1.0, 0.0], 0),
+        (4, [0.0, 0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    nd = dedup.embedding_near_duplicates(emb, threshold=0.99)
+    assert {(r["id_a"], r["id_b"]) for r in nd.collect()} == {(1, 2)}
+
+    q = emb.where("vec_id = 1").select(F.col("vec_id").alias("query_id"), "embedding")
+    topk = similarity.cosine_topk(emb, q, k=2)
+    got = [(r["vec_id"], r["rank"]) for r in topk.orderBy("rank").collect()]
+    assert got == [(2, 1), (3, 2)]
+
+
+def test_ivf_topk_recall(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.gauss(0, 1) for _ in range(8)], 0) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk(emb, q, k=5)
+    approx = similarity.ivf_topk(emb, q, k=5, n_probe=3)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.5  # probing 3/7 partitions: recall well above chance
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat. it was the best mat!")], "id long, text string"
+    )
+    row = df.select(
+        textstats.whitespace_token_count(F.col("text")).alias("n"),
+        textstats.bpe_token_count(F.col("text")).alias("bpe"),
+        textstats.stopword_ratio(F.col("text")).alias("sw"),
+        textstats.lang_id_en(F.col("text")).alias("lang"),
+        textstats.quality_score(F.col("text")).alias("q"),
+        textstats.content_fingerprint(F.col("text")).alias("fp"),
+        textstats.rolling_fingerprint(F.col("text")).alias("rfp"),
+    ).collect()[0]
+    assert row["n"] == 11
+    # tokens: 11 words + '.' + '!' = 13 ('mat.' splits word+punct)
+    assert row["bpe"] == 13
+    assert row["lang"] == "en" and row["sw"] > 0.3
+    assert 0.0 <= row["q"] <= 1.0
+    assert len(row["fp"]) == 32 and len(row["rfp"]) == 32
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.make_media_df(spark, docs)
+    decoded = multimodal.decode_media(media, fake=True)
+    assert decoded.schema.simpleString().startswith(
+        "struct<media_id:bigint,kind:string,n_bytes:int,feature:array<float>"
+    )
+    sample = decoded.limit(3).collect()
+    assert all(len(r["feature"]) == multimodal.FEATURE_DIM for r in sample)
+    # deterministic: same payload ⇒ same feature
+    again = decoded.limit(3).collect()
+    assert [r["feature"] for r in sample] == [r["feature"] for r in again]
+    # real decode is stubbed
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        multimodal.decode_media(media, fake=False).limit(1).collect()
+    frames = multimodal.frame_sample(media, every_n=50)
+    assert frames.where("frame_idx < 0").count() == 0 and frames.count() > 0
