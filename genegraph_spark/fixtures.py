@@ -123,6 +123,37 @@ def alias_sql() -> str:
     )
 
 
+def canonical_map_py() -> dict[str, str]:
+    """Expected canonical map, computed by plain union-find over the
+    constant dictionary — the independent oracle for the distributed
+    connected-components canonicalizer."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for iri, _, _, _, _, xs in ENTITIES:
+        for x in xs:
+            ra, rb = find(iri), find(x)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    entity_iris = [e[0] for e in ENTITIES]
+    comp: dict[str, list[str]] = {}
+    for e in entity_iris:
+        comp.setdefault(find(e), []).append(e)
+    return {e: min(comp[find(e)]) for e in entity_iris}
+
+
+def canonical_sql() -> str:
+    """DuckDB VALUES of the expected (iri, canonical_iri) map."""
+    rows = [f"({_sql_quote(i)}, {_sql_quote(c)})" for i, c in sorted(canonical_map_py().items())]
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(iri, canonical_iri)"
+
+
 def sameas_sql() -> str:
     rows = [
         f"({_sql_quote(iri)}, {_sql_quote(x)})" for iri, _, _, _, _, xs in ENTITIES for x in xs
