@@ -84,8 +84,9 @@ def q_kg_mentions_preferred(spark, sf_dir):
 
 def _linked(spark, sf_dir):
     live = _live_pages(spark, sf_dir)
-    cands = M.detect_mentions(M.tokenize(live), fixtures.alias_df(spark))
-    linked = M.link_entities(cands)
+    alias = fixtures.alias_df(spark)
+    cands = M.detect_mentions(M.tokenize(live), alias)
+    linked = M.link_entities(cands, alias=alias)
     canon = spark.createDataFrame(
         list(fixtures.canonical_map_py().items()), "iri string, canonical_iri string"
     )

@@ -28,13 +28,44 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+    local_threshold: int = 200_000,
 ) -> DataFrame:
     """Min-label propagation to fixpoint. Returns (node, component).
 
     ``component`` is the lexicographic min node id reachable — fully
     deterministic, independent of partitioning and iteration order.
-    """
+
+    Adaptive execution: a driver-side fixpoint loop costs ~1s of job
+    scheduling per round regardless of data size, so graphs under
+    ``local_threshold`` edges (the curated-dictionary case — always
+    dictionary-scale, not corpus-scale) are collected and union-found on
+    the driver in one pass; bigger graphs take the distributed iterative
+    path. Same result either way (both take the min node id per
+    component)."""
+    probe = edges.select(src, dst).limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
+        rows = probe
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = find(r[0]), find(r[1])
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        # second pass: min node id per root (roots are already the min
+        # because union always parents the larger under the smaller)
+        out = sorted((n, find(n)) for n in parent)
+        return edges.sparkSession.createDataFrame(out, "node string, component string")
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -78,13 +109,15 @@ def connected_components(
     return labels
 
 
-def canonical_entity_map(dictionary: DataFrame, sameas: DataFrame) -> DataFrame:
+def canonical_entity_map(
+    dictionary: DataFrame, sameas: DataFrame, local_threshold: int = 200_000
+) -> DataFrame:
     """(iri, canonical_iri): canonical = min *entity* IRI per component.
 
     Singleton entities (no shared xref) map to themselves.
     """
     edges = sameas.select(F.col("iri").alias("src"), F.col("xref").alias("dst"))
-    comps = connected_components(edges)
+    comps = connected_components(edges, local_threshold=local_threshold)
     entities = dictionary.select("iri").distinct()
     ent_comp = entities.join(comps, entities["iri"] == comps["node"], "left_outer").select(
         "iri", F.coalesce("component", "iri").alias("component")

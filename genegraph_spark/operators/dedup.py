@@ -128,7 +128,9 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → sign → band → bucket
     join → exact-Jaccard verify ≥ threshold. Returns (id_a, id_b, jaccard)."""
-    sh = shingles(docs, id_col, text_col, k)
+    # sh feeds the signatures AND both sides of the verify join — cache it
+    # (at cluster scale: persist to a shuffle-friendly intermediate)
+    sh = shingles(docs, id_col, text_col, k).cache()
     sigs = minhash_signatures(sh, id_col, n_hashes)
     cands = lsh_candidates(sigs, id_col, n_hashes, n_bands)
     return jaccard(sh, cands, id_col).where(F.col("jaccard") >= threshold)
@@ -144,7 +146,7 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard over pairs that share ≥1 shingle (inverted-
     index join — exact but quadratic in the worst case; the MinHash path
     is the scale path, this is the verifier/baseline)."""
-    sh = shingles(docs, id_col, text_col, k)
+    sh = shingles(docs, id_col, text_col, k).cache()
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     pairs = a.join(b, "shingle").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()

@@ -50,32 +50,58 @@ def detect_mentions(tokens: DataFrame, alias: DataFrame) -> DataFrame:
     )
 
 
-def link_entities(candidates: DataFrame, id_col: str = "url") -> DataFrame:
+def link_entities(
+    candidates: DataFrame, alias: DataFrame | None = None, id_col: str = "url"
+) -> DataFrame:
     """Resolve ambiguous candidates to one entity per (doc, position).
 
     score = 10 * kind_weight + context_support, where context_support =
     number of distinct surface forms of the entity seen in the document.
     Ties break on iri (deterministic). Returns
-    (id, pos, token, iri, entity_type, label_kind, score).
+    (id, pos, token, iri, entity_type, label_kind).
+
+    Scale path: ambiguity is a property of the (tiny) gazetteer, so when
+    ``alias`` is given, only occurrences of *ambiguous* surface forms pay
+    the per-(doc,pos) window shuffle and the per-(doc,entity) support
+    aggregation — unambiguous tokens (the overwhelming majority of a
+    Zipf-skewed corpus, including the BRCA1-class hot head) pass through
+    map-only. Results are identical to the full-window path.
     """
-    kind_w = F.when(F.col("label_kind") == "preferred", 3).when(
-        F.col("label_kind") == "alt", 2
-    ).otherwise(1)
-    # context support: distinct tokens per (doc, entity) among candidates
-    support = (
-        candidates.groupBy(id_col, "iri")
-        .agg(F.countDistinct("token").alias("context_support"))
+    out_cols = [id_col, "pos", "token", "iri", "entity_type", "label_kind"]
+    if alias is not None:
+        amb_labels = (
+            alias.groupBy("label")
+            .agg(F.countDistinct("iri").alias("_n"))
+            .where("_n > 1")
+            .select(F.col("label").alias("token"))
+        )
+        amb_entities = (
+            alias.join(amb_labels, alias["label"] == amb_labels["token"])
+            .select("iri")
+            .distinct()
+        )
+        cand_amb = candidates.join(F.broadcast(amb_labels), "token", "left_semi")
+        cand_unamb = candidates.join(F.broadcast(amb_labels), "token", "left_anti")
+        support_input = candidates.join(F.broadcast(amb_entities), "iri", "left_semi")
+        picked = _score_and_pick(cand_amb, support_input, id_col)
+        return cand_unamb.select(*out_cols).unionByName(picked.select(*out_cols))
+    return _score_and_pick(candidates, candidates, id_col).select(*out_cols)
+
+
+def _score_and_pick(cands: DataFrame, support_input: DataFrame, id_col: str) -> DataFrame:
+    kind_w = (
+        F.when(F.col("label_kind") == "preferred", 3)
+        .when(F.col("label_kind") == "alt", 2)
+        .otherwise(1)
     )
-    scored = (
-        candidates.join(support, [id_col, "iri"])
-        .withColumn("score", kind_w * 10 + F.col("context_support"))
+    support = support_input.groupBy(id_col, "iri").agg(
+        F.countDistinct("token").alias("context_support")
+    )
+    scored = cands.join(support, [id_col, "iri"]).withColumn(
+        "score", kind_w * 10 + F.col("context_support")
     )
     w = Window.partitionBy(id_col, "pos").orderBy(F.desc("score"), F.asc("iri"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return scored.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
 def mention_counts(linked: DataFrame, id_col: str = "url", entity_col: str = "iri") -> DataFrame:

@@ -71,23 +71,30 @@ def construct_kg(
     # 2. compact version history: newest version per url wins; tombstone
     #    heads are deletions (ga4gh.clj:170-190 semantics)
     heads = versioned.latest_version(valid, key="url", version="version")
+    # live is scanned by tokenize AND by two triple families — cache it
+    # (at cluster scale: a persisted intermediate table / DISK_ONLY)
     live = heads.where(~F.col("is_del")).select(
         "url", "warc_ts", F.col("etext").alias("text"), "lang", "version", "doc_id"
-    )
+    ).cache()
     deleted_graphs = heads.where(F.col("is_del")).select("url").withColumnRenamed("url", "graph")
 
     # 3. mention detection + linking (broadcast gazetteer)
     alias = fixtures.alias_df(spark)
     toks = mentions.tokenize(live)
     cands = mentions.detect_mentions(toks, alias)
-    linked = mentions.link_entities(cands)
+    linked = mentions.link_entities(cands, alias=alias)
 
     # 4. canonicalization (same-as CC fixpoint), then aggregate per
     #    (page, canonical entity) so merged entities collapse to one record
+    # canon is consumed by the mention join AND dictionary triples; the
+    # small-graph fast path returns a materialized local result, and the
+    # distributed path checkpoints internally — no extra barrier needed.
     canon = canonicalize.canonical_entity_map(dictionary, fixtures.sameas_df(spark))
+    # linked_canon fans out into 5 mention-triple families: cache so the
+    # tokenize→broadcast-join→window chain runs once, not 5×.
     linked_canon = mentions.mention_counts(
         linked.join(F.broadcast(canon), "iri"), entity_col="canonical_iri"
-    )
+    ).cache()
 
     # 5. triple materialization
     all_triples = T.union_all(
