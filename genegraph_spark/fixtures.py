@@ -176,6 +176,13 @@ def pages_df(spark: SparkSession, sf_dir: str, with_html: bool = True) -> DataFr
     reproduce byte-for-byte (BASELINE input_hint).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    return pages_from_docs(docs, with_html=with_html)
+
+
+def pages_from_docs(docs: DataFrame, with_html: bool = True) -> DataFrame:
+    """Same derivation over an arbitrary (doc_id, text, lang) DataFrame
+    (lets callers replicate/repartition the light docs before the heavy
+    html synthesis)."""
 
     def common(df: DataFrame, version: int, day_offset: int, text_col):
         out = (

@@ -66,9 +66,13 @@ def extract_text(html_col) -> Column:
     """Vectorized html(binary) → text(string); NULL on malformed input.
 
     Built lazily because pandas_udf registration requires an active
-    SparkSession (PySpark 4).
+    SparkSession (PySpark 4). Marked non-deterministic although it is a
+    pure function: this stops Catalyst from (a) pushing the expensive UDF
+    below exchanges — observed pushing the whole extraction into a
+    1-partition pre-shuffle scan, serializing the job — and (b)
+    re-evaluating it once per downstream filter branch.
     """
-    return F.pandas_udf(_extract_batch, "string")(html_col)
+    return F.pandas_udf(_extract_batch, "string").asNondeterministic()(html_col)
 
 
 def is_tombstone(html_col: Column) -> Column:

@@ -56,59 +56,99 @@ def construct_kg(
     """
     if pages is None:
         pages = fixtures.pages_df(spark, sf_dir)
+
+    # 0. canonicalize the dictionary (same-as CC: small-graph fast path or
+    #    distributed min-label loop), then compile the broadcast gazetteer.
+    #    With the constant fixture dictionary the whole gazetteer compiles
+    #    driver-side with zero Spark jobs (it IS the broadcast dictionary);
+    #    a caller-supplied dictionary goes through the CC operator.
     if dictionary is None:
         dictionary = fixtures.dictionary_df(spark)
+        canon_of = fixtures.canonical_map_py()
+        alias_rows = [
+            {"iri": iri, "label": lbl, "label_kind": kind}
+            for iri, _, pref, alts, hiddens, _ in fixtures.ENTITIES
+            for lbl, kind in (
+                [(pref, "preferred")]
+                + [(a, "alt") for a in alts]
+                + [(h, "hidden") for h in hiddens]
+            )
+        ]
+        canon = spark.createDataFrame(
+            sorted(canon_of.items()), "iri string, canonical_iri string"
+        )
+    else:
+        alias = fixtures.alias_df(spark)
+        canon = canonicalize.canonical_entity_map(dictionary, fixtures.sameas_df(spark))
+        alias_rows = alias.collect()
+        canon_of = {r["iri"]: r["canonical_iri"] for r in canon.collect()}
+    by_label, e_to_c, canon_iris = mentions.gazetteer_payload(alias_rows, canon_of)
 
-    # 1. extract + quarantine (annotate.clj:128-132 → quarantine not fail)
+    # 1. the fused hot path (north-star shape): ONE Arrow-batched pass per
+    #    page does extraction (byte-identical, functions.text), tombstone
+    #    detection, gazetteer match + contextual link scoring against the
+    #    broadcast dictionary — inside Python worker processes, which
+    #    scale linearly (independent heaps), while the JVM only ever sees
+    #    slim rows (url, ids, flags, int arrays). The page text never
+    #    enters a shuffle.
+    mapper = mentions.make_page_mapper(by_label, e_to_c, use_golden_text)
+    mapped = pages.mapInPandas(mapper, mentions.MAP_SCHEMA)
+
+    # 2. quarantine split + version compaction over slim rows
+    #    (annotate.clj:128-132 → quarantine, not fail;
+    #    ga4gh.clj:170-190 → newest version wins, tombstone head deletes)
+    quarantine = mapped.where(~F.col("ok"))
+    heads = versioned.latest_version(mapped.where(F.col("ok")), key="url", version="version")
+    live_slim = heads.where(~F.col("is_del"))
+    deleted_graphs = heads.where(F.col("is_del")).select(F.col("url").alias("graph"))
+
+    # 3. per-(page, canonical entity) mention records: explode the int
+    #    arrays, broadcast-join the canonical-IRI table
+    cent = spark.createDataFrame(
+        list(enumerate(canon_iris)), "m_cidx int, canonical_iri string"
+    )
+    linked_canon = (
+        live_slim.select(
+            "url", F.explode(F.arrays_zip("m_cidx", "m_cnt", "m_pos")).alias("m")
+        )
+        .select(
+            "url",
+            F.col("m.m_cidx").alias("m_cidx"),
+            F.col("m.m_cnt").cast("long").alias("n_mentions"),
+            F.col("m.m_pos").alias("first_pos"),
+        )
+        .join(F.broadcast(cent), "m_cidx")
+        .drop("m_cidx")
+    )
+
+    # 4. triple materialization (one explode per source)
+    all_triples = T.union_all(
+        [
+            T.page_triples(live_slim),
+            T.mention_triples(linked_canon),
+            T.dictionary_triples(dictionary, canon),
+        ]
+    )
+
+    # live pages with text, for golden tests / downstream consumers that
+    # need the extracted text (not on the triples hot path)
     if use_golden_text:
         extracted = pages.withColumn("etext", F.col("text"))
     else:
         extracted = pages.withColumn("etext", extract_text(F.col("html")))
     extracted = extracted.withColumn("is_del", is_tombstone(F.col("html")))
-    quarantine = extracted.where(F.col("etext").isNull() & ~F.col("is_del"))
     valid = extracted.where(F.col("etext").isNotNull() | F.col("is_del"))
-
-    # 2. compact version history: newest version per url wins; tombstone
-    #    heads are deletions (ga4gh.clj:170-190 semantics)
-    heads = versioned.latest_version(valid, key="url", version="version")
-    # live is scanned by tokenize AND by two triple families — cache it
-    # (at cluster scale: a persisted intermediate table / DISK_ONLY)
-    live = heads.where(~F.col("is_del")).select(
-        "url", "warc_ts", F.col("etext").alias("text"), "lang", "version", "doc_id"
-    ).cache()
-    deleted_graphs = heads.where(F.col("is_del")).select("url").withColumnRenamed("url", "graph")
-
-    # 3. mention detection + linking (broadcast gazetteer)
-    alias = fixtures.alias_df(spark)
-    toks = mentions.tokenize(live)
-    cands = mentions.detect_mentions(toks, alias)
-    linked = mentions.link_entities(cands, alias=alias)
-
-    # 4. canonicalization (same-as CC fixpoint), then aggregate per
-    #    (page, canonical entity) so merged entities collapse to one record
-    # canon is consumed by the mention join AND dictionary triples; the
-    # small-graph fast path returns a materialized local result, and the
-    # distributed path checkpoints internally — no extra barrier needed.
-    canon = canonicalize.canonical_entity_map(dictionary, fixtures.sameas_df(spark))
-    # linked_canon fans out into 5 mention-triple families: cache so the
-    # tokenize→broadcast-join→window chain runs once, not 5×.
-    linked_canon = mentions.mention_counts(
-        linked.join(F.broadcast(canon), "iri"), entity_col="canonical_iri"
-    ).cache()
-
-    # 5. triple materialization
-    all_triples = T.union_all(
-        [
-            T.page_triples(live),
-            T.mention_triples(linked_canon),
-            T.dictionary_triples(dictionary, canon),
-        ]
+    live_pages = (
+        versioned.latest_version(valid, key="url", version="version")
+        .where(~F.col("is_del"))
+        .select("url", "warc_ts", F.col("etext").alias("text"), "lang", "version", "doc_id")
     )
+
     return PipelineResult(
         pages=pages,
         quarantine=quarantine,
-        live_pages=live,
-        linked=linked,
+        live_pages=live_pages,
+        linked=linked_canon,
         canonical_map=canon,
         triples=all_triples,
         deleted_graphs=deleted_graphs,

@@ -43,7 +43,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # token-level rows are narrow ints but CPU-dense: the 64MB default
+        # advisory packs millions of rows per coalesced partition and
+        # starves cores; 8MB keeps post-shuffle parallelism ≥ cores
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # smaller Arrow batches → the JVM feeder thread overlaps with the
+        # Python worker instead of alternating (a partition is otherwise
+        # a single batch: feed, wait, compute, wait)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
@@ -51,6 +59,10 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # deterministic Python hashing inside any UDF that uses hash()
         .config("spark.executorEnv.PYTHONHASHSEED", "0")
+        # sandbox: shuffle/checkpoint to RAM-backed tmpfs — the VM's
+        # shared block device has wildly variable throughput; a real
+        # cluster uses node-local NVMe for exactly the same reason
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark_local"))
     )
     if extra_conf:
         for k, v in extra_conf.items():
