@@ -469,7 +469,9 @@ def q_sim_topk(spark, sf_dir):
 def q_sim_ivf_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
-    return SIM.ivf_topk(emb, q, k=5, n_probe=2).select("query_id", "vec_id", "rank")
+    return SIM.ivf_topk(emb, q, k=5, n_probe=2).select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
 
 
 def q_text_stats(spark, sf_dir):
@@ -515,11 +517,13 @@ def q_stream_mentions(spark, sf_dir):
 def q_stream_windows(spark, sf_dir):
     import tempfile
 
+    from genegraph_spark.streaming import stream as S
+
     base = tempfile.mkdtemp(prefix="gg_streamw_")
+    src = S.write_events_source(spark, sf_dir, os.path.join(base, "src"))
     return (
-        __import__("genegraph_spark.streaming.stream", fromlist=["stream"])
-        .stream_windowed_events(spark, f"{sf_dir}", os.path.join(base, "ckpt"))
-        .select("event_type", "n", F.round("total", 4).alias("total"))
+        S.stream_windowed_events(spark, src, os.path.join(base, "ckpt"))
+        .select("window_start", "event_type", "n", F.round("total", 4).alias("total"))
     )
 
 
@@ -574,7 +578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_fingerprints": q_text_fingerprints,
         "multimodal_decode": q_multimodal_decode,
-        # streaming (non-SQL: weaker rows-only check)
+        # streaming (foreachBatch → batch-dir table; SQL-oracled)
         "stream_mentions": q_stream_mentions,
         "stream_windows": q_stream_windows,
     }
@@ -854,8 +858,10 @@ SELECT k, only_user FROM (
   SELECT CAST(regexp_extract(props, '[0-9]+') AS INT) AS k,
          count(DISTINCT user_id) AS n_users, max(user_id) AS only_user
   FROM events WHERE user_id < 5 GROUP BY 1) WHERE n_users = 1""",
+        # DuckDB sums BIGINT into HUGEINT (int128) — pin the output back to
+        # BIGINT so the value-hash canonicalization matches Spark's long
         "agg_extract_sum": """
-SELECT event_type, sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS total_k,
+SELECT event_type, CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS total_k,
        count(*) AS n FROM events GROUP BY event_type""",
         # relational
         "tpch_q1": """
@@ -917,6 +923,32 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(round(list_cosine_similarity(a.v, b.v), 6), 4) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""",
+        # replicates the IVF path end-to-end: fixed-K md5-bucket centroid
+        # selection, rounded-cosine assignment argmax, per-query top-2
+        # probe, rank within probed partitions
+        "sim_ivf_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bkt AS (SELECT vec_id, CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS b FROM e),
+reps AS (SELECT b, min(vec_id) AS centroid_id FROM bkt GROUP BY b),
+cen AS (SELECT centroid_id, v AS cv FROM reps JOIN e ON e.vec_id = reps.centroid_id),
+asn AS (SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cen c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (SELECT query_id, centroid_id, qv FROM (
+    SELECT q.query_id, c.centroid_id, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cen c) WHERE rn <= 2),
+scored AS (SELECT p.query_id, a.vec_id, round(list_cosine_similarity(p.qv, e.v), 6) AS cosine
+           FROM probes p JOIN asn a ON a.centroid_id = p.centroid_id
+           JOIN e ON e.vec_id = a.vec_id
+           WHERE a.vec_id <> p.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+SELECT query_id, vec_id, rank, round(cosine, 4) AS cosine FROM r WHERE rank <= 5""",
         "sim_topk": """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
@@ -950,8 +982,22 @@ SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
        CAST(strlen(text) AS INT) AS n_bytes
 FROM documents""",
-        # sim_ivf_topk, stream_mentions, stream_windows: approximate /
-        # streaming — rows-only checks (no oracle by design)
+        # streaming: the in-stream plans are stateless / bounded-state and
+        # their batch-composed results are deterministic, so plain SQL
+        # oracles apply (the stream processes every non-tombstone page
+        # VERSION — no latest-head compaction in the ingest path)
+        "stream_mentions": f"""
+WITH {_PAGES}, {_ALIAS},
+np AS (SELECT url, text FROM pages WHERE NOT tombstone),
+t0 AS (SELECT url, unnest(string_split(text, ' ')) AS token FROM np),
+t AS (SELECT url, token FROM t0 WHERE token <> '')
+SELECT alias.iri, count(*) AS n_mentions
+FROM t JOIN alias ON t.token = alias.label AND alias.label_kind = 'preferred'
+GROUP BY alias.iri""",
+        "stream_windows": """
+SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 4) AS total
+FROM events GROUP BY 1, 2""",
     }
 
 

@@ -7,7 +7,9 @@ line: {"metric", "value" (total sec), "unit", "queries" (per-query sec),
 
 Scaling evidence (north rule: ≥0.8 throughput scaling efficiency from N
 to 4N executors — no real cluster in the sandbox, so the same job runs at
-local[8] and local[32] on the same input, in separate JVMs): the KG
+local[N] and local[4N] (defaults N=4 → local[4] vs local[16]; pandas-UDF
+tasks each burn ~2 threads, so 16 tasks already saturate the 32-core
+host) on the same input, in separate JVMs): the KG
 pipeline over a replicated pages table (replication raises work per core
 so task time dominates fixed overhead, the regime a real cluster runs
 in). Efficiency = (t_N / t_4N) / 4.
@@ -31,6 +33,13 @@ REPL = int(os.environ.get("SPARK_GRAFT_BENCH_REPL", "20"))
 # scaling workload is larger so the parallel fraction dominates the
 # fixed ~8s of driver/planning serial time (Amdahl)
 SCALE_REPL = int(os.environ.get("SPARK_GRAFT_SCALE_REPL", "200"))
+# fixed file count for the materialized scaling input — independent of
+# which worker materializes it, and sized so (file ≈ 2MB + 1MB open cost)
+# with maxPartitionBytes=4m yields ~1 split per file: both arms see the
+# same ~SCALE_FILES-way scan parallelism, far above either core count
+# (round 1 wrote defaultParallelism*2 = 24 fat files, which Spark binned
+# into a handful of splits — the 4N arm ran parallelism-starved)
+SCALE_FILES = int(os.environ.get("SPARK_GRAFT_SCALE_FILES", "128"))
 
 BENCH_QUERIES = [
     "kg_triples",
@@ -64,7 +73,7 @@ def replicated_pages(spark, sf_dir: str, factor: int):
         docs.crossJoin(reps)
         .withColumn("doc_id", F.col("doc_id") + F.col("_r") * 1_000_000)
         .drop("_r")
-        .repartition(spark.sparkContext.defaultParallelism * 2)
+        .repartition(SCALE_FILES)
     )
     return fixtures.pages_from_docs(replicated)
 
@@ -111,7 +120,7 @@ def scaling_worker(cores: int) -> None:
     from genegraph_spark.session import get_spark
 
     spark = get_spark(f"bench_scale_{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
-    pages_dir = f"/dev/shm/gg_bench_pages_{SCALE_REPL}"
+    pages_dir = f"/dev/shm/gg_bench_pages_{SCALE_REPL}x{SCALE_FILES}"
     if not os.path.exists(pages_dir + "/_SUCCESS"):
         materialize_pages(spark, SF_DIR, SCALE_REPL, pages_dir)  # untimed input prep
     kg_pipeline_job(spark, SF_DIR, 1)  # warmup, untimed
@@ -149,8 +158,14 @@ def run_scaling() -> dict:
                 text=True,
                 timeout=1800,
             )
-            line = [ln for ln in r.stdout.splitlines() if ln.startswith("{")][-1]
-            d = json.loads(line)
+            lines = [ln for ln in r.stdout.splitlines() if ln.startswith("{")]
+            if r.returncode != 0 or not lines:
+                sys.stderr.write(
+                    f"scaling worker local[{cores}] failed (rc={r.returncode}):\n"
+                    f"{r.stderr[-4000:]}\n"
+                )
+                raise RuntimeError(f"scaling worker local[{cores}] produced no result")
+            d = json.loads(lines[-1])
             pages = d["pages"]
             best[cores] = min(best.get(cores, float("inf")), d["sec"])
     tn, t4n = best[SCALE_N], best[SCALE_4N]

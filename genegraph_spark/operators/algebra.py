@@ -114,16 +114,31 @@ def order_by(df: DataFrame, *specs: tuple[str, str]) -> DataFrame:
 
 
 def slice(df: DataFrame, limit: int | None = None, offset: int = 0, order: list | None = None) -> DataFrame:
-    """LIMIT/OFFSET (algebra.clj:91). Spark has no native OFFSET on
-    DataFrames pre-ordering, so offset uses a row_number window over the
-    given total order (pagination requires a total order anyway)."""
+    """LIMIT/OFFSET (algebra.clj:91).
+
+    Scale shape: ``orderBy(...).limit(offset+limit)`` compiles to
+    ``TakeOrderedAndProject`` — each partition keeps its local top
+    (offset+limit) rows and only those tiny heads merge — no
+    single-partition exchange of the full input (the round-1
+    no-partitionBy ``row_number`` window moved every row through one
+    task). The offset prefix is then dropped with a row_number window
+    over the ≤ offset+limit survivors, which is driver-trivial."""
     if offset:
         from pyspark.sql import Window
 
-        assert order, "offset pagination requires an explicit order"
-        w = Window.orderBy(*[F.col(v.lstrip("?")).desc() if d == "desc" else F.col(v.lstrip("?")) for v, d in order])
-        df = df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") > offset).drop("_rn")
-    elif order:
+        assert limit is not None and order, "offset pagination requires order + limit"
+        ocols = [
+            F.col(v.lstrip("?")).desc() if d == "desc" else F.col(v.lstrip("?")).asc()
+            for v, d in order
+        ]
+        top = df.orderBy(*ocols).limit(offset + limit)
+        w = Window.orderBy(*ocols)
+        return (
+            top.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+            .drop("_rn")
+        )
+    if order:
         df = order_by(df, *order)
     return df.limit(limit) if limit is not None else df
 

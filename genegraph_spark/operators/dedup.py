@@ -133,7 +133,10 @@ def minhash_near_duplicates(
     sh = shingles(docs, id_col, text_col, k).cache()
     sigs = minhash_signatures(sh, id_col, n_hashes)
     cands = lsh_candidates(sigs, id_col, n_hashes, n_bands)
-    return jaccard(sh, cands, id_col).where(F.col("jaccard") >= threshold)
+    # threshold on the 6dp-rounded value — the same value consumers
+    # display/compare — so a pair at the boundary lands on the same side
+    # regardless of engine float-op order
+    return jaccard(sh, cands, id_col).where(F.round(F.col("jaccard"), 6) >= threshold)
 
 
 def ngram_jaccard_pairs(
@@ -150,7 +153,7 @@ def ngram_jaccard_pairs(
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     pairs = a.join(b, "shingle").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
-    return jaccard(sh, pairs, id_col).where(F.col("jaccard") >= threshold)
+    return jaccard(sh, pairs, id_col).where(F.round(F.col("jaccard"), 6) >= threshold)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:

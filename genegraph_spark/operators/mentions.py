@@ -110,6 +110,35 @@ MAP_SCHEMA = (
 )
 
 
+def alias_from_dictionary(dictionary: DataFrame) -> DataFrame:
+    """Explode a normalized dictionary (iri, entity_type, preferred_label,
+    alt_labels, hidden_labels, same_as) into the gazetteer alias table
+    (iri, entity_type, label, label_kind) — the skos preferred/alt/hidden
+    ranking of transform/gene.clj:51-67."""
+    lk = F.explode(
+        F.concat(
+            F.array(F.struct(F.col("preferred_label").alias("label"), F.lit("preferred").alias("label_kind"))),
+            F.transform("alt_labels", lambda a: F.struct(a.alias("label"), F.lit("alt").alias("label_kind"))),
+            F.transform("hidden_labels", lambda h: F.struct(h.alias("label"), F.lit("hidden").alias("label_kind"))),
+        )
+    )
+    return dictionary.select("iri", "entity_type", lk.alias("lk")).select(
+        "iri", "entity_type", "lk.label", "lk.label_kind"
+    )
+
+
+def sameas_from_dictionary(dictionary: DataFrame) -> DataFrame:
+    """Explode the dictionary's same_as xref arrays into (iri, xref) edges."""
+    return dictionary.select("iri", F.explode("same_as").alias("xref"))
+
+
+# The gazetteer is curated-dictionary-scale by contract (names.edn is
+# O(10^3) entries / tens of MB in the reference); the pipeline collects it
+# to the driver to compile the broadcast matcher. Guard that contract
+# instead of silently collecting whatever arrives.
+MAX_GAZETTEER_ROWS = 2_000_000
+
+
 def gazetteer_payload(alias_rows, canon_of: dict[str, str]):
     """Driver-side gazetteer compilation for the fused pandas stage.
 

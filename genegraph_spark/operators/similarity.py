@@ -63,6 +63,36 @@ def cosine_topk(
     )
 
 
+def default_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fixed-K deterministic centroid selection: hash every id into one of
+    ``n_centroids`` buckets (md5 — engine-reproducible) and take the
+    min-id vector per bucket as the representative.
+
+    K is a constant independent of corpus size, so the centroid broadcast
+    in :func:`ivf_assign` stays O(K) at any scale (the round-1
+    every-31st-row sample grew linearly with the corpus and would explode
+    the broadcast at 10^9 rows). The bucket-min is a map-side partial
+    aggregation — no sort, one tiny shuffle. In production the centroids
+    come from a k-means fit; the interface is identical."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("bigint")
+        % n_centroids
+    )
+    reps = (
+        corpus.select(bucket.alias("_bkt"), F.col(id_col))
+        .groupBy("_bkt")
+        .agg(F.min(id_col).alias("centroid_id"))
+    )
+    return corpus.join(
+        F.broadcast(reps), F.col(id_col) == F.col("centroid_id")
+    ).select("centroid_id", F.col(vec_col))
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -73,8 +103,10 @@ def ivf_assign(
     """Assign each vector to its max-cosine centroid (one broadcast join +
     window argmax; the 'coarse quantizer'). Returns corpus + centroid_id."""
     cen = centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("cenvec"))
+    # 6dp-rounded score before the argmax so the assignment is
+    # reproducible across engines/float-op orders (ties break on id)
     scored = corpus.join(F.broadcast(cen)).select(
-        "*", cosine_expr(F.col(vec_col), F.col("cenvec")).alias("_cscore")
+        "*", F.round(cosine_expr(F.col(vec_col), F.col("cenvec")), 6).alias("_cscore")
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_cscore"), F.asc(centroid_id_col))
     return (
@@ -96,21 +128,20 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style ANN: partition the corpus by nearest centroid; each query
     scans only its ``n_probe`` closest partitions. Approximate — recall
-    depends on n_probe/centroid quality. Centroids default to a
-    deterministic sample (every 31st vector) — at scale, a k-means fit.
+    depends on n_probe/centroid quality. Centroids default to
+    :func:`default_centroids` (fixed K, deterministic, engine-
+    reproducible); at scale, a k-means fit.
     """
     if centroids is None:
-        centroids = (
-            corpus.where(F.col(id_col) % 31 == 0)
-            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col))
-        )
+        centroids = default_centroids(corpus, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    # queries pick their n_probe nearest centroids
+    # queries pick their n_probe nearest centroids (rounded score —
+    # same determinism contract as the assignment)
     cen = centroids.select("centroid_id", F.col(vec_col).alias("cenvec"))
     q = queries.select(F.col(query_id_col), F.col(vec_col).alias("qvec"))
     qc = q.join(F.broadcast(cen)).select(
         query_id_col, "qvec", "centroid_id",
-        cosine_expr(F.col("qvec"), F.col("cenvec")).alias("_s"),
+        F.round(cosine_expr(F.col("qvec"), F.col("cenvec")), 6).alias("_s"),
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("_s"), F.asc("centroid_id"))
     probes = qc.withColumn("_rn", F.row_number().over(wq)).where(F.col("_rn") <= n_probe).drop(

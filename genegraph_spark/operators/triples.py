@@ -112,6 +112,43 @@ def mention_triples(linked_canonical: DataFrame) -> DataFrame:
     )
 
 
+def page_and_mention_triples(live_slim: DataFrame, canon_iris: list[str]) -> DataFrame:
+    """Page skeleton + mention triples in ONE explode over the slim
+    mapInPandas output (url, lang, m_cidx[], m_cnt[], m_pos[]).
+
+    Fuses :func:`page_triples` + :func:`mention_triples` so the expensive
+    upstream (extraction mapInPandas → version-head window) has exactly
+    ONE consumer: a union of two branches re-executes the whole Python
+    stage per branch (exchange reuse is not reliable across AQE query
+    stages with Python nodes — measured 2× extraction cost in round 1's
+    shape). Canonical IRIs resolve via a literal-array lookup instead of
+    a broadcast join — valid at curated-dictionary scale (the gazetteer
+    is O(10^3) entries by contract; callers with bigger vocabularies take
+    the join path in plans/pipeline.py)."""
+    g = F.col("url")
+    lookup = F.array(*[F.lit(c) for c in canon_iris])
+
+    def mention_structs(m):
+        ciri = F.element_at(lookup, m["m_cidx"] + 1)
+        b = I.bnode(g, ciri)
+        return F.array(
+            tstruct(g, I.P_MENTIONS, ciri, True),
+            tstruct(g, I.P_HAS_MENTION, b, True),
+            tstruct(b, I.RDF_TYPE, F.lit(I.C_MENTION), True),
+            tstruct(b, I.P_CANONICAL, ciri, True),
+            tstruct(b, I.P_POSITION, m["m_pos"], False, I.XSD_INTEGER),
+        )
+
+    arr = F.concat(
+        F.array(
+            tstruct(g, I.RDF_TYPE, F.lit(I.C_WEBPAGE), True),
+            tstruct(g, I.P_LANG, F.col("lang"), False, I.XSD_STRING),
+        ),
+        F.flatten(F.transform(F.arrays_zip("m_cidx", "m_cnt", "m_pos"), mention_structs)),
+    )
+    return explode_triples_arr(live_slim, g, arr)
+
+
 def dictionary_triples(dictionary: DataFrame, canonical_map: DataFrame) -> DataFrame:
     """Base-data graph for the curated dictionary (the reference loads its
     HGNC/ontology base files into their own named graphs,

@@ -78,8 +78,19 @@ def construct_kg(
             sorted(canon_of.items()), "iri string, canonical_iri string"
         )
     else:
-        alias = fixtures.alias_df(spark)
-        canon = canonicalize.canonical_entity_map(dictionary, fixtures.sameas_df(spark))
+        # derive the gazetteer and same-as graph from the SUPPLIED
+        # dictionary (not the fixture vocabulary)
+        alias = mentions.alias_from_dictionary(dictionary)
+        sameas = mentions.sameas_from_dictionary(dictionary)
+        canon = canonicalize.canonical_entity_map(dictionary, sameas)
+        n_alias = alias.count()
+        if n_alias > mentions.MAX_GAZETTEER_ROWS:
+            raise ValueError(
+                f"gazetteer has {n_alias} aliases (> {mentions.MAX_GAZETTEER_ROWS}); "
+                "the driver-side broadcast-matcher compile assumes a curated "
+                "dictionary — shard the dictionary or use the join-based "
+                "detect_mentions/link_entities path instead"
+            )
         alias_rows = alias.collect()
         canon_of = {r["iri"]: r["canonical_iri"] for r in canon.collect()}
     by_label, e_to_c, canon_iris = mentions.gazetteer_payload(alias_rows, canon_of)
@@ -102,32 +113,44 @@ def construct_kg(
     live_slim = heads.where(~F.col("is_del"))
     deleted_graphs = heads.where(F.col("is_del")).select(F.col("url").alias("graph"))
 
-    # 3. per-(page, canonical entity) mention records: explode the int
-    #    arrays, broadcast-join the canonical-IRI table
-    cent = spark.createDataFrame(
-        list(enumerate(canon_iris)), "m_cidx int, canonical_iri string"
-    )
-    linked_canon = (
+    # 3. per-(page, canonical entity) mention records (lazy — only built
+    #    if a consumer reads .linked): explode the int arrays, resolve the
+    #    canonical IRI. Small vocabularies resolve via a literal array
+    #    (zero joins/broadcasts); larger ones via a broadcast join.
+    small_vocab = len(canon_iris) <= 10_000
+    if small_vocab:
+        lk = F.array(*[F.lit(c) for c in canon_iris])
+        resolve = lambda df: df.withColumn(  # noqa: E731
+            "canonical_iri", F.element_at(lk, F.col("m_cidx") + 1)
+        ).drop("m_cidx")
+    else:
+        cent = spark.createDataFrame(
+            list(enumerate(canon_iris)), "m_cidx int, canonical_iri string"
+        )
+        resolve = lambda df: df.join(F.broadcast(cent), "m_cidx").drop("m_cidx")  # noqa: E731
+    linked_canon = resolve(
         live_slim.select(
             "url", F.explode(F.arrays_zip("m_cidx", "m_cnt", "m_pos")).alias("m")
-        )
-        .select(
+        ).select(
             "url",
             F.col("m.m_cidx").alias("m_cidx"),
             F.col("m.m_cnt").cast("long").alias("n_mentions"),
             F.col("m.m_pos").alias("first_pos"),
         )
-        .join(F.broadcast(cent), "m_cidx")
-        .drop("m_cidx")
     )
 
-    # 4. triple materialization (one explode per source)
+    # 4. triple materialization: page + mention triples in ONE explode off
+    #    live_slim (single consumer of the Python stage — a branch per
+    #    family re-executes extraction, measured 2× in the round-1 plan),
+    #    then the (tiny) dictionary graph unioned on top.
+    if small_vocab:
+        corpus_triples = T.page_and_mention_triples(live_slim, canon_iris)
+    else:
+        corpus_triples = T.union_all(
+            [T.page_triples(live_slim), T.mention_triples(linked_canon)]
+        )
     all_triples = T.union_all(
-        [
-            T.page_triples(live_slim),
-            T.mention_triples(linked_canon),
-            T.dictionary_triples(dictionary, canon),
-        ]
+        [corpus_triples, T.dictionary_triples(dictionary, canon)]
     )
 
     # live pages with text, for golden tests / downstream consumers that

@@ -47,6 +47,16 @@ def get_spark(
         # advisory packs millions of rows per coalesced partition and
         # starves cores; 8MB keeps post-shuffle parallelism ≥ cores
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # AQE's parallelismFirst (default true) already floors post-shuffle
+        # coalescing at the default parallelism, so no extra knob needed to
+        # keep CPU-dense narrow-row stages at ≥ core-count partitions
+        # sandbox inputs are small files: the 128m/4m defaults bin a whole
+        # multi-file table into a handful of input splits, capping the
+        # scan→mapInPandas stage's parallelism below the core count (the
+        # round-1 scaling bottleneck). At 100 TB the defaults are right —
+        # there, files are 100s of MB and splits outnumber cores anyway.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "4m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # smaller Arrow batches → the JVM feeder thread overlaps with the
         # Python worker instead of alternating (a partition is otherwise

@@ -130,11 +130,23 @@ class NamedGraphStore:
             out = new
             touched = set(range(self.n_buckets))
             buckets_map = {}
+        # mode=overwrite: the commit id is derived from manifests only, so
+        # a run killed after this write but before the manifest write
+        # leaves an orphan data/cNNNNNNNN dir; the replayed merge computes
+        # the same commit id and must clobber the orphan (the manifest
+        # written last is what makes a commit visible — an interrupted
+        # commit is invisible and replay converges, load.clj:72-87
+        # idempotence kept)
         out.repartition("bucket").sortWithinPartitions("bucket", "graph").write.mode(
-            "error"
+            "overwrite"
         ).parquet(os.path.join(self.path, data_dir))
         for b in touched:
             buckets_map[str(b)] = data_dir
+
+        if os.environ.get("GG_CRASH_AFTER_DATA_WRITE"):
+            # test hook: simulate a hard kill between the data write and
+            # the manifest write (tests/test_store.py kill/resume)
+            os._exit(17)
 
         self._write_lineage(commit, triples, delete_graphs)
         meta = {"commit": commit, "buckets": buckets_map, "wall_ts": time.time()}
@@ -172,8 +184,16 @@ class NamedGraphStore:
     def committed_graphs(self) -> DataFrame:
         """Graphs whose latest lineage action is publish — the resume set:
         a restarted run anti-joins its input against this before
-        reprocessing (offset-file analog, stream.clj:221-236)."""
-        lin = self.lineage()
+        reprocessing (offset-file analog, stream.clj:221-236).
+
+        Only manifested commits count: lineage is written before the
+        manifest, so a run killed between them leaves orphan lineage rows
+        for a commit that never became visible — those must not be
+        claimed as committed."""
+        last = self.last_commit()
+        if last is None:
+            return self.spark.createDataFrame([], "graph string")
+        lin = self.lineage().where(F.col("commit") <= last)
         w = Window.partitionBy("graph").orderBy(F.desc("commit"))
         return (
             lin.withColumn("_rn", F.row_number().over(w))

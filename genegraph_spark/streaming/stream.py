@@ -1,17 +1,27 @@
 """Structured Streaming ingest: the reference's Kafka consumer loop
-re-expressed as readStream → transform → foreachBatch MERGE.
+re-expressed as readStream → transform → foreachBatch sink.
 
 Reference analog: per-topic consumer threads with manual offset
 management and catch-up detection (``src/genegraph/sink/stream.clj:106-360``).
 Spark mapping: source offsets/checkpointing replace the hand-rolled
-offset file (``stream.clj:221-236``); each micro-batch is one idempotent
-named-graph MERGE (the reference wraps each poll batch in one write tx,
+offset file (``stream.clj:221-236``); each micro-batch lands via
+``foreachBatch`` as one idempotent write keyed by batch id (the
+reference wraps each poll batch in one write tx,
 ``sink/event.clj:172-178``); ``Trigger.AvailableNow`` reproduces the
 "consume to end offsets then stop" catch-up loop (``stream.clj:190-219``).
 
-In the sandbox the source is a file stream over a pages parquet
-directory (no Kafka broker); on a cluster the same plan reads
-``format("kafka")`` with the html payload in ``value``.
+Scale shape: the streaming query itself is stateless or
+bounded-state (watermarked windows); per-batch results are appended to
+an output *table* under ``batch=N`` directories — overwritten on replay
+of the same batch id, so checkpoint + idempotent batch dirs give
+exactly-once results. Nothing materializes on the driver (round 1 used
+``outputMode("complete")`` + a memory sink — a driver-side collect of
+the full aggregate every batch; gone).
+
+In the sandbox the source is a file stream over a parquet directory
+(no Kafka broker); :func:`kafka_reader` / :func:`kafka_writer` build the
+equivalent ``format("kafka")`` plans for a cluster (untestable here —
+no broker in the container).
 """
 
 from __future__ import annotations
@@ -23,12 +33,13 @@ from pyspark.sql import functions as F
 
 from .. import fixtures
 from ..functions.text import extract_text, is_tombstone
-from ..operators import mentions as M
 
 PAGE_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string, "
     "version int, doc_id long, tombstone boolean"
 )
+
+EVENT_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
 
 
 def write_pages_source(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
@@ -39,13 +50,42 @@ def write_pages_source(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     return out_dir
 
 
+def write_events_source(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Materialize the events table alone as a stream-source directory
+    (the sf dir holds many tables; a file stream needs a homogeneous one)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(out_dir)
+    return out_dir
+
+
+def _batch_dir_writer(out_dir: str):
+    """foreachBatch fn: write the micro-batch result to ``batch=N``,
+    overwriting on checkpoint replay — idempotent exactly-once commits
+    (the Iceberg-MERGE-per-batch analog at sandbox scale)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
+    return write_batch
+
+
+def _read_batches(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.option("basePath", out_dir).parquet(os.path.join(out_dir, "batch=*"))
+
+
 def stream_mention_counts(
-    spark: SparkSession, source_dir: str, checkpoint_dir: str, table_name: str = "stream_mentions"
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, out_dir: str | None = None
 ) -> DataFrame:
-    """Streaming mention detection: file stream → extract → gazetteer join
-    → running per-entity mention counts in the memory sink. Runs with
-    availableNow (process everything, then stop) and returns the result.
-    """
+    """Streaming mention detection: file stream → extract → gazetteer
+    broadcast join → per-batch partial per-entity counts appended via
+    foreachBatch → final counts aggregate over batches.
+
+    The in-stream plan is STATELESS (no streaming aggregation state);
+    partial counts commute, so the final (iri, n_mentions) is independent
+    of how the source splits into micro-batches. Runs with availableNow
+    and returns the final aggregate as a batch DataFrame."""
+    out_dir = out_dir or checkpoint_dir + "_out"
     src = spark.readStream.schema(PAGE_SCHEMA).parquet(source_dir)
     extracted = (
         src.withColumn("etext", extract_text(F.col("html")))
@@ -58,42 +98,86 @@ def stream_mention_counts(
     hits = toks.join(
         F.broadcast(alias.withColumnRenamed("label", "token")), "token", "inner"
     )
-    counts = hits.groupBy("iri").agg(F.count("*").alias("n_mentions"))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy("iri").agg(F.count("*").alias("n_part"))
+        partial.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
+
     q = (
-        counts.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(table_name)
+        hits.writeStream.foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(table_name)
+    return (
+        _read_batches(spark, out_dir)
+        .groupBy("iri")
+        .agg(F.sum("n_part").alias("n_mentions"))
+    )
 
 
 def stream_windowed_events(
-    spark: SparkSession, events_dir: str, checkpoint_dir: str, table_name: str = "stream_windows"
+    spark: SparkSession, source_dir: str, checkpoint_dir: str, out_dir: str | None = None
 ) -> DataFrame:
     """Event-time windowed aggregation with a watermark (late-data
     handling the reference lacks — its ordering is offset-based):
-    5-minute tumbling windows of event counts per type."""
-    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
-    src = spark.readStream.schema(schema).parquet(events_dir)
+    5-minute tumbling windows of event counts per type.
+
+    outputMode("update") emits each window's refreshed aggregate; the
+    foreachBatch sink lands them under ``batch=N`` and the final read
+    takes the LATEST emission per (window, type) — the standard
+    idempotent upsert-by-key pattern (at cluster scale: MERGE into a
+    results table keyed by window)."""
+    out_dir = out_dir or checkpoint_dir + "_out"
+    src = spark.readStream.schema(EVENT_SCHEMA).parquet(source_dir)
     agg = (
         src.withWatermark("ts", "10 minutes")
         .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
         .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
     )
-    # complete mode: availableNow ends the stream before the watermark
-    # would flush append-mode windows
     q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(table_name)
+        agg.writeStream.outputMode("update")
+        .foreachBatch(_batch_dir_writer(out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(table_name)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start", "event_type").orderBy(F.desc("batch"))
+    return (
+        _read_batches(spark, out_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .select("window_start", "event_type", "n", "total")
+    )
+
+
+# -- Kafka plan builders (cluster path; no broker in the sandbox) ------------
+
+def kafka_reader(spark: SparkSession, brokers: str, topic: str, starting_offsets: str = "earliest"):
+    """The cluster-mode source: ``format("kafka")`` with the page payload
+    in ``value`` (the reference's event envelope, stream.clj:59-73).
+    Returns the un-started reader plan; call ``.load()`` where a broker
+    exists."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+    )
+
+
+def kafka_writer(df: DataFrame, brokers: str, topic: str, checkpoint_dir: str):
+    """Producer sink: JSON-serialized rows to an output topic
+    (sink/event.clj:78-98 produce step). Returns the un-started writer."""
+    payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint_dir)
+    )
