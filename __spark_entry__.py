@@ -346,16 +346,54 @@ def q_agg_score_cap(spark, sf_dir):
 
 def q_agg_single_member_groups(spark, sf_dir):
     # restricted to a user subset so singleton groups exist (omim.clj:12-34
-    # pattern: emit only when exactly one member)
+    # pattern: collect the member list, emit only when exactly one)
+    from genegraph_spark.operators import grouping as G
+
     ev = (
         _read(spark, sf_dir, "events")
         .where("user_id < 5")
         .withColumn("k", F.regexp_extract("props", r"[0-9]+", 0).cast("int"))
     )
-    g = ev.groupBy("k").agg(
-        F.countDistinct("user_id").alias("n_users"), F.max("user_id").alias("only_user")
+    return G.single_member_groups(ev, "k", "user_id").select(
+        "k", F.col("only_member").alias("only_user")
     )
-    return g.where("n_users = 1").select("k", "only_user")
+
+
+def q_agg_collect_pivot(spark, sf_dir):
+    # predicate → sorted-object-list documents per resource
+    # (common.clj:438-453 partition-by-first pivot)
+    from genegraph_spark.operators import grouping as G
+
+    t = _geo_triples(spark, sf_dir).where(
+        F.col("predicate").isin(":name", ":in-region", ":segment")
+    )
+    docs = G.out_edge_documents(t)
+    return docs.select(
+        "subject",
+        "predicate",
+        F.array_join("objects", "|").alias("objects"),
+        "n_objects",
+    )
+
+
+def q_kg_replaces_superseded(spark, sf_dir):
+    # cross-curation supersession (annotate/replaces.clj:9-36): the newest
+    # curation per (gene, disease, moi) key supersedes every OTHER graph
+    # asserting the same key — a different-id lookup, not a version chain
+    from genegraph_spark.operators import replaces as R
+
+    ev = _read(spark, sf_dir, "events")
+    cur = ev.select(
+        F.concat(F.lit("urn:curation:"), F.col("event_id").cast("string")).alias("graph"),
+        (F.col("user_id") % 20).alias("gene"),
+        (F.col("user_id") % 7).alias("disease"),
+        F.col("event_type").alias("moi"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("gene", "disease", "moi").orderBy(F.desc("ts"), F.desc("event_id"))
+    newest = cur.withColumn("_rn", F.row_number().over(w)).where("_rn = 1").drop("_rn")
+    return R.find_superseded(cur, newest, ["gene", "disease", "moi"])
 
 
 def q_agg_extract_sum(spark, sf_dir):
@@ -504,6 +542,135 @@ def q_multimodal_decode(spark, sf_dir):
     return dec.select("media_id", "kind", "n_bytes")
 
 
+def q_src_json_nested(spark, sf_dir):
+    # double-encoded payload parse (clinvar core.clj:17-26): the outer
+    # JSON's `content` field is itself a JSON string, parsed again
+    from genegraph_spark.sources import payload as PL
+
+    ev = _read(spark, sf_dir, "events")
+    env = ev.select(
+        F.to_json(
+            F.struct("event_id", "event_type", F.col("props").alias("content"))
+        ).alias("value")
+    )
+    parsed = PL.parse_nested_content(
+        env, "value", "event_id long, event_type string, content string", "content", "k int"
+    )
+    return parsed.groupBy(F.col("outer.event_type").alias("event_type")).agg(
+        F.sum(F.col("content.k")).cast("long").alias("total_k"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_src_event_archive(spark, sf_dir):
+    # batch event-archive replay (sink/batch.clj:24-67): dump envelope
+    # JSONL, read with the explicit envelope schema, parse the payload
+    import tempfile
+
+    from genegraph_spark.sources import payload as PL
+
+    ev = _read(spark, sf_dir, "events")
+    env = ev.select(
+        F.col("event_id").cast("string").alias("key"),
+        F.to_json(F.struct("event_id", "user_id", "event_type", "value", "props")).alias(
+            "value"
+        ),
+        F.col("ts").alias("timestamp"),
+        F.lit("events").alias("topic"),
+        (F.col("event_id") % 4).cast("int").alias("partition"),
+        F.col("event_id").alias("offset"),
+    )
+    base = tempfile.mkdtemp(prefix="gg_archive_")
+    PL.write_event_archive(env, base)
+    arch = PL.read_event_archive(spark, base)
+    payload_schema = "event_id long, user_id long, event_type string, value double, props string"
+    p = arch.withColumn("payload", F.from_json("value", payload_schema))
+    return p.groupBy("topic", "partition", F.col("payload.event_type").alias("event_type")).agg(
+        F.count("*").alias("n"), F.max("offset").alias("max_offset")
+    )
+
+
+def q_kg_validation_report(spark, sf_dir):
+    # SHACL-analog shape over the input table (annotate.clj:72-132,
+    # validation.clj:8-19): violation counts per constraint
+    from genegraph_spark.operators import validate as VD
+
+    pages = fixtures.pages_df(spark, sf_dir, with_html=False)
+    shape = [
+        VD.matches("url", "^https://"),
+        VD.required("text"),
+        VD.in_range("version", 1, 2),
+        VD.required("lang"),
+    ]
+    return VD.violation_report(pages, shape)
+
+
+def q_kg_jsonld_docs(spark, sf_dir):
+    # per-graph JSON-LD-style serialization (query.clj:87-100,
+    # sink/event.clj:78-98 produce step)
+    from genegraph_spark.functions import serialize as SER
+
+    res = P.construct_kg(spark, sf_dir, use_golden_text=True)
+    return SER.graph_documents(res.triples)
+
+
+def q_fn_cnv_parse(spark, sf_dir):
+    # struct-returning pandas-UDF parser (annotate/cnv.clj:15-96 analog):
+    # template strings built deterministically from orders, ~1/13 malformed
+    from genegraph_spark.functions import parse as PRS
+
+    k = F.col("o_orderkey")
+    raw = F.when(k % 13 == 0, F.lit("garbage")).otherwise(
+        F.concat(
+            F.lit("GRCh38 chr"),
+            ((k % 22) + 1).cast("string"),
+            F.lit(":"),
+            (k * 100).cast("string"),
+            F.lit("-"),
+            (k * 100 + (k % 1000)).cast("string"),
+            F.lit(" "),
+            F.when(k % 7 == 0, F.lit("DEL")).otherwise(F.lit("DUP")),
+        )
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", raw.alias("raw"))
+    parsed = o.select("o_orderkey", PRS.parse_cnv("raw").alias("c"))
+    return parsed.select(
+        "o_orderkey",
+        F.col("c.assembly").alias("assembly"),
+        F.col("c.chrom").alias("chrom"),
+        F.col("c.start").alias("start_pos"),
+        F.col("c.end").alias("end_pos"),
+        F.col("c.svtype").alias("svtype"),
+    )
+
+
+def q_fn_curie_roundtrip(spark, sf_dir):
+    # CURIE ↔ IRI over the dictionary graph's predicates (names.clj:34-37)
+    from genegraph_spark.operators.triples import dictionary_triples
+
+    canon = spark.createDataFrame(
+        sorted(fixtures.canonical_map_py().items()), "iri string, canonical_iri string"
+    )
+    t = dictionary_triples(fixtures.dictionary_df(spark), canon)
+    preds = t.select("predicate").distinct()
+    curie = I.compact_iri(F.col("predicate"))
+    return preds.select(
+        F.col("predicate").alias("iri"),
+        curie.alias("curie"),
+        I.expand_curie(curie).alias("roundtrip"),
+    )
+
+
+def q_alg_property_path_alt(spark, sf_dir):
+    # property-path alternation + optional hop:
+    # customer ─(:in-nation|:in-region)→ ─(:in-region?)→
+    t = _geo_triples(spark, sf_dir)
+    start = A.project(A.bgp(t, [("?c", ":in-nation", "?n")]), ["?c"]).distinct()
+    return A.ld_path(
+        t, start.toDF("node"), [(">", [":in-nation", ":in-region"]), ("?", ":in-region")]
+    )
+
+
 def q_stream_mentions(spark, sf_dir):
     import tempfile
 
@@ -541,6 +708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_version_chain": q_kg_version_chain,
         "kg_latest_as_of": q_kg_latest_as_of,
         "kg_replaces_triples": q_kg_replaces_triples,
+        "kg_replaces_superseded": q_kg_replaces_superseded,
+        "kg_validation_report": q_kg_validation_report,
+        "kg_jsonld_docs": q_kg_jsonld_docs,
         # relational algebra (ARQ op surface)
         "alg_bgp_join": q_alg_bgp_join,
         "alg_optional": q_alg_optional,
@@ -552,6 +722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alg_ask_count": q_alg_ask_count,
         "alg_construct": q_alg_construct,
         "alg_property_path": q_alg_property_path,
+        "alg_property_path_alt": q_alg_property_path_alt,
         "alg_transitive_closure": q_alg_transitive_closure,
         "alg_text_search": q_alg_text_search,
         # versioned idioms + aggregations
@@ -560,7 +731,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ver_event_chain": q_ver_event_chain,
         "agg_score_cap": q_agg_score_cap,
         "agg_single_member_groups": q_agg_single_member_groups,
+        "agg_collect_pivot": q_agg_collect_pivot,
         "agg_extract_sum": q_agg_extract_sum,
+        # sources / functions
+        "src_json_nested": q_src_json_nested,
+        "src_event_archive": q_src_event_archive,
+        "fn_cnv_parse": q_fn_cnv_parse,
+        "fn_curie_roundtrip": q_fn_curie_roundtrip,
         # relational / bench
         "tpch_q1": q_tpch_q1,
         "tpch_q3_revenue": q_tpch_q3_revenue,
@@ -645,6 +822,27 @@ def _dict_triples_values() -> str:
 
 
 _BNODE = "'_:' || substr(sha256(url || '|' || canonical_iri), 1, 32)"
+
+
+def _compact_py(iri: str) -> str:
+    """Python mirror of functions.iri.compact_iri (longest-prefix match)."""
+    for p, ns in sorted(I.PREFIXES, key=lambda kv: -len(kv[1])):
+        if iri.startswith(ns):
+            return p + ":" + iri[len(ns):]
+    return iri
+
+
+def _curie_values_sql() -> str:
+    """Expected (iri, curie, roundtrip) rows for the dictionary graph's
+    predicate vocabulary — independent golden for the CURIE machinery."""
+    preds = sorted(
+        {I.RDF_TYPE, I.PREF_LABEL, I.P_CANONICAL, I.SAME_AS}
+        | ({I.ALT_LABEL} if any(e[3] for e in fixtures.ENTITIES) else set())
+        | ({I.HIDDEN_LABEL} if any(e[4] for e in fixtures.ENTITIES) else set())
+    )
+    q = fixtures._sql_quote
+    vals = ", ".join(f"({q(p)}, {q(_compact_py(p))}, {q(p)})" for p in preds)
+    return f"SELECT * FROM (VALUES {vals}) AS t(iri, curie, roundtrip)"
 
 _TRIPLES_SQL = f"""
 WITH {_PAGES}, {_HEADS}, {_LIVE}, {_ALIAS}, {_CANON}, {_TOKS}, {_LINKED}
@@ -982,6 +1180,67 @@ SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
        CAST(strlen(text) AS INT) AS n_bytes
 FROM documents""",
+        "kg_replaces_superseded": """
+WITH cur AS (SELECT 'urn:curation:' || CAST(event_id AS VARCHAR) AS graph,
+                    user_id % 20 AS gene, user_id % 7 AS disease, event_type AS moi,
+                    ts, event_id FROM events),
+newest AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY gene, disease, moi
+            ORDER BY ts DESC, event_id DESC) AS rn FROM cur) WHERE rn = 1)
+SELECT n.graph AS graph, o.graph AS supersedes
+FROM newest n JOIN cur o ON n.gene = o.gene AND n.disease = o.disease AND n.moi = o.moi
+WHERE o.graph <> n.graph""",
+        "kg_validation_report": f"""
+WITH {_PAGES}
+SELECT reason, n FROM (
+  SELECT 'text:required' AS reason, count(*) AS n FROM pages WHERE text IS NULL OR text = ''
+  UNION ALL
+  SELECT 'version:range', count(*) FROM pages WHERE NOT (version >= 1 AND version <= 2)
+  UNION ALL
+  SELECT 'url:pattern', count(*) FROM pages WHERE NOT regexp_matches(url, '^https://')
+  UNION ALL
+  SELECT 'lang:required', count(*) FROM pages WHERE lang IS NULL OR lang = ''
+) WHERE n > 0""",
+        "kg_jsonld_docs": f"""
+WITH t AS ({_TRIPLES_SQL}),
+g AS (SELECT graph,
+        list_sort(list(struct_pack(subject := subject, predicate := predicate,
+          object := object, object_is_iri := object_is_iri,
+          object_datatype := coalesce(object_datatype, '')))) AS triples
+      FROM t GROUP BY graph)
+SELECT graph, CAST(to_json(struct_pack(graph := graph, triples := triples)) AS VARCHAR) AS doc FROM g""",
+        "agg_collect_pivot": f"""
+WITH {_GEO_TRIPLES}
+SELECT s AS subject, p AS predicate,
+       array_to_string(list_sort(list(o)), '|') AS objects,
+       count(*) AS n_objects
+FROM geo WHERE p IN (':name', ':in-region', ':segment') GROUP BY s, p""",
+        "src_json_nested": """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS total_k,
+       count(*) AS n
+FROM events GROUP BY event_type""",
+        "src_event_archive": """
+SELECT 'events' AS topic, CAST(event_id % 4 AS INT) AS partition, event_type,
+       count(*) AS n, max(event_id) AS max_offset
+FROM events GROUP BY 2, 3""",
+        "fn_cnv_parse": """
+SELECT o_orderkey,
+  CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE 'GRCh38' END AS assembly,
+  CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE CAST(o_orderkey % 22 + 1 AS VARCHAR) END AS chrom,
+  CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE CAST(o_orderkey * 100 AS BIGINT) END AS start_pos,
+  CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE CAST(o_orderkey * 100 + o_orderkey % 1000 AS BIGINT) END AS end_pos,
+  CASE WHEN o_orderkey % 13 = 0 THEN NULL WHEN o_orderkey % 7 = 0 THEN 'DEL' ELSE 'DUP' END AS svtype
+FROM orders""",
+        "fn_curie_roundtrip": _curie_values_sql(),
+        "alg_property_path_alt": f"""
+WITH {_GEO_TRIPLES},
+start AS (SELECT DISTINCT s FROM geo WHERE p = ':in-nation'),
+hop1 AS (SELECT DISTINCT g.o AS node FROM start JOIN geo g
+         ON g.s = start.s AND g.p IN (':in-nation', ':in-region')),
+hop2 AS (SELECT node FROM hop1
+         UNION SELECT g.o FROM hop1 JOIN geo g ON g.s = hop1.node AND g.p = ':in-region')
+SELECT node FROM hop2""",
         # streaming: the in-stream plans are stateless / bounded-state and
         # their batch-composed results are deterministic, so plain SQL
         # oracles apply (the stream processes every non-tombstone page

@@ -136,7 +136,10 @@ def scaling_worker(cores: int) -> None:
 
 SCALE_N = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
 SCALE_4N = 4 * SCALE_N
-SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+# 3 interleaved trials × best-of-2 per invocation = 6 samples/arm: the
+# co-tenant VM steals CPU in bursts that hit the wide arm hardest, and
+# best-of over more samples is the only defense that doesn't bias an arm
+SCALE_TRIALS = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
 
 
 def run_scaling() -> dict:

@@ -188,21 +188,48 @@ def construct(bindings: DataFrame, templates: list[tuple], graph: Term = None) -
 
 # -- traversal ---------------------------------------------------------------
 
-def ld_path(triples: DataFrame, start: DataFrame, steps: list[tuple[str, str]]) -> DataFrame:
+def _hop(triples: DataFrame, direction: str, preds: list[str]) -> DataFrame:
+    """(node, next) edge pairs for one traversal step over ``preds``
+    (a set = SPARQL alternation ``a|b``)."""
+    edges = triples.where(F.col("predicate").isin(preds))
+    hops = []
+    if direction in (">", "-"):
+        hops.append(edges.select(F.col("subject").alias("node"), F.col("object").alias("next")))
+    if direction in ("<", "-"):
+        hops.append(edges.select(F.col("object").alias("node"), F.col("subject").alias("next")))
+    return reduce(lambda a, b: a.unionByName(b), hops)
+
+
+def ld_path(triples: DataFrame, start: DataFrame, steps: list[tuple]) -> DataFrame:
     """RDFResource ``ld->`` traversal (query/types.clj:144-152, step
-    semantics :249-278): start is a one-column DF of node ids; each step
-    ('>' pred) follows out-edges, ('<' pred) in-edges, ('-' pred) both.
-    Returns one column ``node``."""
+    semantics :249-278): start is a one-column DF of node ids. Steps:
+
+    - ``('>', pred)`` out-edge, ``('<', pred)`` in-edge, ``('-', pred)``
+      both directions;
+    - ``('>', [p1, p2])`` — predicate alternation ``p1|p2`` (any step
+      direction accepts a list; construct_proband_score.sparql:147-148);
+    - ``('?', pred)`` — zero-or-one out-hop (``pred?``);
+    - ``('rep', pred, n)`` — exactly-n out-hops (the positional
+      ``rdf:rest{n}`` list indexing, construct_proband_score.sparql:127-132).
+
+    Returns one column ``node``. Each hop is an equi-join against a
+    predicate-filtered scan; predicate pushdown applies."""
     cur = start.toDF("node")
-    for direction, pred in steps:
-        edges = triples.where(F.col("predicate") == pred)
-        hops = []
-        if direction in (">", "-"):
-            hops.append(edges.select(F.col("subject").alias("node"), F.col("object").alias("next")))
-        if direction in ("<", "-"):
-            hops.append(edges.select(F.col("object").alias("node"), F.col("subject").alias("next")))
-        hop = reduce(lambda a, b: a.unionByName(b), hops)
-        cur = cur.join(hop, "node").select(F.col("next").alias("node")).distinct()
+
+    def follow(df: DataFrame, direction: str, preds) -> DataFrame:
+        preds = preds if isinstance(preds, list) else [preds]
+        hop = _hop(triples, direction, preds)
+        return df.join(hop, "node").select(F.col("next").alias("node")).distinct()
+
+    for step in steps:
+        kind = step[0]
+        if kind == "?":
+            cur = cur.unionByName(follow(cur, ">", step[1])).distinct()
+        elif kind == "rep":
+            for _ in range(step[2]):
+                cur = follow(cur, ">", step[1])
+        else:
+            cur = follow(cur, kind, step[1])
     return cur
 
 

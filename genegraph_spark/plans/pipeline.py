@@ -178,11 +178,25 @@ def construct_kg(
     )
 
 
-def run_to_store(spark: SparkSession, sf_dir: str, store_path: str, **kw):
-    """Full batch run: construct + MERGE into the named-graph store."""
+def run_to_store(spark: SparkSession, sf_dir: str, store_path: str, dry_run: bool = False, **kw):
+    """Full batch run: construct + MERGE into the named-graph store.
+
+    ``dry_run`` truncates the chain before any side effect
+    (abort-on-dry-run-interceptor, sink/event.clj:71-76): the plan is
+    built and the would-be commit summarized (graphs / triples /
+    deletes), but nothing is written — the store is untouched."""
     from ..sinks.named_graph import NamedGraphStore
 
     res = construct_kg(spark, sf_dir, **kw)
     store = NamedGraphStore(spark, store_path)
+    if dry_run:
+        summary = {
+            "dry_run": True,
+            "would_commit": (store.last_commit() or -1) + 1,
+            "n_triples": res.triples.count(),
+            "n_graphs": res.triples.select("graph").distinct().count(),
+            "n_deleted_graphs": res.deleted_graphs.count(),
+        }
+        return res, store, summary
     commit = store.merge(res.triples, delete_graphs=res.deleted_graphs)
     return res, store, commit

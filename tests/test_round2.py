@@ -1,0 +1,302 @@
+"""Round-2 operators: collect pivots, cross-curation replaces,
+declarative validation, serialization round-trip, producer sink, struct
+parsers, nested-JSON payloads, event archives, property-path
+extensions, dry-run, and the real kill/resume drill."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+from pyspark.sql import functions as F
+
+from genegraph_spark.operators import algebra as A
+from genegraph_spark.operators import grouping as G
+from genegraph_spark.operators import replaces as R
+from genegraph_spark.operators import validate as VD
+from genegraph_spark.sinks.named_graph import TRIPLE_SCHEMA, NamedGraphStore
+
+
+def triples_df(spark, rows):
+    return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+
+# -- grouping ---------------------------------------------------------------
+
+def test_collect_pivot_sorted_and_counted(spark):
+    df = spark.createDataFrame(
+        [("s1", "p", "b"), ("s1", "p", "a"), ("s1", "q", "x"), ("s2", "p", "c")],
+        "subject string, predicate string, object string",
+    )
+    got = {
+        (r["subject"], r["predicate"]): (r["objects"], r["n_objects"])
+        for r in G.out_edge_documents(df).collect()
+    }
+    assert got == {
+        ("s1", "p"): (["a", "b"], 2),
+        ("s1", "q"): (["x"], 1),
+        ("s2", "p"): (["c"], 1),
+    }
+
+
+def test_single_member_groups_emits_only_singletons(spark):
+    df = spark.createDataFrame(
+        [("ph1", "gA"), ("ph1", "gA"), ("ph2", "gA"), ("ph2", "gB"), ("ph3", "gC")],
+        "pheno string, gene string",
+    )
+    got = {(r["pheno"], r["only_member"]) for r in G.single_member_groups(df, "pheno", "gene").collect()}
+    # ph1: one distinct gene (duplicate rows collapse); ph2: two genes -> excluded
+    assert got == {("ph1", "gA"), ("ph3", "gC")}
+
+
+# -- cross-curation replaces --------------------------------------------------
+
+def test_publish_with_replaces_deletes_superseded_graph(spark, tmp_path):
+    store = NamedGraphStore(spark, str(tmp_path / "store"), n_buckets=8)
+    old = triples_df(spark, [("urn:c1", "urn:c1", ":assertion", "old", False, None)])
+    store.merge(old)
+    installed_keys = spark.createDataFrame(
+        [("urn:c1", "g1", "d1", "AD")], "graph string, gene string, disease string, moi string"
+    )
+
+    new = triples_df(spark, [("urn:c2", "urn:c2", ":assertion", "new", False, None)])
+    incoming_keys = spark.createDataFrame(
+        [("urn:c2", "g1", "d1", "AD")], "graph string, gene string, disease string, moi string"
+    )
+    R.publish_with_replaces(store, new, incoming_keys, installed_keys, ["gene", "disease", "moi"])
+
+    graphs = {r["graph"] for r in store.triples().select("graph").distinct().collect()}
+    assert graphs == {"urn:c2"}  # superseded c1 removed in the same commit
+    lin = store.lineage()
+    assert lin.where("graph = 'urn:c1' and action = 'unpublish'").count() == 1
+
+
+def test_find_superseded_requires_key_match(spark):
+    installed = spark.createDataFrame(
+        [("urn:c1", "g1", "d1"), ("urn:c3", "g2", "d2")], "graph string, gene string, disease string"
+    )
+    incoming = spark.createDataFrame([("urn:c2", "g1", "d1")], "graph string, gene string, disease string")
+    got = {(r["graph"], r["supersedes"]) for r in R.find_superseded(installed, incoming, ["gene", "disease"]).collect()}
+    assert got == {("urn:c2", "urn:c1")}  # c3 has a different key -> untouched
+
+
+# -- validation ----------------------------------------------------------------
+
+def test_quarantine_split_reasons(spark):
+    df = spark.createDataFrame(
+        [("https://a", "en", 1, "ok"), ("ftp://b", "en", 1, "ok"), ("https://c", None, 9, "")],
+        "url string, lang string, version int, text string",
+    )
+    shape = [
+        VD.matches("url", "^https://"),
+        VD.required("lang"),
+        VD.in_range("version", 1, 3),
+        VD.required("text"),
+    ]
+    valid, quarantined = VD.quarantine_split(df, shape)
+    assert [r["url"] for r in valid.collect()] == ["https://a"]
+    bad = {r["url"]: r["violations"] for r in quarantined.collect()}
+    assert bad["ftp://b"] == ["url:pattern"]
+    assert bad["https://c"] == ["lang:required", "text:required", "version:range"]
+
+
+def test_when_then_conditional_constraint(spark):
+    df = spark.createDataFrame([(True, ""), (False, ""), (False, "x")], "tomb boolean, text string")
+    c = VD.when_then("live:text", ~F.col("tomb"), F.col("text") != "")
+    out = VD.with_violations(df, [c]).collect()
+    # tombstones exempt; live rows need text
+    assert [r["violations"] for r in out] == [[], ["live:text"], []]
+
+
+# -- serialization + producer sink ---------------------------------------------
+
+def test_jsonld_roundtrip_preserves_triples(spark):
+    from genegraph_spark.functions import serialize as SER
+
+    rows = [
+        ("g1", "s1", "p1", "o1", True, None),
+        ("g1", "s1", "p2", "lit", False, "http://www.w3.org/2001/XMLSchema#string"),
+        ("g2", "s2", "p1", "o9", True, None),
+    ]
+    t = triples_df(spark, rows)
+    docs = SER.graph_documents(t)
+    back = SER.parse_documents(docs)
+    assert {tuple(r) for r in back.collect()} == set(rows)  # incl. null datatype restored
+
+
+def test_output_topic_idempotent_and_latest(spark, tmp_path):
+    from genegraph_spark.sinks.producer import OutputTopic
+
+    topic = OutputTopic(spark, str(tmp_path / "topic"))
+    d0 = spark.createDataFrame([("g1", "v0"), ("g2", "v0")], "graph string, doc string")
+    assert topic.produce(d0) == 0
+    # replay of the same commit id overwrites, not double-appends
+    topic.produce(d0, commit=0)
+    assert topic.read().count() == 2
+    d1 = spark.createDataFrame([("g1", "v1")], "graph string, doc string")
+    topic.produce(d1)
+    latest = {r["graph"]: r["doc"] for r in topic.latest().collect()}
+    assert latest == {"g1": "v1", "g2": "v0"}
+
+
+# -- struct parser ---------------------------------------------------------------
+
+def test_cnv_parse_unparse_roundtrip():
+    from genegraph_spark.functions.parse import parse_cnv_py, unparse_cnv_py
+
+    s = "GRCh38 chr7:117480025-117668665 DEL"
+    d = parse_cnv_py(s)
+    assert d == {"assembly": "GRCh38", "chrom": "7", "start": 117480025, "end": 117668665, "svtype": "DEL"}
+    assert unparse_cnv_py(d) == s
+    for bad in [None, "", "chr7:1-2 DEL", "GRCh38 chr7:5-2 DEL", "GRCh39 chr7:1-2 DEL"]:
+        assert parse_cnv_py(bad) is None
+
+
+def test_cnv_parse_property_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from genegraph_spark.functions.parse import parse_cnv_py, unparse_cnv_py
+
+    chroms = [str(i) for i in range(1, 23)] + ["X", "Y", "M"]
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.sampled_from(["GRCh37", "GRCh38", "NCBI36"]),
+        st.sampled_from(chroms),
+        st.integers(0, 10**9),
+        st.integers(0, 10**9),
+        st.sampled_from(["DEL", "DUP", "INS", "INV"]),
+    )
+    def check(asm, chrom, a, b, sv):
+        d = {"assembly": asm, "chrom": chrom, "start": min(a, b), "end": max(a, b), "svtype": sv}
+        assert parse_cnv_py(unparse_cnv_py(d)) == d
+
+    check()
+
+
+def test_cnv_parse_udf_struct(spark):
+    from genegraph_spark.functions.parse import parse_cnv
+
+    df = spark.createDataFrame(
+        [("GRCh37 chrX:10-20 DUP",), ("nope",), (None,)], "raw string"
+    )
+    got = df.select(parse_cnv("raw").alias("c")).select("c.assembly", "c.start").collect()
+    assert (got[0]["assembly"], got[0]["start"]) == ("GRCh37", 10)
+    assert got[1]["assembly"] is None and got[2]["assembly"] is None
+
+
+# -- payload parsing ---------------------------------------------------------------
+
+def test_nested_json_and_corrupt_rows(spark):
+    from genegraph_spark.sources import payload as PL
+
+    df = spark.createDataFrame(
+        [('{"id": 1, "content": "{\\"k\\": 7}"}',), ("not json at all",)], "value string"
+    )
+    out = PL.parse_nested_content(df, "value", "id long, content string", "content", "k int")
+    rows = out.select(F.col("outer.id").alias("id"), F.col("content.k").alias("k")).collect()
+    assert (rows[0]["id"], rows[0]["k"]) == (1, 7)
+    assert rows[1]["id"] is None and rows[1]["k"] is None  # quarantine-able, not fatal
+
+
+def test_event_archive_roundtrip(spark, tmp_path):
+    from genegraph_spark.sources import payload as PL
+
+    env = spark.createDataFrame(
+        [("k1", '{"a": 1}', "2024-01-01 00:00:00", "t", 0, 5)],
+        "key string, value string, timestamp string, topic string, partition int, offset long",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    path = str(tmp_path / "archive")
+    PL.write_event_archive(env, path)
+    back = PL.read_event_archive(spark, path)
+    assert back.count() == 1
+    r = back.collect()[0]
+    assert (r["key"], r["topic"], r["offset"]) == ("k1", "t", 5)
+
+
+# -- property-path extensions -------------------------------------------------------
+
+def test_ld_path_alternation_optional_rep(spark):
+    rows = [
+        ("g", "a", ":p", "b", True, None),
+        ("g", "a", ":q", "c", True, None),
+        ("g", "b", ":r", "d", True, None),
+        ("g", "d", ":r", "e", True, None),
+    ]
+    t = triples_df(spark, rows)
+    start = spark.createDataFrame([("a",)], "node string")
+    alt = {r["node"] for r in A.ld_path(t, start, [(">", [":p", ":q"])]).collect()}
+    assert alt == {"b", "c"}
+    opt = {r["node"] for r in A.ld_path(t, start, [(">", ":p"), ("?", ":r")]).collect()}
+    assert opt == {"b", "d"}  # zero-or-one hop
+    rep = {r["node"] for r in A.ld_path(t, spark.createDataFrame([("b",)], "node string"), [("rep", ":r", 2)]).collect()}
+    assert rep == {"e"}  # rdf:rest{2}-style positional
+
+
+def test_slice_compiles_to_take_ordered(spark):
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    out = A.slice(df, limit=10, offset=5, order=[("?k", "asc"), ("?id", "desc")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    got = [r["id"] for r in out.collect()]
+    assert len(got) == 10
+    # golden page: full order is (k asc, id desc); rows 6..15 of that order
+    full = sorted([(i % 7, -i) for i in range(1000)])[5:15]
+    assert [(-b) for _, b in full] == got
+
+
+# -- dry run + kill/resume -----------------------------------------------------------
+
+def test_run_to_store_dry_run_writes_nothing(spark, sf_dir, tmp_path):
+    from genegraph_spark.plans.pipeline import run_to_store
+
+    path = str(tmp_path / "kg_dry")
+    res, store, summary = run_to_store(spark, sf_dir, path, dry_run=True, use_golden_text=True)
+    assert summary["dry_run"] and summary["n_triples"] > 0 and summary["n_graphs"] > 0
+    assert store.last_commit() is None  # no manifest, no data, no lineage
+    assert not os.path.exists(os.path.join(path, "data"))
+    assert not os.path.exists(os.path.join(path, "lineage"))
+
+
+CRASH_SCRIPT = """
+import os, sys
+sys.path.insert(0, {repo!r})
+os.environ["SPARK_GRAFT_CPUS"] = "4"
+from genegraph_spark.session import get_spark
+from genegraph_spark.sinks.named_graph import NamedGraphStore, TRIPLE_SCHEMA
+spark = get_spark("crash_drill", extra_conf={{"spark.driver.memory": "4g"}})
+store = NamedGraphStore(spark, {path!r}, n_buckets=4)
+rows = [(f"g{{i}}", "s", "p", f"o{{i}}", True, None) for i in range(20)]
+store.merge(spark.createDataFrame(rows, TRIPLE_SCHEMA))
+os.environ["GG_CRASH_AFTER_DATA_WRITE"] = "1"
+rows2 = [("g1", "s", "p", "NEW", True, None)]
+store.merge(spark.createDataFrame(rows2, TRIPLE_SCHEMA))  # dies mid-commit
+"""
+
+
+def test_kill_between_data_and_manifest_then_resume(spark, tmp_path):
+    """The BASELINE resumability rule, for real: a run hard-killed after
+    commit 1's data write but before its manifest write must leave the
+    store at commit 0, and replaying the merge must converge (the orphan
+    data dir is clobbered, not a path-exists error)."""
+    path = str(tmp_path / "crash_store")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = CRASH_SCRIPT.format(repo=repo, path=path)
+    env = {k: v for k, v in os.environ.items() if k != "GG_CRASH_AFTER_DATA_WRITE"}
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 17, r.stderr[-2000:]
+
+    store = NamedGraphStore(spark, path, n_buckets=4)
+    # the interrupted commit is invisible...
+    assert store.last_commit() == 0
+    assert os.path.exists(os.path.join(path, "data", "c00000001"))  # orphan exists
+    assert {r_["object"] for r_ in store.triples().where("graph = 'g1'").collect()} == {"o1"}
+    committed = {r_["graph"] for r_ in store.committed_graphs().collect()}
+    assert committed == {f"g{i}" for i in range(20)}  # orphan lineage ignored
+    # ...and the replayed merge converges over the orphan dir
+    rows2 = triples_df(spark, [("g1", "s", "p", "NEW", True, None)])
+    store.merge(rows2)
+    assert {r_["object"] for r_ in store.triples().where("graph = 'g1'").collect()} == {"NEW"}
+    assert store.triples().count() == 20
