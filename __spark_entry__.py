@@ -542,6 +542,65 @@ def q_multimodal_decode(spark, sf_dir):
     return dec.select("media_id", "kind", "n_bytes")
 
 
+def q_snap_latest_asof(spark, sf_dir):
+    # per-entity-type versioned snapshot table (RocksDB doc-store analog,
+    # document_store.clj:6-48): write page docs, read latest-as-of
+    import tempfile
+
+    from genegraph_spark.sinks.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="gg_snap_"))
+    pages = fixtures.pages_df(spark, sf_dir, with_html=False)
+    docs = pages.select(F.col("url").alias("is_version_of"), "version", "text", "lang")
+    store.write("page", docs.where("version = 1"), snapshot=0)
+    store.write("page", docs.where("version > 1"), snapshot=1)
+    return store.latest_as_of("page", cutoff=F.lit(2)).select(
+        F.col("is_version_of").alias("url"), "version"
+    )
+
+
+def q_join_affiliation_precedence(spark, sf_dir):
+    # left join + COALESCE + ORDER BY DESC LIMIT 1 composition
+    # (gene_validity_refactor.clj:397-412: classification affiliation wins
+    # over the GDM fallback; newest record per curation)
+    ev = _read(spark, sf_dir, "events")
+    cls = ev.where("event_type = 'purchase'").select(
+        F.col("event_id").alias("cls_event_id"),
+        F.regexp_extract("props", r"[0-9]+", 0).cast("long").alias("cls_affiliation"),
+    )
+    joined = ev.join(cls, ev.event_id == cls.cls_event_id, "left_outer").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.coalesce("cls_affiliation", F.col("user_id") % 10).alias("affiliation"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .select("user_id", "event_id", "affiliation")
+    )
+
+
+def q_alg_diff(spark, sf_dir):
+    # bag difference / OpDiff (algebra.clj:76): multiset of segments minus
+    # the multiset of segments of high-balance customers
+    cust = _read(spark, sf_dir, "customer")
+    a = cust.select(F.col("c_mktsegment").alias("segment"))
+    b = cust.where("c_acctbal > 5000").select(F.col("c_mktsegment").alias("segment"))
+    return A.diff(a, b)
+
+
+def q_fn_date_fixup(spark, sf_dir):
+    # offset-colon repair + parse (dosage_jira.clj:93-109): format ts the
+    # broken JIRA way, repair, parse — must reproduce the original
+    from genegraph_spark.functions import dates as DT
+
+    ev = _read(spark, sf_dir, "events")
+    raw = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS"), F.lit("+0000"))
+    return ev.select("event_id", DT.parse_offset_ts(raw).alias("parsed"))
+
+
 def q_src_json_nested(spark, sf_dir):
     # double-encoded payload parse (clinvar core.clj:17-26): the outer
     # JSON's `content` field is itself a JSON string, parsed again
@@ -736,6 +795,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # sources / functions
         "src_json_nested": q_src_json_nested,
         "src_event_archive": q_src_event_archive,
+        "snap_latest_asof": q_snap_latest_asof,
+        "join_affiliation_precedence": q_join_affiliation_precedence,
+        "alg_diff": q_alg_diff,
+        "fn_date_fixup": q_fn_date_fixup,
         "fn_cnv_parse": q_fn_cnv_parse,
         "fn_curie_roundtrip": q_fn_curie_roundtrip,
         # relational / bench
@@ -1232,6 +1295,26 @@ SELECT o_orderkey,
   CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE CAST(o_orderkey * 100 + o_orderkey % 1000 AS BIGINT) END AS end_pos,
   CASE WHEN o_orderkey % 13 = 0 THEN NULL WHEN o_orderkey % 7 = 0 THEN 'DEL' ELSE 'DUP' END AS svtype
 FROM orders""",
+        "snap_latest_asof": f"""
+WITH {_PAGES}
+SELECT url, version FROM (
+  SELECT url, version, row_number() OVER (PARTITION BY url ORDER BY version DESC) AS _rn
+  FROM pages WHERE version <= 2) WHERE _rn = 1""",
+        "join_affiliation_precedence": """
+SELECT user_id, event_id, affiliation FROM (
+  SELECT e.user_id, e.event_id,
+         coalesce(CASE WHEN e.event_type = 'purchase'
+                       THEN CAST(regexp_extract(e.props, '[0-9]+') AS BIGINT) END,
+                  e.user_id % 10) AS affiliation,
+         row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) AS _rn
+  FROM events e) WHERE _rn = 1""",
+        "alg_diff": """
+SELECT c_mktsegment AS segment FROM customer
+EXCEPT ALL
+SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000""",
+        # the JIRA wire format carries milliseconds; the repair-parse
+        # roundtrip therefore reproduces ts at millisecond precision
+        "fn_date_fixup": "SELECT event_id, date_trunc('milliseconds', ts) AS parsed FROM events",
         "fn_curie_roundtrip": _curie_values_sql(),
         "alg_property_path_alt": f"""
 WITH {_GEO_TRIPLES},

@@ -300,3 +300,65 @@ def test_kill_between_data_and_manifest_then_resume(spark, tmp_path):
     store.merge(rows2)
     assert {r_["object"] for r_ in store.triples().where("graph = 'g1'").collect()} == {"NEW"}
     assert store.triples().count() == 20
+
+
+# -- snapshot tables + catch-up + params + dates -------------------------------
+
+def test_snapshot_store_versions_and_asof(spark, tmp_path):
+    from genegraph_spark.sinks.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, str(tmp_path / "snaps"))
+    v1 = spark.createDataFrame(
+        [("e1", 1, "a"), ("e2", 1, "b")], "is_version_of string, version int, doc string"
+    )
+    v2 = spark.createDataFrame([("e1", 2, "a2")], "is_version_of string, version int, doc string")
+    assert store.write("trait", v1) == 0
+    assert store.write("trait", v2) == 1
+    # idempotent replay of a snapshot id
+    store.write("trait", v2, snapshot=1)
+    assert store.read("trait").count() == 3
+    asof1 = {(r["is_version_of"], r["doc"]) for r in store.latest_as_of("trait", 1).collect()}
+    assert asof1 == {("e1", "a"), ("e2", "b")}
+    asof2 = {(r["is_version_of"], r["doc"]) for r in store.latest_as_of("trait", 2).collect()}
+    assert asof2 == {("e1", "a2"), ("e2", "b")}
+
+
+def test_stream_source_catch_up_detection(spark, sf_dir, tmp_path):
+    from genegraph_spark.streaming import stream as S
+
+    src = S.write_pages_source(spark, sf_dir, str(tmp_path / "src"))
+    ckpt = str(tmp_path / "ckpt")
+    S.stream_mention_counts(spark, src, ckpt, out_dir=str(tmp_path / "out"))
+    st = S.source_up_to_date(src, ckpt)
+    assert st["up_to_date"] and st["n_available"] > 0
+    # a new file lands after the stream stopped -> no longer caught up
+    import shutil, glob
+    f = glob.glob(os.path.join(src, "*.parquet"))[0]
+    shutil.copy(f, os.path.join(src, "part-late.parquet"))
+    assert not S.source_up_to_date(src, ckpt)["up_to_date"]
+
+
+def test_bind_params_filters_bindings(spark):
+    rows = [("g", "a", ":p", "b", True, None), ("g", "c", ":p", "d", True, None)]
+    t = triples_df(spark, rows)
+    b = A.bgp(t, [("?s", ":p", "?o")])
+    got = A.bind_params(b, s="a").collect()
+    assert [(r["s"], r["o"]) for r in got] == [("a", "b")]
+
+
+def test_fix_offset_colon_repair():
+    import pandas as pd  # noqa: F401
+    from genegraph_spark.functions import dates as DT
+    from pyspark.sql import functions as F  # noqa: F811
+
+    # pure-expression check via a tiny frame
+    from genegraph_spark.session import get_spark
+
+    spark = get_spark("dates_test")
+    df = spark.createDataFrame(
+        [("2024-01-15T10:30:00.000+0000",), ("2024-01-15T10:30:00.000+00:00",)], "raw string"
+    )
+    out = df.select(DT.fix_offset_colon(F.col("raw")).alias("fixed"),
+                    DT.parse_offset_ts(F.col("raw")).alias("ts")).collect()
+    assert out[0]["fixed"] == "2024-01-15T10:30:00.000+00:00"
+    assert out[0]["ts"] == out[1]["ts"] is not None
