@@ -582,6 +582,30 @@ def q_join_affiliation_precedence(spark, sf_dir):
     )
 
 
+def q_join_asof_descriptor(spark, sf_dir):
+    # two-table as-of equi-join (clinical_assertion.clj:306-348):
+    # assertion → latest descriptor version ≤ the assertion's cutoff;
+    # union-merge implementation, not a multiplicative join
+    desc = fixtures.pages_df(spark, sf_dir, with_html=False).select(
+        "doc_id", F.col("version").cast("long").alias("d_version"), F.col("text").alias("d_text")
+    )
+    n_docs = _read(spark, sf_dir, "documents").count()
+    asrt = _read(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % n_docs).alias("doc_id"),
+        (F.col("event_id") % 4).cast("long").alias("cutoff"),
+    )
+    out = V.asof_join(
+        asrt, desc, key="doc_id", left_on="cutoff", right_on="d_version",
+        right_cols=["d_version", "d_text"],
+    )
+    return out.select(
+        "event_id", "doc_id", "cutoff",
+        F.col("d_version").alias("matched_version"),
+        F.col("d_text").alias("matched_text"),
+    )
+
+
 def q_alg_diff(spark, sf_dir):
     # bag difference / OpDiff (algebra.clj:76): multiset of segments minus
     # the multiset of segments of high-balance customers
@@ -753,6 +777,19 @@ def q_stream_windows(spark, sf_dir):
     )
 
 
+def q_stream_stateful_totals(spark, sf_dir):
+    import tempfile
+
+    from genegraph_spark.streaming import stream as S
+
+    base = tempfile.mkdtemp(prefix="gg_streams_")
+    src = S.write_events_source(spark, sf_dir, os.path.join(base, "src"))
+    # 2 files per trigger over 4 files → state must carry across batches
+    return S.stream_user_running_totals(
+        spark, src, os.path.join(base, "ckpt"), max_files_per_trigger=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG construction pipeline
@@ -797,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_event_archive": q_src_event_archive,
         "snap_latest_asof": q_snap_latest_asof,
         "join_affiliation_precedence": q_join_affiliation_precedence,
+        "join_asof_descriptor": q_join_asof_descriptor,
         "alg_diff": q_alg_diff,
         "fn_date_fixup": q_fn_date_fixup,
         "fn_cnv_parse": q_fn_cnv_parse,
@@ -821,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming (foreachBatch → batch-dir table; SQL-oracled)
         "stream_mentions": q_stream_mentions,
         "stream_windows": q_stream_windows,
+        "stream_stateful_totals": q_stream_stateful_totals,
     }
 
 
@@ -1308,6 +1347,13 @@ SELECT user_id, event_id, affiliation FROM (
                   e.user_id % 10) AS affiliation,
          row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) AS _rn
   FROM events e) WHERE _rn = 1""",
+        "join_asof_descriptor": f"""
+WITH {_PAGES},
+d AS (SELECT doc_id, CAST(version AS BIGINT) AS d_version, text AS d_text FROM pages),
+a AS (SELECT event_id, event_id % (SELECT count(*) FROM documents) AS doc_id,
+             CAST(event_id % 4 AS BIGINT) AS cutoff FROM events)
+SELECT a.event_id, a.doc_id, a.cutoff, d.d_version AS matched_version, d.d_text AS matched_text
+FROM a ASOF LEFT JOIN d ON a.doc_id = d.doc_id AND d.d_version <= a.cutoff""",
         "alg_diff": """
 SELECT c_mktsegment AS segment FROM customer
 EXCEPT ALL
@@ -1340,6 +1386,11 @@ GROUP BY alias.iri""",
 SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
        count(*) AS n, round(sum(value), 4) AS total
 FROM events GROUP BY 1, 2""",
+        # applyInPandasWithState running totals: final state equals the
+        # batch aggregate whatever the micro-batch split
+        "stream_stateful_totals": """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total
+FROM events GROUP BY user_id""",
     }
 
 

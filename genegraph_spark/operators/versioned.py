@@ -42,6 +42,65 @@ def compact_heads(df: DataFrame, key: str, version: str, deleted: str = "tombsto
     return latest_version(df, key, version).where(~F.col(deleted))
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_on: str,
+    right_on: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """Two-table as-of equi-join: attach to each left row the right row
+    with the greatest ``right_on`` ≤ ``left_on`` for the same ``key``
+    (left outer: no candidate → nulls).
+
+    Reference analog: resolving an assertion's variation *descriptor* as
+    of the assertion's release date
+    (``transform/clinvar/clinical_assertion.clj:306-348,711-713``).
+
+    Scale shape: NOT the naive ``join ON key AND version <= t`` +
+    window (which multiplies each left row by every candidate version
+    before pruning). Instead the union-merge trick: tag and union both
+    sides, sort within key by (time, side), and carry the last-seen
+    right payload forward with ``last(..., ignorenulls)`` — ONE shuffle
+    on the key, linear in |left| + |right|, no multiplicative blow-up
+    on hot keys."""
+    r = right.select(
+        F.col(key),
+        F.col(right_on).alias("_ord"),
+        F.lit(1).alias("_is_r"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    l_cols = [c for c in left.columns]
+    l = left.select(
+        F.col(key),
+        F.col(left_on).alias("_ord"),
+        F.lit(0).alias("_is_r"),
+        *[F.lit(None).cast(r.schema[f"_r_{c}"].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*l_cols).alias("_l"),
+    )
+    r = r.withColumn("_l", F.lit(None).cast(l.schema["_l"].dataType))
+    # right rows sort BEFORE left rows at equal ord so version == cutoff
+    # is visible (≤ semantics)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ord"), F.desc("_is_r"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = l.unionByName(r).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in right_cols
+        ],
+    )
+    out = merged.where(F.col("_is_r") == 0).select(
+        *[F.col(f"_l.{c}").alias(c) for c in l_cols],
+        *[F.col(f"_m_{c}").alias(c) for c in right_cols],
+    )
+    return out
+
+
 def version_chain(df: DataFrame, key: str, version: str, id_col: str) -> DataFrame:
     """Predecessor links: (id, replaces, is_replaced_by) per version row
     via lag/lead — the ``mark-prior-replaced`` self as-of join without a

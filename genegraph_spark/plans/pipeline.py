@@ -47,12 +47,18 @@ def construct_kg(
     pages: DataFrame | None = None,
     dictionary: DataFrame | None = None,
     use_golden_text: bool = False,
+    keep_text: bool = False,
 ) -> PipelineResult:
     """Build the KG from the pages table (synthesized from sf_dir unless
     given). ``use_golden_text`` skips the pandas-UDF extraction (the
     fixture carries golden text) — used by oracle-facing queries so the
     DuckDB SQL side stays expressible; the extraction itself is verified
     byte-identical by its own query + tests.
+
+    ``keep_text``: carry the extracted text (and warc_ts) through the
+    single Arrow pass so ``live_pages`` shares the extraction with the
+    triples path — consumers wanting both pay ONE extraction. Default
+    off: the triples hot path ships only slim int arrays.
     """
     if pages is None:
         pages = fixtures.pages_df(spark, sf_dir)
@@ -102,8 +108,10 @@ def construct_kg(
     #    scale linearly (independent heaps), while the JVM only ever sees
     #    slim rows (url, ids, flags, int arrays). The page text never
     #    enters a shuffle.
-    mapper = mentions.make_page_mapper(by_label, e_to_c, use_golden_text)
-    mapped = pages.mapInPandas(mapper, mentions.MAP_SCHEMA)
+    mapper = mentions.make_page_mapper(by_label, e_to_c, use_golden_text, keep_text=keep_text)
+    mapped = pages.mapInPandas(
+        mapper, mentions.MAP_SCHEMA_TEXT if keep_text else mentions.MAP_SCHEMA
+    )
 
     # 2. quarantine split + version compaction over slim rows
     #    (annotate.clj:128-132 → quarantine, not fail;
@@ -154,18 +162,26 @@ def construct_kg(
     )
 
     # live pages with text, for golden tests / downstream consumers that
-    # need the extracted text (not on the triples hot path)
-    if use_golden_text:
-        extracted = pages.withColumn("etext", F.col("text"))
+    # need the extracted text
+    if keep_text:
+        # same Arrow pass as the triples path: zero extra extraction
+        live_pages = live_slim.select(
+            "url", "warc_ts", F.col("etext").alias("text"), "lang", "version", "doc_id"
+        )
     else:
-        extracted = pages.withColumn("etext", extract_text(F.col("html")))
-    extracted = extracted.withColumn("is_del", is_tombstone(F.col("html")))
-    valid = extracted.where(F.col("etext").isNotNull() | F.col("is_del"))
-    live_pages = (
-        versioned.latest_version(valid, key="url", version="version")
-        .where(~F.col("is_del"))
-        .select("url", "warc_ts", F.col("etext").alias("text"), "lang", "version", "doc_id")
-    )
+        # lazy second derivation — only evaluated if a consumer reads it
+        # (the triples hot path never does)
+        if use_golden_text:
+            extracted = pages.withColumn("etext", F.col("text"))
+        else:
+            extracted = pages.withColumn("etext", extract_text(F.col("html")))
+        extracted = extracted.withColumn("is_del", is_tombstone(F.col("html")))
+        valid = extracted.where(F.col("etext").isNotNull() | F.col("is_del"))
+        live_pages = (
+            versioned.latest_version(valid, key="url", version="version")
+            .where(~F.col("is_del"))
+            .select("url", "warc_ts", F.col("etext").alias("text"), "lang", "version", "doc_id")
+        )
 
     return PipelineResult(
         pages=pages,

@@ -156,6 +156,70 @@ def stream_windowed_events(
     )
 
 
+# -- custom stateful operator (applyInPandasWithState) -----------------------
+
+def stream_user_running_totals(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user running event count /
+    value total carried across micro-batches in GroupState — the
+    ``applyInPandasWithState`` pattern for operators Structured
+    Streaming's built-in aggregations can't express (arbitrary
+    per-key state machines; the reference's nearest analog is its
+    per-entity RocksDB snapshot accumulation).
+
+    Emits the refreshed (user_id, n_events, total) row per touched user
+    per batch to ``batch=N`` dirs; the final read is latest-per-user.
+    State is partitioned by user — one shuffle per batch, state store
+    local to each partition, exactly the layout RocksDB-backed state
+    uses on a cluster."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_dir = out_dir or checkpoint_dir + "_out"
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(source_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total": [total]})
+
+    updated = src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updated.writeStream.outputMode("update")
+        .foreachBatch(_batch_dir_writer(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("batch"))
+    return (
+        _read_batches(spark, out_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .select("user_id", "n_events", F.round("total", 4).alias("total"))
+    )
+
+
 # -- catch-up / offsets-up-to-date check -------------------------------------
 
 def processed_source_files(checkpoint_dir: str) -> set[str]:

@@ -362,3 +362,86 @@ def test_fix_offset_colon_repair():
                     DT.parse_offset_ts(F.col("raw")).alias("ts")).collect()
     assert out[0]["fixed"] == "2024-01-15T10:30:00.000+00:00"
     assert out[0]["ts"] == out[1]["ts"] is not None
+
+
+# -- as-of join, keep_text, isomorphism, stateful streaming ---------------------
+
+def test_asof_join_union_merge(spark):
+    from genegraph_spark.operators.versioned import asof_join
+
+    right = spark.createDataFrame(
+        [("k1", 1, "v1"), ("k1", 3, "v3"), ("k2", 2, "w2")],
+        "k string, ver long, payload string",
+    )
+    left = spark.createDataFrame(
+        [("k1", 0, "a"), ("k1", 1, "b"), ("k1", 2, "c"), ("k1", 9, "d"), ("k2", 1, "e"), ("k3", 5, "f")],
+        "k string, t long, tag string",
+    )
+    out = asof_join(left, right, key="k", left_on="t", right_on="ver", right_cols=["ver", "payload"])
+    got = {(r["tag"], r["ver"], r["payload"]) for r in out.collect()}
+    assert got == {
+        ("a", None, None),      # before first version
+        ("b", 1, "v1"),         # equal version matches (<=)
+        ("c", 1, "v1"),
+        ("d", 3, "v3"),
+        ("e", None, None),      # k2's only version is 2 > 1
+        ("f", None, None),      # key absent from right
+    }
+
+
+def test_construct_kg_keep_text_single_pass(spark, sf_dir):
+    from genegraph_spark.plans.pipeline import construct_kg
+
+    base = construct_kg(spark, sf_dir, use_golden_text=True)
+    fused = construct_kg(spark, sf_dir, use_golden_text=True, keep_text=True)
+    cols = ["url", "text", "lang", "version", "doc_id"]
+    a = {tuple(r) for r in base.live_pages.select(cols).collect()}
+    b = {tuple(r) for r in fused.live_pages.select(cols).collect()}
+    assert a == b
+    assert {tuple(r) for r in base.triples.collect()} == {tuple(r) for r in fused.triples.collect()}
+
+
+def test_model_isomorphism_bnode_renaming(spark):
+    from genegraph_spark.operators import model as M
+
+    a = triples_df(spark, [
+        ("g", "s", ":has", "_:x", True, None),
+        ("g", "_:x", ":val", "1", False, "xsd:int"),
+        ("g", "s", ":has", "_:y", True, None),
+        ("g", "_:y", ":val", "2", False, "xsd:int"),
+    ])
+    b = triples_df(spark, [  # same graph, bnodes renamed + reordered
+        ("g", "_:q", ":val", "2", False, "xsd:int"),
+        ("g", "s", ":has", "_:p", True, None),
+        ("g", "_:p", ":val", "1", False, "xsd:int"),
+        ("g", "s", ":has", "_:q", True, None),
+    ])
+    c = triples_df(spark, [  # different literal -> NOT isomorphic
+        ("g", "s", ":has", "_:x", True, None),
+        ("g", "_:x", ":val", "1", False, "xsd:int"),
+        ("g", "s", ":has", "_:y", True, None),
+        ("g", "_:y", ":val", "3", False, "xsd:int"),
+    ])
+    assert M.is_isomorphic(a, b)
+    assert not M.is_isomorphic(a, c)
+    assert M.model_diff(a, a).isEmpty()
+    assert M.model_union(a, b).count() == 8
+
+
+def test_stateful_stream_carries_state_across_batches(spark, sf_dir, tmp_path):
+    from genegraph_spark.streaming import stream as S
+
+    src = S.write_events_source(spark, sf_dir, str(tmp_path / "src"))
+    # maxFilesPerTrigger=1 over 4 files -> 4 micro-batches: the final
+    # totals are only right if GroupState survives batch boundaries
+    got = S.stream_user_running_totals(
+        spark, src, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    expected = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total"))
+    )
+    a = {(r["user_id"], r["n_events"], r["total"]) for r in got.collect()}
+    b = {(r["user_id"], r["n_events"], r["total"]) for r in expected.collect()}
+    assert a == b
