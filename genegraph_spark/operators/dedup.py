@@ -72,19 +72,20 @@ def lsh_candidates(
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket."""
     rows_per_band = n_hashes // n_bands
-    bands = []
+    # ONE pass over the signatures: all band buckets as an array, exploded
+    # (a union of per-band selects re-aggregates the upstream signature
+    # shuffle once per band — measured 4× the exchanges at n_bands=4)
+    band_structs = []
     for b in range(n_bands):
         cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        bands.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
             )
         )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+    banded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
     a = banded.alias("a")
     b_ = banded.alias("b")
     return (

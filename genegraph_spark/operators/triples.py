@@ -164,7 +164,9 @@ def dictionary_triples(dictionary: DataFrame, canonical_map: DataFrame) -> DataF
         ),
         F.col("entity_type"),
     )
-    d = dictionary.join(canonical_map, "iri")
+    # curated dictionary ⋈ canonical map: both dictionary-scale — broadcast
+    # (without the hint, unknown-stats local relations fall to SortMergeJoin)
+    d = dictionary.join(F.broadcast(canonical_map), "iri")
     fixed = F.array(
         tstruct(s, I.RDF_TYPE, type_iri, True),
         tstruct(s, I.PREF_LABEL, F.col("preferred_label"), False, I.XSD_STRING),

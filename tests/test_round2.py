@@ -445,3 +445,74 @@ def test_stateful_stream_carries_state_across_batches(spark, sf_dir, tmp_path):
     a = {(r["user_id"], r["n_events"], r["total"]) for r in got.collect()}
     b = {(r["user_id"], r["n_events"], r["total"]) for r in expected.collect()}
     assert a == b
+
+
+# -- skew utilities + multimodal resize ------------------------------------------
+
+def test_salted_join_matches_unsalted(spark):
+    from genegraph_spark.operators import skew as SK
+
+    # one hot key (k0 has 500 rows), small dim replicated per salt
+    big = spark.range(600).select(
+        F.when(F.col("id") < 500, "k0").otherwise(F.concat(F.lit("k"), F.col("id"))).alias("k"),
+        F.col("id").alias("rid"),
+    )
+    dim = spark.createDataFrame([("k0", "hot"), ("k1", "x"), ("k501", "y")], "k string, v string")
+    plain = big.join(dim, "k")
+    salted = SK.salted_join(big, dim, on="k", n_salts=4, salt_by="rid")
+    assert {tuple(r) for r in salted.select("k", "rid", "v").collect()} == {
+        tuple(r) for r in plain.select("k", "rid", "v").collect()
+    }
+
+
+def test_salted_aggregate_and_topk_match_direct(spark):
+    from genegraph_spark.operators import skew as SK
+    from pyspark.sql import Window
+
+    df = spark.range(1000).select(
+        (F.col("id") % 3).cast("string").alias("k"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 7 % 101).cast("double").alias("score"),
+    )
+    agg = SK.salted_aggregate(df, "k", {"score": "sum", "rid": "count"}, n_salts=4, salt_by="rid")
+    direct = df.groupBy("k").agg(F.sum("score").alias("sum_score"), F.count("rid").alias("count_rid"))
+    assert {tuple(r) for r in agg.collect()} == {tuple(r) for r in direct.collect()}
+
+    topk = SK.salted_top_k(df, "k", "score", k=5, n_salts=4, salt_by="rid", tiebreak="rid")
+    w = Window.partitionBy("k").orderBy(F.desc("score"), F.asc("rid"))
+    directk = df.withColumn("rank", F.row_number().over(w)).where("rank <= 5")
+    assert {tuple(r) for r in topk.select("k", "rid", "rank").collect()} == {
+        tuple(r) for r in directk.select("k", "rid", "rank").collect()
+    }
+
+
+def test_resize_images_stub_shapes(spark, sf_dir):
+    from genegraph_spark.functions import multimodal as MM
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = MM.make_media_df(spark, docs)
+    out = MM.resize_images(media, target_w=8, target_h=8).collect()
+    assert out and all(len(r["payload"]) == 64 and r["width"] == 8 for r in out)
+
+
+# -- plan-shape regressions (lock in the audited physical plans) -----------------
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_kg_triples_plan_shape(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["kg_triples"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan  # dictionary joins must broadcast
+    assert plan.count("MapInPandas") == 1  # exactly one Python pass
+    assert "CartesianProduct" not in plan
+
+
+def test_mentions_broadcast_join(spark, sf_dir):
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["kg_mentions_preferred"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # gazetteer side broadcast
+    assert "SortMergeJoin" not in plan
