@@ -542,6 +542,34 @@ def q_multimodal_decode(spark, sf_dir):
     return dec.select("media_id", "kind", "n_bytes")
 
 
+def _kg_triples_df(spark, sf_dir):
+    return P.construct_kg(spark, sf_dir, use_golden_text=True).triples
+
+
+def q_cur_gene_disease_pairs(spark, sf_dir):
+    # flagship curation BGP (curation.clj:5-8): (gene, disease) pairs
+    # co-asserted by ≥1 document + supporting-page count
+    from genegraph_spark.plans import curation as CUR
+
+    return CUR.gene_disease_pairs(_kg_triples_df(spark, sf_dir))
+
+
+def q_cur_top_entities(spark, sf_dir):
+    # resolver modifiers: per-entity page counts, sorted, paged
+    from genegraph_spark.plans import curation as CUR
+
+    return CUR.entity_page_counts(
+        _kg_triples_df(spark, sf_dir), entity_type=None, limit=10, offset=3
+    )
+
+
+def q_cur_suggest_labels(spark, sf_dir):
+    # label suggester (suggest/suggesters.clj analog): prefix 's'
+    from genegraph_spark.plans import curation as CUR
+
+    return CUR.suggest_labels(_kg_triples_df(spark, sf_dir), prefix="s", limit=5)
+
+
 def q_snap_latest_asof(spark, sf_dir):
     # per-entity-type versioned snapshot table (RocksDB doc-store analog,
     # document_store.clj:6-48): write page docs, read latest-as-of
@@ -807,6 +835,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_replaces_superseded": q_kg_replaces_superseded,
         "kg_validation_report": q_kg_validation_report,
         "kg_jsonld_docs": q_kg_jsonld_docs,
+        # curation read views (GraphQL resolver BGPs as DataFrame views)
+        "cur_gene_disease_pairs": q_cur_gene_disease_pairs,
+        "cur_top_entities": q_cur_top_entities,
+        "cur_suggest_labels": q_cur_suggest_labels,
         # relational algebra (ARQ op surface)
         "alg_bgp_join": q_alg_bgp_join,
         "alg_optional": q_alg_optional,
@@ -1334,6 +1366,30 @@ SELECT o_orderkey,
   CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE CAST(o_orderkey * 100 + o_orderkey % 1000 AS BIGINT) END AS end_pos,
   CASE WHEN o_orderkey % 13 = 0 THEN NULL WHEN o_orderkey % 7 = 0 THEN 'DEL' ELSE 'DUP' END AS svtype
 FROM orders""",
+        "cur_gene_disease_pairs": f"""
+WITH t AS ({_TRIPLES_SQL}),
+m AS (SELECT subject AS page, object AS entity FROM t WHERE predicate = '{I.P_MENTIONS}'),
+ty AS (SELECT subject AS entity, object AS tp FROM t WHERE predicate = '{I.RDF_TYPE}')
+SELECT g.entity AS gene, d.entity AS disease, count(DISTINCT mg.page) AS n_pages
+FROM m mg JOIN ty g ON mg.entity = g.entity AND g.tp = '{I.TYPE_IRIS["gene"]}'
+JOIN m md ON md.page = mg.page
+JOIN ty d ON md.entity = d.entity AND d.tp = '{I.TYPE_IRIS["disease"]}'
+GROUP BY 1, 2""",
+        "cur_top_entities": f"""
+WITH t AS ({_TRIPLES_SQL}),
+m AS (SELECT subject AS page, object AS entity FROM t WHERE predicate = '{I.P_MENTIONS}'),
+cnt AS (SELECT entity, count(DISTINCT page) AS n_pages FROM m GROUP BY entity),
+r AS (SELECT *, row_number() OVER (ORDER BY n_pages DESC, entity ASC) AS rn FROM cnt)
+SELECT entity, n_pages FROM r WHERE rn > 3 AND rn <= 13""",
+        "cur_suggest_labels": f"""
+WITH t AS ({_TRIPLES_SQL}),
+lbl AS (SELECT DISTINCT subject AS entity, object AS label,
+        CASE predicate WHEN '{I.PREF_LABEL}' THEN 0 WHEN '{I.ALT_LABEL}' THEN 1 ELSE 2 END AS kind_rank
+        FROM t WHERE predicate IN ('{I.PREF_LABEL}', '{I.ALT_LABEL}', '{I.HIDDEN_LABEL}')
+          AND NOT object_is_iri),
+h AS (SELECT * FROM lbl WHERE label LIKE 's%'),
+r AS (SELECT *, row_number() OVER (ORDER BY kind_rank, length(label), label, entity) AS rn FROM h)
+SELECT entity, label, kind_rank FROM r WHERE rn <= 5""",
         "snap_latest_asof": f"""
 WITH {_PAGES}
 SELECT url, version FROM (

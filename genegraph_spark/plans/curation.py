@@ -1,0 +1,99 @@
+"""Curation-style read views over the triples table — the reference's
+GraphQL resolver queries re-expressed as composable DataFrame views.
+
+Reference analogs: the reusable BGP fragments every resolver builds on
+(``src/genegraph/source/graphql/common/curation.clj:5-46`` — "all
+(gene, disease) pairs with an assertion" is the flagship), the
+limit/offset/sort/text modifiers applied per resolver
+(``curation.clj:151-170``), and the label suggesters built from queries
+over the full DB (``src/genegraph/suggest/suggesters.clj:99-120``).
+
+This is the correctness harness for the query layer, not a serving
+tier (SURVEY §3.2): each view is a plain function of the triples
+DataFrame, so it runs against the live pipeline output or any store
+snapshot (``NamedGraphStore.triples(commit=...)``).
+
+Scale notes: every view starts from predicate-filtered scans (pushed
+to parquet in a real store layout) joined on subject/object — the
+star-join shape Catalyst reorders freely; the type table (entities) is
+dictionary-scale and broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import iri as I
+from ..operators import algebra as A
+
+
+def typed_entities(triples: DataFrame, type_iri: str) -> DataFrame:
+    """One-column (entity) view of rdf:type instances — dictionary-scale."""
+    return A.project(A.bgp(triples, [("?entity", I.RDF_TYPE, type_iri)]), ["?entity"]).distinct()
+
+
+def gene_disease_pairs(triples: DataFrame) -> DataFrame:
+    """The flagship curation BGP (curation.clj:5-8 shape): all
+    (gene, disease) pairs co-asserted by at least one document, with the
+    supporting-document count.
+
+    BGP: (?page :mentions ?gene) (?gene a Gene)
+         (?page :mentions ?disease) (?disease a Disease)."""
+    b = A.bgp(
+        triples,
+        [
+            ("?page", I.P_MENTIONS, "?gene"),
+            ("?gene", I.RDF_TYPE, I.TYPE_IRIS["gene"]),
+            ("?page", I.P_MENTIONS, "?disease"),
+            ("?disease", I.RDF_TYPE, I.TYPE_IRIS["disease"]),
+        ],
+    )
+    return b.groupBy("gene", "disease").agg(
+        F.countDistinct("page").alias("n_pages")
+    )
+
+
+def entity_page_counts(
+    triples: DataFrame,
+    entity_type: str | None = None,
+    limit: int | None = None,
+    offset: int = 0,
+) -> DataFrame:
+    """Per-entity supporting-page counts with the resolver modifiers
+    (limit/offset/sort, curation.clj:151-170) applied via A.slice."""
+    pats = [("?page", I.P_MENTIONS, "?entity")]
+    if entity_type:
+        pats.append(("?entity", I.RDF_TYPE, I.TYPE_IRIS[entity_type]))
+    counts = (
+        A.bgp(triples, pats)
+        .groupBy("entity")
+        .agg(F.countDistinct("page").alias("n_pages"))
+    )
+    if limit is None:
+        return counts
+    return A.slice(
+        counts, limit=limit, offset=offset, order=[("?n_pages", "desc"), ("?entity", "asc")]
+    )
+
+
+def suggest_labels(triples: DataFrame, prefix: str, limit: int = 10) -> DataFrame:
+    """Label suggester (suggest/suggesters.clj analog): dictionary labels
+    starting with ``prefix``, preferred labels ranked first, then
+    shorter-before-longer, alphabetic tie-break."""
+    lbl = triples.where(
+        F.col("predicate").isin(I.PREF_LABEL, I.ALT_LABEL, I.HIDDEN_LABEL)
+        & ~F.col("object_is_iri")
+    ).select(
+        F.col("subject").alias("entity"),
+        F.col("object").alias("label"),
+        F.when(F.col("predicate") == I.PREF_LABEL, 0)
+        .when(F.col("predicate") == I.ALT_LABEL, 1)
+        .otherwise(2)
+        .alias("kind_rank"),
+    )
+    hits = lbl.where(F.col("label").startswith(prefix)).distinct()
+    # TakeOrderedAndProject shape (same rationale as A.slice)
+    return hits.orderBy(
+        F.asc("kind_rank"), F.length("label").asc(), F.asc("label"), F.asc("entity")
+    ).limit(limit)

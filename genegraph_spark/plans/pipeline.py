@@ -194,17 +194,39 @@ def construct_kg(
     )
 
 
-def run_to_store(spark: SparkSession, sf_dir: str, store_path: str, dry_run: bool = False, **kw):
+def run_to_store(
+    spark: SparkSession,
+    sf_dir: str,
+    store_path: str,
+    dry_run: bool = False,
+    resume: bool = False,
+    **kw,
+):
     """Full batch run: construct + MERGE into the named-graph store.
 
     ``dry_run`` truncates the chain before any side effect
     (abort-on-dry-run-interceptor, sink/event.clj:71-76): the plan is
     built and the would-be commit summarized (graphs / triples /
-    deletes), but nothing is written — the store is untouched."""
+    deletes), but nothing is written — the store is untouched.
+
+    ``resume``: skip input pages whose graph is already committed in the
+    store (the offset-file resume semantic at graph granularity,
+    stream.clj:221-236) — a restarted run only pays extraction for the
+    unprocessed remainder. Replay without ``resume`` stays correct
+    (idempotent MERGE), resume makes it CHEAP."""
     from ..sinks.named_graph import NamedGraphStore
 
-    res = construct_kg(spark, sf_dir, **kw)
     store = NamedGraphStore(spark, store_path)
+    if resume and store.exists():
+        pages = kw.pop("pages", None)
+        if pages is None:
+            pages = fixtures.pages_df(spark, sf_dir)
+        # processed set (publish OR unpublish — a tombstoned graph was
+        # handled too) is corpus-scale: shuffled anti-join on url, NOT a
+        # broadcast; AQE picks the strategy
+        done = store.processed_graphs().withColumnRenamed("graph", "url")
+        kw["pages"] = pages.join(done, "url", "left_anti")
+    res = construct_kg(spark, sf_dir, **kw)
     if dry_run:
         summary = {
             "dry_run": True,

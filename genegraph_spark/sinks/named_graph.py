@@ -200,3 +200,14 @@ class NamedGraphStore:
             .where((F.col("_rn") == 1) & (F.col("action") == "publish"))
             .select("graph")
         )
+
+    def processed_graphs(self) -> DataFrame:
+        """Graphs with ANY manifested lineage row (publish OR unpublish) —
+        the resume skip-set: a tombstoned graph was processed even though
+        it is not live, and reprocessing it would only re-delete it."""
+        last = self.last_commit()
+        if last is None:
+            return self.spark.createDataFrame([], "graph string")
+        return (
+            self.lineage().where(F.col("commit") <= last).select("graph").distinct()
+        )

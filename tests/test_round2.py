@@ -516,3 +516,33 @@ def test_mentions_broadcast_join(spark, sf_dir):
     plan = _plan(E.queries()["kg_mentions_preferred"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan  # gazetteer side broadcast
     assert "SortMergeJoin" not in plan
+
+
+# -- resume skip + curation views -------------------------------------------------
+
+def test_resume_skips_committed_graphs(spark, sf_dir, tmp_path):
+    from genegraph_spark.plans.pipeline import run_to_store
+
+    path = str(tmp_path / "kg_resume")
+    res1, store1, _ = run_to_store(spark, sf_dir, path, use_golden_text=True)
+    n1 = store1.triples().count()
+    res2, store2, _ = run_to_store(spark, sf_dir, path, resume=True, use_golden_text=True)
+    # all page graphs already committed -> the resumed run reprocesses none
+    assert res2.pages.count() == 0
+    assert store2.triples().count() == n1  # state unchanged
+
+
+def test_curation_views_shape(spark, sf_dir):
+    from genegraph_spark.plans import curation as CUR
+    from genegraph_spark.plans.pipeline import construct_kg
+
+    t = construct_kg(spark, sf_dir, use_golden_text=True).triples
+    pairs = CUR.gene_disease_pairs(t)
+    assert pairs.columns == ["gene", "disease", "n_pages"]
+    assert pairs.where("gene = disease").count() == 0
+    top = CUR.entity_page_counts(t, entity_type="gene", limit=3)
+    rows = top.collect()
+    assert len(rows) <= 3
+    assert all("/entity/" in r["entity"] for r in rows)
+    sug = CUR.suggest_labels(t, "s", limit=4).collect()
+    assert 0 < len(sug) <= 4 and all(r["label"].startswith("s") for r in sug)
