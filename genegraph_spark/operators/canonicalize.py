@@ -109,14 +109,61 @@ def connected_components(
     return labels
 
 
+def surface_form_edges(
+    labels: DataFrame,
+    iri_col: str = "iri",
+    label_col: str = "label",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Near-match edges between entities whose surface forms are
+    near-duplicates — the MinHash-LSH blocking half of canonicalization
+    (SURVEY §7 stage 4; replaces the reference's external VRS normalizer
+    lookups, cancervariants.clj:59-151, with a deterministic local
+    matcher).
+
+    Character-shingled labels → MinHash signatures → banded LSH buckets →
+    true-Jaccard verify ≥ threshold → (src, dst) entity edges. Feed the
+    union of these and the explicit same-as edges to
+    :func:`connected_components`. Scale: identical shape to
+    operators/dedup.py's document path — candidates come from bucket
+    joins, never all-pairs."""
+    from . import dedup as D
+
+    # distinct (iri, label) rows; char-shingles via a space-join trick:
+    # reuse the word-shingler by spacing out characters
+    spaced = labels.select(
+        F.col(iri_col).alias("doc_id"),
+        F.concat_ws(" ", F.split(F.lower(F.col(label_col)), "")).alias("text"),
+    ).where(F.length("text") > 0).distinct()
+    pairs = D.minhash_near_duplicates(
+        spaced, id_col="doc_id", text_col="text", k=k,
+        n_hashes=n_hashes, n_bands=n_bands, threshold=threshold,
+    )
+    return (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def canonical_entity_map(
-    dictionary: DataFrame, sameas: DataFrame, local_threshold: int = 200_000
+    dictionary: DataFrame,
+    sameas: DataFrame,
+    local_threshold: int = 200_000,
+    surface_edges: DataFrame | None = None,
 ) -> DataFrame:
     """(iri, canonical_iri): canonical = min *entity* IRI per component.
 
     Singleton entities (no shared xref) map to themselves.
+    ``surface_edges``: optional (src, dst) near-match edges from
+    :func:`surface_form_edges`, unioned with the explicit same-as graph.
     """
     edges = sameas.select(F.col("iri").alias("src"), F.col("xref").alias("dst"))
+    if surface_edges is not None:
+        edges = edges.unionByName(surface_edges.select("src", "dst"))
     comps = connected_components(edges, local_threshold=local_threshold)
     entities = dictionary.select("iri").distinct()
     ent_comp = entities.join(comps, entities["iri"] == comps["node"], "left_outer").select(

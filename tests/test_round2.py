@@ -546,3 +546,73 @@ def test_curation_views_shape(spark, sf_dir):
     assert all("/entity/" in r["entity"] for r in rows)
     sug = CUR.suggest_labels(t, "s", limit=4).collect()
     assert 0 < len(sug) <= 4 and all(r["label"].startswith("s") for r in sug)
+
+
+# -- surface-form canonicalization, ANN recall, bucketed co-located join ---------
+
+def test_surface_form_edges_merge_near_duplicate_labels(spark):
+    from genegraph_spark.operators import canonicalize as C
+
+    labels = spark.createDataFrame(
+        [
+            ("e:1", "spark protein one"),
+            ("e:2", "spark protein one!"),   # near-dup of e:1's label
+            ("e:3", "completely different"),
+        ],
+        "iri string, label string",
+    )
+    edges = C.surface_form_edges(labels, threshold=0.6)
+    got = {(r["src"], r["dst"]) for r in edges.collect()}
+    assert ("e:1", "e:2") in got
+    assert not any("e:3" in e for pair in got for e in pair)
+
+    # feeds CC: e1/e2 merge, e3 singleton
+    dictionary = labels.select("iri")
+    sameas = spark.createDataFrame([], "iri string, xref string")
+    cmap = {r["iri"]: r["canonical_iri"] for r in C.canonical_entity_map(
+        dictionary, sameas, surface_edges=edges).collect()}
+    assert cmap["e:1"] == cmap["e:2"] == "e:1" and cmap["e:3"] == "e:3"
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    from genegraph_spark.operators import similarity as SIM
+    import pyspark.sql.functions as F  # noqa: F811
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where("vec_id < 10").select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = SIM.cosine_topk(emb, q, k=5)
+    approx = SIM.ivf_topk(emb, q, k=5, n_probe=4)
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # md5-bucket centroids are a weak quantizer; with n_probe=4 of 16
+    # partitions recall must still beat random scanning by a wide margin
+    assert recall >= 0.5, recall
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Co-located join via bucketing: two tables bucketed by the join key
+    into the same bucket count join with zero Exchange operators — the
+    pre-partitioning strategy SURVEY §2.1 promises for repeated big-big
+    joins (at cluster scale: Iceberg bucket partition transforms)."""
+    # warehouse dir is a static conf — tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally block
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("t_bucket_a")
+    b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("t_bucket_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the big-big path (tiny test tables would broadcast, which
+        # disables bucketing): the bucketed SMJ must need NO shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_bucket_a").join(spark.table("t_bucket_b"), "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_bucket_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucket_b")
