@@ -1324,14 +1324,18 @@ newest AS (SELECT * FROM (
 SELECT n.graph AS graph, o.graph AS supersedes
 FROM newest n JOIN cur o ON n.gene = o.gene AND n.disease = o.disease AND n.moi = o.moi
 WHERE o.graph <> n.graph""",
+        # NULL pinning matches validate.with_violations: a NULL-valued
+        # check counts as a violation (x IS NULL OR NOT pred)
         "kg_validation_report": f"""
 WITH {_PAGES}
 SELECT reason, n FROM (
   SELECT 'text:required' AS reason, count(*) AS n FROM pages WHERE text IS NULL OR text = ''
   UNION ALL
-  SELECT 'version:range', count(*) FROM pages WHERE NOT (version >= 1 AND version <= 2)
+  SELECT 'version:range', count(*) FROM pages
+  WHERE version IS NULL OR NOT (version >= 1 AND version <= 2)
   UNION ALL
-  SELECT 'url:pattern', count(*) FROM pages WHERE NOT regexp_matches(url, '^https://')
+  SELECT 'url:pattern', count(*) FROM pages
+  WHERE url IS NULL OR NOT regexp_matches(url, '^https://')
   UNION ALL
   SELECT 'lang:required', count(*) FROM pages WHERE lang IS NULL OR lang = ''
 ) WHERE n > 0""",
@@ -1347,7 +1351,7 @@ SELECT graph, CAST(to_json(struct_pack(graph := graph, triples := triples)) AS V
 WITH {_GEO_TRIPLES}
 SELECT s AS subject, p AS predicate,
        array_to_string(list_sort(list(o)), '|') AS objects,
-       count(*) AS n_objects
+       count(o) AS n_objects
 FROM geo WHERE p IN (':name', ':in-region', ':segment') GROUP BY s, p""",
         "src_json_nested": """
 SELECT event_type,

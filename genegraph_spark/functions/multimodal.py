@@ -91,7 +91,11 @@ def resize_images(media: DataFrame, target_w: int = 64, target_h: int = 64, fake
                 {
                     "media_id": pdf["media_id"],
                     "payload": pdf["payload"].map(
-                        lambda b: (b * (n_out // max(len(b), 1) + 1))[:n_out]
+                        # NULL/empty payloads zero-fill rather than killing
+                        # the task (quarantine upstream is the real handler)
+                        lambda b: (b * (n_out // len(b) + 1))[:n_out]
+                        if b
+                        else b"\x00" * n_out
                     ),
                     "width": target_w,
                     "height": target_h,

@@ -132,10 +132,15 @@ def surface_form_edges(
     joins, never all-pairs."""
     from . import dedup as D
 
-    # distinct (iri, label) rows; char-shingles via a space-join trick:
-    # reuse the word-shingler by spacing out characters
+    # one MinHash document per (iri, label) PAIR — pooling all of an
+    # entity's labels into one shingle set dilutes Jaccard (a shared
+    # surface form drowns under an unrelated synonym's shingles); the
+    # pair id carries the iri so edges project back after matching
+    sep = ""
     spaced = labels.select(
-        F.col(iri_col).alias("doc_id"),
+        F.concat_ws(
+            sep, F.col(iri_col), F.md5(F.lower(F.col(label_col)))
+        ).alias("doc_id"),
         F.concat_ws(" ", F.split(F.lower(F.col(label_col)), "")).alias("text"),
     ).where(F.length("text") > 0).distinct()
     pairs = D.minhash_near_duplicates(
@@ -143,7 +148,10 @@ def surface_form_edges(
         n_hashes=n_hashes, n_bands=n_bands, threshold=threshold,
     )
     return (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        pairs.select(
+            F.substring_index("id_a", sep, 1).alias("src"),
+            F.substring_index("id_b", sep, 1).alias("dst"),
+        )
         .where(F.col("src") != F.col("dst"))
         .distinct()
     )

@@ -36,9 +36,11 @@ def collect_pivot(
 ) -> DataFrame:
     """(key..., values: sorted array, n_values) — the predicate→object
     list pivot (common.clj:438-453)."""
+    # count(value_col), not count(*): collect_list silently drops NULLs,
+    # and the count must equal size(values)
     return df.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list(value_col)).alias(out_col),
-        F.count("*").alias(f"n_{out_col}"),
+        F.count(value_col).alias(f"n_{out_col}"),
     )
 
 
@@ -54,10 +56,14 @@ def single_member_groups(
 ) -> DataFrame:
     """Groups with EXACTLY one distinct member, emitting that member
     (omim.clj:12-34: a phenotype maps to extra triples only when a single
-    gene asserts it). Returns (key, only_member)."""
+    gene asserts it). Returns (key, only_member).
+
+    Bounded state: countDistinct + min, NOT collect_set — a Zipf-hot key
+    with millions of distinct members would otherwise materialize its
+    whole member set in one aggregation buffer just to test |set| == 1
+    (min of a single-member group IS that member)."""
     g = df.groupBy(key_col).agg(
-        F.sort_array(F.collect_set(member_col)).alias("_members")
+        F.countDistinct(member_col).alias("_n"),
+        F.min(member_col).alias("only_member"),
     )
-    return g.where(F.size("_members") == 1).select(
-        key_col, F.element_at("_members", 1).alias("only_member")
-    )
+    return g.where(F.col("_n") == 1).select(key_col, "only_member")

@@ -119,11 +119,16 @@ def alias_from_dictionary(dictionary: DataFrame) -> DataFrame:
     alt_labels, hidden_labels, same_as) into the gazetteer alias table
     (iri, entity_type, label, label_kind) — the skos preferred/alt/hidden
     ranking of transform/gene.clj:51-67."""
+    # NULL label arrays (external dictionaries often use NULL, not []):
+    # concat() of arrays is NULL if ANY argument is NULL, and
+    # explode(NULL) drops the whole row — coalesce each to empty first
+    alts = F.coalesce(F.col("alt_labels"), F.array().cast("array<string>"))
+    hiddens = F.coalesce(F.col("hidden_labels"), F.array().cast("array<string>"))
     lk = F.explode(
         F.concat(
             F.array(F.struct(F.col("preferred_label").alias("label"), F.lit("preferred").alias("label_kind"))),
-            F.transform("alt_labels", lambda a: F.struct(a.alias("label"), F.lit("alt").alias("label_kind"))),
-            F.transform("hidden_labels", lambda h: F.struct(h.alias("label"), F.lit("hidden").alias("label_kind"))),
+            F.transform(alts, lambda a: F.struct(a.alias("label"), F.lit("alt").alias("label_kind"))),
+            F.transform(hiddens, lambda h: F.struct(h.alias("label"), F.lit("hidden").alias("label_kind"))),
         )
     )
     return dictionary.select("iri", "entity_type", lk.alias("lk")).select(

@@ -73,17 +73,17 @@ def canonical_bnode_triples(triples: DataFrame, rounds: int = 3) -> DataFrame:
     for _ in range(rounds):
         e = resolve(resolve(t, "subject"), "object")
         e = e.select(
-            "graph", "subject", "predicate", "object",
-            F.coalesce(f"_l_subject", F.col("subject")).alias("ls"),
+            "graph", "subject", "predicate", "object", "object_is_iri",
+            F.coalesce("_l_subject", F.col("subject")).alias("ls"),
             F.coalesce(
-                f"_l_object",
+                "_l_object",
                 F.when(F.col("object_is_iri"), F.col("object")).otherwise(
                     F.concat_ws("^^", F.col("object"), F.col("object_datatype"))
                 ),
             ).alias("lo"),
         )
         out_sig = (
-            e.where(e["subject"].startswith(_B))
+            e.where(F.col("subject").startswith(_B))
             .groupBy("graph", F.col("subject").alias("node"))
             .agg(
                 F.sort_array(
@@ -92,7 +92,9 @@ def canonical_bnode_triples(triples: DataFrame, rounds: int = 3) -> DataFrame:
             )
         )
         in_sig = (
-            e.where(e["object"].startswith(_B))
+            # object_is_iri guard: a string LITERAL whose value looks like
+            # '_:x' must not be treated as a blank node
+            e.where(F.col("object_is_iri") & F.col("object").startswith(_B))
             .groupBy("graph", F.col("object").alias("node"))
             .agg(
                 F.sort_array(
@@ -134,7 +136,11 @@ def canonical_bnode_triples(triples: DataFrame, rounds: int = 3) -> DataFrame:
             "graph",
             F.coalesce("_cs", F.col("subject")).alias("subject"),
             "predicate",
-            F.coalesce("_co", F.col("object")).alias("object"),
+            # rename only IRI objects — a literal that merely looks like a
+            # bnode id keeps its lexical value
+            F.when(F.col("object_is_iri"), F.coalesce("_co", F.col("object")))
+            .otherwise(F.col("object"))
+            .alias("object"),
             "object_is_iri",
             "object_datatype",
         )

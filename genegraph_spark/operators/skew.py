@@ -38,8 +38,14 @@ def salted_join(
     monotonic fallback is NOT used; pass a real column); ``other`` is
     exploded across all salts; the join key becomes (on, salt), spreading
     the hot key over ``n_salts`` tasks. Result is row-identical to the
-    unsalted join."""
+    unsalted join for inner/left joins; right/full-preserving joins would
+    emit each unmatched ``other`` row once per salt replica and are
+    rejected."""
     assert salt_by is not None, "pass salt_by: a column that varies within the hot key"
+    assert how in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"), (
+        f"salted_join cannot preserve unmatched right-side rows (how={how!r}): "
+        "the replicated side would duplicate them n_salts times"
+    )
     s = skewed.withColumn("_salt", _salt(F.col(salt_by), n_salts))
     o = other.withColumn("_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
     return s.join(o, [on, "_salt"], how).drop("_salt")

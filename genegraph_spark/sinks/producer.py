@@ -42,7 +42,11 @@ class OutputTopic:
         return commit
 
     def read(self) -> DataFrame:
-        """All produced records with their commit id."""
+        """All produced records with their commit id (empty typed frame
+        before the first produce — a topic with no messages, not an
+        error)."""
+        if not self._commits():
+            return self.spark.createDataFrame([], "graph string, doc string, commit int")
         return self.spark.read.option("basePath", self.path).parquet(
             os.path.join(self.path, "commit=*")
         )

@@ -53,7 +53,11 @@ class SnapshotStore:
 
     def read(self, entity_type: str) -> DataFrame:
         """All snapshots of a type (version history; dedup is the
-        reader's window, like the reference's prefix scan + take-last)."""
+        reader's window, like the reference's prefix scan + take-last).
+        Raises a clear error for a never-written type (its doc schema is
+        caller-defined, so no empty frame can be synthesized)."""
+        if not self._snapshots(entity_type):
+            raise ValueError(f"no snapshots written for entity type {entity_type!r}")
         return self.spark.read.option("basePath", self._dir(entity_type)).parquet(
             os.path.join(self._dir(entity_type), "snapshot=*")
         )

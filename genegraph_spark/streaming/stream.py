@@ -70,7 +70,14 @@ def _batch_dir_writer(out_dir: str):
     return write_batch
 
 
-def _read_batches(spark: SparkSession, out_dir: str) -> DataFrame:
+def _read_batches(spark: SparkSession, out_dir: str, empty_schema: str) -> DataFrame:
+    """Union of the committed batch dirs; a zero-batch run (empty source)
+    yields an empty typed frame rather than a path error."""
+    has_batches = os.path.isdir(out_dir) and any(
+        d.startswith("batch=") for d in os.listdir(out_dir)
+    )
+    if not has_batches:
+        return spark.createDataFrame([], empty_schema)
     return spark.read.option("basePath", out_dir).parquet(os.path.join(out_dir, "batch=*"))
 
 
@@ -111,7 +118,7 @@ def stream_mention_counts(
     )
     q.awaitTermination()
     return (
-        _read_batches(spark, out_dir)
+        _read_batches(spark, out_dir, "iri string, n_part long, batch int")
         .groupBy("iri")
         .agg(F.sum("n_part").alias("n_mentions"))
     )
@@ -149,7 +156,10 @@ def stream_windowed_events(
 
     w = Window.partitionBy("window_start", "event_type").orderBy(F.desc("batch"))
     return (
-        _read_batches(spark, out_dir)
+        _read_batches(
+            spark, out_dir,
+            "window_start timestamp, event_type string, n long, total double, batch int",
+        )
         .withColumn("_rn", F.row_number().over(w))
         .where("_rn = 1")
         .select("window_start", "event_type", "n", "total")
@@ -213,7 +223,7 @@ def stream_user_running_totals(
 
     w = Window.partitionBy("user_id").orderBy(F.desc("batch"))
     return (
-        _read_batches(spark, out_dir)
+        _read_batches(spark, out_dir, "user_id long, n_events long, total double, batch int")
         .withColumn("_rn", F.row_number().over(w))
         .where("_rn = 1")
         .select("user_id", "n_events", F.round("total", 4).alias("total"))
