@@ -234,8 +234,11 @@ def ld_path(triples: DataFrame, start: DataFrame, steps: list[tuple]) -> DataFra
 
 
 def transitive_closure(triples: DataFrame, pred: str, max_iter: int = 20) -> DataFrame:
-    """``pred*`` reachability pairs (src, dst) — the reference's only
-    recursive operator (curation.clj:303-314).
+    """``pred+`` reachability pairs (src, dst): one-or-more hops — the
+    reference's recursive-traversal analog (curation.clj:303-314).
+    SPARQL's ``pred*`` (zero-or-more) additionally includes the
+    reflexive (x, x) pair for every node; union the node set in the
+    caller when zero-hop semantics are needed.
 
     Path-doubling fixpoint: each round joins the closure with itself, so
     a diameter-d graph converges in ⌈log2 d⌉ rounds instead of d — the

@@ -71,6 +71,10 @@ def lsh_candidates(
     sigs: DataFrame, id_col: str = "doc_id", n_hashes: int = 16, n_bands: int = 4
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket."""
+    assert n_hashes % n_bands == 0, (
+        f"n_hashes={n_hashes} must divide evenly into n_bands={n_bands} "
+        "(trailing hashes would be silently ignored)"
+    )
     rows_per_band = n_hashes // n_bands
     # ONE pass over the signatures: all band buckets as an array, exploded
     # (a union of per-band selects re-aggregates the upstream signature
@@ -160,7 +164,12 @@ def ngram_jaccard_pairs(
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """(id, simhash): token-level SimHash. Each token hashes to a
     ``bits``-wide value (md5 prefix); per bit, the majority sign over the
-    doc's tokens sets the output bit. Deterministic, engine-independent."""
+    doc's tokens sets the output bit. Deterministic, engine-independent.
+
+    bits ≤ 60: the per-token hash parses through a signed bigint and the
+    output accumulates powers of two — 64 would overflow both (the
+    conv() result nulls past 2^63 and F.lit(2**63) exceeds a Java long)."""
+    assert bits <= 60, "simhash supports at most 60 bits (signed-long headroom)"
     toks = docs.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")).where(
         F.col("tok") != ""
     )
@@ -183,18 +192,29 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bit
 def simhash_near_duplicates(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming; blocking
-    on each of the 4 bytes (a pair within distance 3 of a 32-bit hash
-    must agree on ≥1 byte — pigeonhole)."""
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Blocking splits the hash into ``max_hamming + 1`` contiguous bit
+    slices: a pair within the distance budget differs in ≤ max_hamming
+    slices, so it must AGREE on ≥ 1 (pigeonhole) — recall is exact for
+    any max_hamming < number of slices (the round-1 fixed-4-byte layout
+    silently lost recall past distance 3)."""
+    n_blocks = max_hamming + 1
+    assert n_blocks <= bits, "max_hamming + 1 slices need at least 1 bit each"
+    widths = [bits // n_blocks + (1 if i < bits % n_blocks else 0) for i in range(n_blocks)]
     s = simhash(docs, id_col, text_col, bits)
     blocks = None
-    for byte in range(4):
+    offset = 0
+    for i, width in enumerate(widths):
         blk = s.select(
             F.col(id_col),
             F.col("simhash"),
-            F.lit(byte).alias("block"),
-            F.shiftright(F.col("simhash"), byte * 8).bitwiseAND(F.lit(255)).alias("key"),
+            F.lit(i).alias("block"),
+            F.shiftright(F.col("simhash"), offset)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .alias("key"),
         )
+        offset += width
         blocks = blk if blocks is None else blocks.unionByName(blk)
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (

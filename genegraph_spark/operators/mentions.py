@@ -55,6 +55,11 @@ def link_entities(
 ) -> DataFrame:
     """Resolve ambiguous candidates to one entity per (doc, position).
 
+    Contract: the alias table feeding detect_mentions must be unique on
+    (label, iri) — alias_from_dictionary enforces it — because
+    unambiguous-label candidates pass through without a per-(doc, pos)
+    pick and duplicate alias rows would double-count mentions.
+
     score = 10 * kind_weight + context_support, where context_support =
     number of distinct surface forms of the entity seen in the document.
     Ties break on iri (deterministic). Returns
@@ -131,8 +136,23 @@ def alias_from_dictionary(dictionary: DataFrame) -> DataFrame:
             F.transform(hiddens, lambda h: F.struct(h.alias("label"), F.lit("hidden").alias("label_kind"))),
         )
     )
-    return dictionary.select("iri", "entity_type", lk.alias("lk")).select(
+    exploded = dictionary.select("iri", "entity_type", lk.alias("lk")).select(
         "iri", "entity_type", "lk.label", "lk.label_kind"
+    )
+    # (label, iri) must be UNIQUE in a gazetteer: a label listed both as
+    # preferred and alt for the same entity would double-count every
+    # occurrence in the unambiguous fast path (which passes candidate
+    # rows through without a per-(doc,pos) pick). Keep the strongest kind.
+    kind_rank = (
+        F.when(F.col("label_kind") == "preferred", 0)
+        .when(F.col("label_kind") == "alt", 1)
+        .otherwise(2)
+    )
+    w = Window.partitionBy("iri", "label").orderBy(kind_rank)
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
     )
 
 
@@ -160,9 +180,14 @@ def gazetteer_payload(alias_rows, canon_of: dict[str, str]):
     canon_iris = sorted({canon_of[i] for i in iris})
     cidx = {iri: i for i, iri in enumerate(canon_iris)}
     kindw = {"preferred": 3, "alt": 2, "hidden": 1}
-    by_label: dict[str, list[tuple[int, int]]] = {}
+    by_label: dict[str, dict[int, int]] = {}
     for r in alias_rows:
-        by_label.setdefault(r["label"], []).append((eidx[r["iri"]], kindw[r["label_kind"]]))
+        # (label, entity) unique, strongest kind wins (same contract as
+        # alias_from_dictionary — duplicates would double-count mentions)
+        ents = by_label.setdefault(r["label"], {})
+        e = eidx[r["iri"]]
+        ents[e] = max(ents.get(e, 0), kindw[r["label_kind"]])
+    by_label = {l: sorted(ents.items()) for l, ents in by_label.items()}
     e_to_c = {eidx[i]: cidx[canon_of[i]] for i in iris}
     return by_label, e_to_c, canon_iris
 
@@ -274,21 +299,26 @@ def linked_mention_counts(
     eidx = {iri: i for i, iri in enumerate(iris)}
     canon_of = {r["iri"]: r["canonical_iri"] for r in alias_rows}
     kindw = {"preferred": 3, "alt": 2, "hidden": 1}
-    by_label: dict[str, list] = {}
+    # (label, iri) unique, strongest kind wins — duplicate alias rows
+    # would double-count every unambiguous occurrence
+    best_kind: dict[tuple[str, str], int] = {}
     for r in alias_rows:
-        by_label.setdefault(r["label"], []).append(r)
-    amb_labels = {l for l, rs in by_label.items() if len({r["iri"] for r in rs}) > 1}
-    amb_entities = {eidx[r["iri"]] for l in amb_labels for r in by_label[l]}
+        k = (r["label"], r["iri"])
+        best_kind[k] = max(best_kind.get(k, 0), kindw[r["label_kind"]])
+    by_label: dict[str, list[str]] = {}
+    for (label, iri_) in best_kind:
+        by_label.setdefault(label, []).append(iri_)
+    amb_labels = {l for l, irs in by_label.items() if len(set(irs)) > 1}
+    amb_entities = {eidx[i] for l in amb_labels for i in by_label[l]}
     gaz = [
         (
-            r["label"],
-            eidx[r["iri"]],
-            kindw[r["label_kind"]],
-            r["label"] in amb_labels,
-            eidx[r["iri"]] in amb_entities,
+            label,
+            eidx[iri_],
+            kw,
+            label in amb_labels,
+            eidx[iri_] in amb_entities,
         )
-        for rs in by_label.values()
-        for r in rs
+        for (label, iri_), kw in sorted(best_kind.items())
     ]
     gaz_df = spark.createDataFrame(
         gaz, "token string, eidx int, kindw int, lbl_amb boolean, ent_amb boolean"

@@ -38,8 +38,11 @@ def latest_as_of(df: DataFrame, key: str, version: str, cutoff: Column | str) ->
 
 def compact_heads(df: DataFrame, key: str, version: str, deleted: str = "tombstone") -> DataFrame:
     """Version-history compaction: keep the newest version per key, then
-    drop keys whose head is a tombstone (ga4gh.clj:170-190 semantics)."""
-    return latest_version(df, key, version).where(~F.col(deleted))
+    drop keys whose head is a tombstone (ga4gh.clj:170-190 semantics).
+    A NULL flag means NOT deleted (rows predating the flag are live)."""
+    return latest_version(df, key, version).where(
+        ~F.coalesce(F.col(deleted), F.lit(False))
+    )
 
 
 def asof_join(
@@ -65,18 +68,22 @@ def asof_join(
     right payload forward with ``last(..., ignorenulls)`` — ONE shuffle
     on the key, linear in |left| + |right|, no multiplicative blow-up
     on hot keys."""
-    r = right.select(
+    # right payload travels as ONE struct so the matched columns always
+    # come from the SAME right row (per-column carry-forward would mix
+    # fields across versions whenever a payload column is NULL); rows
+    # with a NULL right_on can never satisfy <= and are dropped
+    r = right.where(F.col(right_on).isNotNull()).select(
         F.col(key),
         F.col(right_on).alias("_ord"),
         F.lit(1).alias("_is_r"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.struct(*[F.col(c) for c in right_cols]).alias("_r"),
     )
     l_cols = [c for c in left.columns]
     l = left.select(
         F.col(key),
         F.col(left_on).alias("_ord"),
         F.lit(0).alias("_is_r"),
-        *[F.lit(None).cast(r.schema[f"_r_{c}"].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
         F.struct(*l_cols).alias("_l"),
     )
     r = r.withColumn("_l", F.lit(None).cast(l.schema["_l"].dataType))
@@ -88,15 +95,11 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = l.unionByName(r).select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
-            for c in right_cols
-        ],
+        "*", F.last("_r", ignorenulls=True).over(w).alias("_m")
     )
     out = merged.where(F.col("_is_r") == 0).select(
         *[F.col(f"_l.{c}").alias(c) for c in l_cols],
-        *[F.col(f"_m_{c}").alias(c) for c in right_cols],
+        *[F.col(f"_m.{c}").alias(c) for c in right_cols],
     )
     return out
 

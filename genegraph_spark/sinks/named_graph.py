@@ -57,13 +57,25 @@ class NamedGraphStore:
         self._lineage = os.path.join(path, "lineage")
         self._manifests = os.path.join(path, "manifests")
         os.makedirs(self._manifests, exist_ok=True)
+        # the bucket function is part of the PHYSICAL layout: reopening
+        # with a different n_buckets would hash graphs into buckets the
+        # merge never rewrites (stale rows of replaced graphs survive) —
+        # the persisted value always wins
+        last = self.last_commit()
+        if last is not None:
+            persisted = self._read_manifest(last).get("n_buckets")
+            if persisted is not None:
+                self.n_buckets = persisted
 
     # -- manifest helpers ---------------------------------------------------
     def _manifest_path(self, commit: int) -> str:
         return os.path.join(self._manifests, f"c{commit:08d}.json")
 
     def last_commit(self) -> int | None:
-        ms = sorted(os.listdir(self._manifests))
+        ms = sorted(
+            m for m in os.listdir(self._manifests)
+            if m.startswith("c") and m.endswith(".json")
+        )
         return int(ms[-1][1:-5]) if ms else None
 
     def _read_manifest(self, commit: int) -> dict:
@@ -108,10 +120,19 @@ class NamedGraphStore:
 
     # -- write path ------------------------------------------------------------
     def merge(self, triples: DataFrame, delete_graphs: DataFrame | None = None) -> dict:
-        """Replace every incoming graph's content; optionally delete graphs."""
+        """Replace every incoming graph's content; optionally delete
+        graphs. A graph in BOTH inputs is deleted (delete wins — one
+        deterministic outcome instead of publish/unpublish racing in the
+        same commit's lineage)."""
         last = self.last_commit()
         commit = 0 if last is None else last + 1
-        new = self._bucket(triples)
+        if delete_graphs is not None:
+            triples = triples.join(delete_graphs.select("graph"), "graph", "left_anti")
+        # the incoming plan may be expensive (pandas-UDF extraction) and
+        # is consumed 3× below (touched-bucket collect, data write,
+        # lineage counts) — persist it once; at cluster scale this is a
+        # checkpoint to the lake
+        new = self._bucket(triples).persist()
         affected = new.select("graph").distinct()
         if delete_graphs is not None:
             affected = affected.union(delete_graphs.select("graph")).distinct()
@@ -148,11 +169,17 @@ class NamedGraphStore:
             # the manifest write (tests/test_store.py kill/resume)
             os._exit(17)
 
-        self._write_lineage(commit, triples, delete_graphs)
-        meta = {"commit": commit, "buckets": buckets_map, "wall_ts": time.time()}
+        self._write_lineage(commit, new, delete_graphs)
+        meta = {
+            "commit": commit,
+            "buckets": buckets_map,
+            "n_buckets": self.n_buckets,
+            "wall_ts": time.time(),
+        }
         with open(self._manifest_path(commit), "w") as f:
             json.dump(meta, f)
         affected.unpersist()
+        new.unpersist()
         return meta
 
     def delete_graphs(self, graphs: DataFrame) -> dict:

@@ -616,3 +616,85 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_bucket_a")
         spark.sql("DROP TABLE IF EXISTS t_bucket_b")
+
+
+# -- second-review regression fixes ----------------------------------------------
+
+def test_asof_join_null_payload_stays_atomic(spark):
+    from genegraph_spark.operators.versioned import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 1, "x"), ("k", 5, None), ("k", None, "bad")],
+        "k string, ver long, payload string",
+    )
+    left = spark.createDataFrame([("k", 6, "a"), ("k", 0, "b")], "k string, t long, tag string")
+    out = {r["tag"]: (r["ver"], r["payload"]) for r in asof_join(
+        left, right, key="k", left_on="t", right_on="ver", right_cols=["ver", "payload"]
+    ).collect()}
+    # the matched row is ver=5 WITH its own NULL payload (not ver=1's 'x')
+    assert out["a"] == (5, None)
+    # NULL-version right rows can never match (t=0 has no candidate)
+    assert out["b"] == (None, None)
+
+
+def test_simhash_blocking_scales_with_max_hamming(spark):
+    from genegraph_spark.operators import dedup as D
+
+    # hand-build docs whose simhashes differ in >3 well-spread bits is
+    # hard to control; instead verify blocked results equal brute force
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 4} alpha beta gamma delta tok{i % 7}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    for mh in (3, 8):
+        blocked = {
+            (r["id_a"], r["id_b"]) for r in
+            D.simhash_near_duplicates(docs, max_hamming=mh).collect()
+        }
+        s = D.simhash(docs).collect()
+        hs = {r["doc_id"]: r["simhash"] for r in s}
+        brute = {
+            (a, b)
+            for a in hs for b in hs if a < b
+            and bin(hs[a] ^ hs[b]).count("1") <= mh
+        }
+        assert blocked == brute, (mh, len(blocked), len(brute))
+
+
+def test_store_n_buckets_persisted_on_reopen(spark, tmp_path):
+    path = str(tmp_path / "store_nb")
+    s1 = NamedGraphStore(spark, path, n_buckets=8)
+    s1.merge(triples_df(spark, [(f"g{i}", "s", "p", f"o{i}", True, None) for i in range(50)]))
+    # reopening with a different n_buckets must adopt the persisted layout
+    s2 = NamedGraphStore(spark, path, n_buckets=32)
+    assert s2.n_buckets == 8
+    s2.merge(triples_df(spark, [("g7", "s", "p", "NEW", True, None)]))
+    got = {r["object"] for r in s2.triples().where("graph = 'g7'").collect()}
+    assert got == {"NEW"}  # old row rewritten, not stranded in a stale bucket
+    assert s2.triples().count() == 50
+
+
+def test_merge_delete_wins_over_publish(spark, tmp_path):
+    store = NamedGraphStore(spark, str(tmp_path / "store_dw"), n_buckets=4)
+    store.merge(triples_df(spark, [("g1", "s", "p", "o", True, None)]))
+    both = triples_df(spark, [("g1", "s", "p", "o2", True, None), ("g2", "s", "p", "o", True, None)])
+    dels = spark.createDataFrame([("g1",)], "graph string")
+    store.merge(both, delete_graphs=dels)
+    graphs = {r["graph"] for r in store.triples().select("graph").distinct().collect()}
+    assert graphs == {"g2"}  # g1 deleted deterministically
+    committed = {r["graph"] for r in store.committed_graphs().collect()}
+    assert committed == {"g2"}
+
+
+def test_alias_from_dictionary_unique_label_iri(spark):
+    from genegraph_spark.operators import mentions as M
+
+    d = spark.createDataFrame(
+        [("e:1", "gene", "tp53", ["tp53", "p53"], None, [])],
+        "iri string, entity_type string, preferred_label string, "
+        "alt_labels array<string>, hidden_labels array<string>, same_as array<string>",
+    )
+    rows = M.alias_from_dictionary(d).collect()
+    # 'tp53' appears once (preferred wins over its alt duplicate)
+    labels = [(r["label"], r["label_kind"]) for r in rows]
+    assert sorted(labels) == [("p53", "alt"), ("tp53", "preferred")]
