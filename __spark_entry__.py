@@ -782,14 +782,33 @@ def q_alg_property_path_alt(spark, sf_dir):
     )
 
 
+# Stream-source parquet dirs are immutable once written; cache per
+# (sf_dir, kind) so the three stream queries materialize each source ONCE
+# per driver run instead of re-writing it per query.
+_STREAM_SRC_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _stream_source(spark, sf_dir: str, kind: str) -> str:
+    from genegraph_spark.streaming import stream as S
+
+    key = (sf_dir, kind)
+    if key not in _STREAM_SRC_CACHE:
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix=f"gg_src_{kind}_")
+        writer = S.write_pages_source if kind == "pages" else S.write_events_source
+        _STREAM_SRC_CACHE[key] = writer(spark, sf_dir, os.path.join(base, "src"))
+    return _STREAM_SRC_CACHE[key]
+
+
 def q_stream_mentions(spark, sf_dir):
     import tempfile
 
     from genegraph_spark.streaming import stream as S
 
-    base = tempfile.mkdtemp(prefix="gg_stream_")
-    src = S.write_pages_source(spark, sf_dir, os.path.join(base, "src"))
-    return S.stream_mention_counts(spark, src, os.path.join(base, "ckpt"))
+    src = _stream_source(spark, sf_dir, "pages")
+    ckpt = tempfile.mkdtemp(prefix="gg_stream_")
+    return S.stream_mention_counts(spark, src, os.path.join(ckpt, "ckpt"))
 
 
 def q_stream_windows(spark, sf_dir):
@@ -797,10 +816,10 @@ def q_stream_windows(spark, sf_dir):
 
     from genegraph_spark.streaming import stream as S
 
-    base = tempfile.mkdtemp(prefix="gg_streamw_")
-    src = S.write_events_source(spark, sf_dir, os.path.join(base, "src"))
+    src = _stream_source(spark, sf_dir, "events")
+    ckpt = tempfile.mkdtemp(prefix="gg_streamw_")
     return (
-        S.stream_windowed_events(spark, src, os.path.join(base, "ckpt"))
+        S.stream_windowed_events(spark, src, os.path.join(ckpt, "ckpt"))
         .select("window_start", "event_type", "n", F.round("total", 4).alias("total"))
     )
 
@@ -810,16 +829,36 @@ def q_stream_stateful_totals(spark, sf_dir):
 
     from genegraph_spark.streaming import stream as S
 
-    base = tempfile.mkdtemp(prefix="gg_streams_")
-    src = S.write_events_source(spark, sf_dir, os.path.join(base, "src"))
+    src = _stream_source(spark, sf_dir, "events")
+    ckpt = tempfile.mkdtemp(prefix="gg_streams_")
     # 2 files per trigger over 4 files → state must carry across batches
     return S.stream_user_running_totals(
-        spark, src, os.path.join(base, "ckpt"), max_files_per_trigger=2
+        spark, src, os.path.join(ckpt, "ckpt"), max_files_per_trigger=2
     )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: a time-budgeted driver run verifies entries in dict
+    # order; round 2 stopped after the first 50, leaving the training-data
+    # and streaming queries without a verdict. Those previously-unverified
+    # entries therefore come FIRST.
     return {
+        # training-data ops (unverified in round 2 — run first)
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "sim_topk": q_sim_topk,
+        "text_stats": q_text_stats,
+        "text_fingerprints": q_text_fingerprints,
+        "multimodal_decode": q_multimodal_decode,
+        # streaming (foreachBatch → batch-dir table; SQL-oracled)
+        "stream_mentions": q_stream_mentions,
+        "stream_windows": q_stream_windows,
+        "stream_stateful_totals": q_stream_stateful_totals,
         # KG construction pipeline
         "kg_extract_text": q_kg_extract_text,
         "kg_live_pages": q_kg_live_pages,
@@ -876,22 +915,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_revenue": q_tpch_q3_revenue,
         "join_broadcast_dim": q_join_broadcast_dim,
         "win_running_total": q_win_running_total,
-        # training-data ops
-        "dedup_exact": q_dedup_exact,
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "dedup_minhash_pairs": q_dedup_minhash_pairs,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_embedding": q_dedup_embedding,
-        "sim_topk": q_sim_topk,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "text_stats": q_text_stats,
-        "text_fingerprints": q_text_fingerprints,
-        "multimodal_decode": q_multimodal_decode,
-        # streaming (foreachBatch → batch-dir table; SQL-oracled)
-        "stream_mentions": q_stream_mentions,
-        "stream_windows": q_stream_windows,
-        "stream_stateful_totals": q_stream_stateful_totals,
     }
 
 
