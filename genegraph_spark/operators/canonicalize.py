@@ -10,11 +10,16 @@ per the north rule by a deterministic local canonicalizer: same-as xref
 edges (``owl:sameAs``) union surface-form near-match edges → iterative
 join to fixpoint → canonical IRI = min entity IRI per component.
 
-Scale notes: the driver-side loop is the alternating "large-star /
+Scale notes: the distributed path is the alternating "large-star /
 small-star" contraction (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SOCC'14) — O(log n) rounds, each round two
-self-joins keyed by node. We localCheckpoint every round to cut lineage
-(the same reason the reference caches its union model per tx,
+MapReduce and Beyond", SOCC'14): each round is two groupBy+join passes
+over the edge set and the edge count never grows past |E| + |V|; the
+two-phase alternation converges in O(log² n) rounds worst-case and
+empirically ≈ log₂(diameter) on chain-shaped graphs (xref chains are the
+adversarial input — see ``test_round3.test_cc_chain_rounds_logarithmic``:
+a 300k-edge chain converges in ≤ 20 rounds where min-label propagation
+needs diameter ≈ 300k rounds). We localCheckpoint every round to cut
+lineage (the same reason the reference caches its union model per tx,
 ``database/util.clj:13-22``). Hot components (BRCA1-class entities with
 millions of same-as mentions) stay small here because components are over
 the *dictionary + xref* vocabulary, not the corpus; corpus skew is
@@ -33,21 +38,25 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 50,
     local_threshold: int = 200_000,
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Min-label propagation to fixpoint. Returns (node, component).
-
-    ``component`` is the lexicographic min node id reachable — fully
+    """Connected components. Returns (node, component) where ``component``
+    is the lexicographic min node id in the component — fully
     deterministic, independent of partitioning and iteration order.
 
     Adaptive execution: a driver-side fixpoint loop costs ~1s of job
     scheduling per round regardless of data size, so graphs under
     ``local_threshold`` edges (the curated-dictionary case — always
     dictionary-scale, not corpus-scale) are collected and union-found on
-    the driver in one pass; bigger graphs take the distributed iterative
-    path. Same result either way (both take the min node id per
-    component)."""
+    the driver in one pass; bigger graphs take the distributed
+    alternating-star contraction (module docstring). Same result either
+    way. ``stats`` (optional dict) is filled with {"path", "rounds"} so
+    tests can assert the logarithmic round bound."""
+    if stats is None:
+        stats = {}
     probe = edges.select(src, dst).limit(local_threshold + 1).collect()
     if len(probe) <= local_threshold:
+        stats.update(path="local", rounds=0)
         rows = probe
         parent: dict[str, str] = {}
 
@@ -66,47 +75,73 @@ def connected_components(
         # because union always parents the larger under the smaller)
         out = sorted((n, find(n)) for n in parent)
         return edges.sparkSession.createDataFrame(out, "node string, component string")
+
+    # ---- distributed path: alternating large-star / small-star ----------
+    # Invariant: `e` holds each undirected edge once, oriented child→parent
+    # as (u, v) with u > v; at the fixpoint every component is a single
+    # star centered at its min node, so `e` IS the (node, component) map
+    # for non-root nodes (Kiveris et al. SOCC'14, Theorem 1).
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sym = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .where(F.col("a") != F.col("b"))
-        .distinct()
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .where(F.col("u") != F.col("v"))
     )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .union(sym.select(F.col("b").alias("node")))
+    e = (
+        sym.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
-    labels = labels.localCheckpoint(eager=True)
-    for _ in range(max_iter):
-        # candidate label for each node = min(own, min over neighbors)
-        nbr_min = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("component").alias("nbr_component"))
+    prev_cnt = e.count()
+    converged = False
+    for rnd in range(1, max_iter + 1):
+        # large-star: every node u links its strictly-larger neighbors to
+        # min(Γ(u) ∪ {u}); halves long chains by skipping over u.
+        nbrs = e.select("u", "v").union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = nbrs.groupBy("u").agg(F.min("v").alias("m")).select(
+            "u", F.least("m", "u").alias("m")
         )
-        new_labels = (
-            labels.join(nbr_min, "node", "left_outer")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
-                ).alias("component"),
-            )
+        large = (
+            nbrs.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+        # small-star: every node u links its smaller neighbors (and itself)
+        # to the min of that set; flattens local stars.
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
         )
-        labels = new_labels
-        if changed == 0:
+        small = small.localCheckpoint(eager=True)
+        cnt = small.count()
+        # fixpoint ⟺ same edge SET: equal size + empty one-way difference
+        if cnt == prev_cnt and small.exceptAll(e).limit(1).count() == 0:
+            e = small
+            stats.update(path="distributed", rounds=rnd)
+            converged = True
             break
-    return labels
+        e, prev_cnt = small, cnt
+    if not converged:
+        # mid-run star edges may still split one component into several
+        # stars — unlike monotone label propagation there is no safe
+        # partial answer, so fail loudly.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    return all_nodes.join(
+        e.select(F.col("u").alias("node"), F.col("v").alias("parent")), "node", "left_outer"
+    ).select("node", F.coalesce("parent", "node").alias("component"))
 
 
 def surface_form_edges(
@@ -136,7 +171,13 @@ def surface_form_edges(
     # entity's labels into one shingle set dilutes Jaccard (a shared
     # surface form drowns under an unrelated synonym's shingles); the
     # pair id carries the iri so edges project back after matching
-    sep = ""
+    # control-byte separator (cannot appear in IRIs), written as an
+    # escaped literal so the byte stays visible in diffs: an invisible
+    # raw \x01 here once rendered as sep = "" in review, and an empty
+    # delimiter would make substring_index return '' and silently drop
+    # every edge via the src != dst filter
+    sep = "\x01"
+    assert sep != ""
     spaced = labels.select(
         F.concat_ws(
             sep, F.col(iri_col), F.md5(F.lower(F.col(label_col)))
