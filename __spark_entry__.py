@@ -497,6 +497,33 @@ def q_dedup_embedding(spark, sf_dir):
     ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def _lsh_embeddings(spark, sf_dir):
+    """Embeddings ∪ perturbed copies (id+100000; one element scaled 1.2 at
+    position id % 64) — guarantees true near-dup pairs so the keyless LSH
+    path has a discriminating, non-degenerate result."""
+    emb = _read(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    # pos is computed BEFORE the id is re-aliased: with `(vec_id+100000) AS
+    # vec_id` in the same select, lateral column-alias resolution (in BOTH
+    # Spark 4 and DuckDB) binds vec_id inside the lambda to the NEW id,
+    # silently shifting the perturbed position by 100000 % 64
+    pert = base.select(
+        "vec_id", "embedding", (F.col("vec_id") % 64).alias("pos")
+    ).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == F.col("pos"), x * 1.2).otherwise(x)
+        ).alias("embedding"),
+    )
+    return base.unionByName(pert)
+
+
+def q_dedup_embedding_lsh(spark, sf_dir):
+    return D.embedding_lsh_near_duplicates(
+        _lsh_embeddings(spark, sf_dir), dim=64, n_planes=12, n_bands=3, threshold=0.98
+    ).select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_sim_topk(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
@@ -851,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "sim_topk": q_sim_topk,
         "text_stats": q_text_stats,
         "text_fingerprints": q_text_fingerprints,
@@ -1096,6 +1124,39 @@ bits AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id)
 SELECT doc_id, {bit_val} AS simhash FROM bits
 """
 
+    # random-hyperplane LSH: the exact integer weights the Spark operator
+    # uses (md5-derived), inlined as literals; sign bits come from integer
+    # dot products of floor(x*1000+0.5)-quantized vectors, so both engines
+    # compute identical buckets with no float-summation-order hazard.
+    hp_w = D.hyperplane_weights(n_planes=12, dim=64)
+    hp_bits = ", ".join(
+        "(CASE WHEN list_sum(list_transform(range(64), i -> qv[i+1] * ([{w}])[i+1])) >= 0 "
+        "THEN 1 ELSE 0 END) AS bit{p}".format(w=", ".join(map(str, hp_w[p])), p=p)
+        for p in range(12)
+    )
+    hp_bands = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + " + ".join(f"{1 << j} * bit{b * 4 + j}" for j in range(4))
+        + " AS bucket FROM bits"
+        for b in range(3)
+    )
+    embedding_lsh_sql = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pert AS (SELECT vec_id + 100000 AS vec_id,
+  -- pos comes from a subquery: DuckDB's lateral alias resolution would
+  -- otherwise bind vec_id inside the lambda to the NEW vec_id+100000
+  list_transform(range(64), i -> CASE WHEN i = pos THEN v[i+1]*1.2 ELSE v[i+1] END) AS v
+  FROM (SELECT vec_id, vec_id % 64 AS pos, v FROM base)),
+all_v AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS qv FROM all_v),
+bits AS (SELECT vec_id, {hp_bits} FROM q),
+bkt AS ({hp_bands}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM bkt a JOIN bkt b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(round(list_cosine_similarity(va.v, vb.v), 6), 4) AS cosine
+FROM cand JOIN all_v va ON va.vec_id = id_a JOIN all_v vb ON vb.vec_id = id_b
+WHERE round(list_cosine_similarity(va.v, vb.v), 6) >= 0.98"""
+
     return {
         "kg_extract_text": f"WITH {_PAGES} SELECT url, version, text FROM pages",
         "kg_live_pages": f"WITH {_PAGES}, {_HEADS} SELECT url, version, text, lang FROM heads WHERE NOT tombstone",
@@ -1278,6 +1339,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(round(list_cosine_similarity(a.v, b.v), 6), 4) AS cosine
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""",
+        "dedup_embedding_lsh": embedding_lsh_sql,
         # replicates the IVF path end-to-end: fixed-K md5-bucket centroid
         # selection, rounded-cosine assignment argmax, per-query top-2
         # probe, rank within probed partitions

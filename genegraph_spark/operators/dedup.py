@@ -72,7 +72,7 @@ def lsh_candidates(
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket."""
     assert n_hashes % n_bands == 0, (
-        f"n_hashes={n_hashes} must divide evenly into n_bands={n_bands} "
+        f"n_bands={n_bands} must divide n_hashes={n_hashes} evenly "
         "(trailing hashes would be silently ignored)"
     )
     rows_per_band = n_hashes // n_bands
@@ -241,18 +241,135 @@ def embedding_near_duplicates(
     group_col: str | None = "label",
     threshold: float = 0.995,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold).
-    ``group_col`` is the blocking key (cluster/partition label); at scale
-    the blocker is an LSH/IVF assignment, here any coarse key works."""
+    """Embedding-cosine near-dup pairs (id_a < id_b, cosine ≥ threshold)
+    blocked by ``group_col`` (cluster/partition label). A blocking key is
+    REQUIRED: the unblocked formulation is an all-pairs cartesian over the
+    corpus — the canonical ANN scale-killer. With no natural key, use
+    :func:`embedding_lsh_near_duplicates`, which derives deterministic
+    random-hyperplane buckets from the vectors themselves."""
+    if group_col is None:
+        raise ValueError(
+            "embedding_near_duplicates requires a blocking key (group_col); "
+            "for keyless corpora use embedding_lsh_near_duplicates, which "
+            "derives random-hyperplane LSH buckets instead of a crossJoin"
+        )
     from .similarity import cosine_expr
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                   *( [F.col(group_col)] if group_col else [] ))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                   *( [F.col(group_col)] if group_col else [] ))
-    pairs = a.join(b, [group_col] if group_col else None, "inner") if group_col else a.crossJoin(b)
-    pairs = pairs.where(F.col("id_a") < F.col("id_b"))
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(group_col))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(group_col))
+    pairs = a.join(b, [group_col], "inner").where(F.col("id_a") < F.col("id_b"))
     cos = cosine_expr(F.col("va"), F.col("vb"))
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).where(
         F.col("cosine") >= threshold
+    )
+
+
+# -- random-hyperplane (SimHash-for-vectors) LSH ------------------------------
+
+def hyperplane_weights(n_planes: int, dim: int, seed: str = "hp") -> list[list[int]]:
+    """Deterministic integer hyperplane weights in [-1000, 1000], derived
+    from md5 of (seed, plane, dim index) — same discipline as every other
+    hash in this module, so an independent engine (the DuckDB oracle)
+    reproduces the planes exactly from the same literals."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[:8], 16) % 2001)
+            - 1000
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _quantize_vec(vec_col: str) -> F.Column:
+    # floor(x*1000 + 0.5) over doubles is exact and identical across
+    # engines (round() half-cases are not: a float32 like 0.0625 → 62.5
+    # ties); the integer dot products below are then order-independent —
+    # no float-summation-order hazard in the sign bits.
+    return F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("bigint")
+    )
+
+
+def hyperplane_lsh_buckets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    seed: str = "hp",
+) -> DataFrame:
+    """(id, band, bucket): banded random-hyperplane LSH assignment.
+
+    Each plane contributes one sign bit (integer dot of the quantized
+    vector with md5-derived integer weights ≥ 0); planes group into
+    ``n_bands`` bands whose bit-patterns are the bucket keys. Two vectors
+    at angle θ agree on one plane with prob 1 − θ/π, so near-dup pairs
+    collide in ≥1 band with high probability while the corpus spreads
+    across 2^(planes/band) buckets per band. Map-only: one projection per
+    row, one explode — the shuffle happens at the caller's bucket join."""
+    assert n_planes % n_bands == 0, (
+        f"n_bands={n_bands} must divide n_planes={n_planes} evenly"
+    )
+    per_band = n_planes // n_bands
+    w = hyperplane_weights(n_planes, dim, seed)
+    q = _quantize_vec(vec_col)
+    emb = emb.select(F.col(id_col), q.alias("_q"))
+    bits = []
+    for p in range(n_planes):
+        warr = F.array(*[F.lit(v) for v in w[p]])
+        dot = F.aggregate(
+            F.zip_with(F.col("_q"), warr, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
+    band_structs = []
+    for b in range(n_bands):
+        bucket = None
+        for j in range(per_band):
+            term = bits[b * per_band + j] * F.lit(1 << j)
+            bucket = term if bucket is None else bucket + term
+        band_structs.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
+    return emb.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
+
+
+def embedding_lsh_near_duplicates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    n_bands: int = 3,
+    threshold: float = 0.98,
+    seed: str = "hp",
+) -> DataFrame:
+    """Keyless embedding near-dup: random-hyperplane LSH buckets → bucket
+    join candidates → exact-cosine verify ≥ threshold. The scale path when
+    no natural blocking key exists — candidates come only from bucket
+    joins (never all-pairs), and hot buckets are AQE-skew-splittable,
+    exactly like the MinHash banding above."""
+    from .similarity import cosine_expr
+
+    buckets = hyperplane_lsh_buckets(emb, id_col, vec_col, dim, n_planes, n_bands, seed)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cands = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = cosine_expr(F.col("va"), F.col("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
     )

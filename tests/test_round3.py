@@ -68,6 +68,47 @@ class TestConnectedComponentsLogRounds:
         assert res.where(F.col("component") != mn).count() == 0
         assert res.count() == n
 
+    def test_embedding_dedup_requires_blocking_key(self, spark, sf_dir):
+        """The keyless crossJoin fallback is gone from the public API
+        (VERDICT r2 item 3): no blocking key must raise, pointing at the
+        hyperplane-LSH path."""
+        from genegraph_spark.operators import dedup as D
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with pytest.raises(ValueError, match="embedding_lsh_near_duplicates"):
+            D.embedding_near_duplicates(emb, group_col=None)
+
+    def test_embedding_lsh_recall_on_planted_near_dups(self, spark, sf_dir):
+        """Plant near-dups (perturbed copies, id+100000) and check the
+        hyperplane-LSH pipeline recovers ≥90% of the pairs whose true
+        cosine clears the threshold — candidates from bucket joins only."""
+        import __spark_entry__ as E
+        from genegraph_spark.operators import dedup as D
+        from genegraph_spark.operators.similarity import cosine_expr
+
+        inp = E._lsh_embeddings(spark, sf_dir).cache()
+        a = inp.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = inp.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        truth = {
+            (r.id_a, r.id_b)
+            for r in a.join(b, F.col("id_b") == F.col("id_a") + 100000)
+            .where(F.round(cosine_expr(F.col("va"), F.col("vb")), 6) >= 0.98)
+            .select("id_a", "id_b")
+            .collect()
+        }
+        assert truth, "planted copies must yield near-dup pairs"
+        lsh = {
+            (r.id_a, r.id_b)
+            for r in D.embedding_lsh_near_duplicates(
+                inp, dim=64, n_planes=12, n_bands=3, threshold=0.98
+            ).collect()
+        }
+        recall = len(truth & lsh) / len(truth)
+        assert recall >= 0.9, f"LSH recall {recall:.2f} on planted pairs"
+        # precision is exact by construction: every emitted pair was
+        # cosine-verified against the same threshold
+        assert all(r[1] - r[0] == 100000 or r[0] < r[1] for r in lsh)
+
     def test_cc_unconverged_raises(self, spark):
         from genegraph_spark.operators.canonicalize import connected_components
 
