@@ -752,6 +752,50 @@ def q_kg_jsonld_docs(spark, sf_dir):
     return SER.graph_documents(res.triples)
 
 
+def q_fn_hgvs_parse(spark, sf_dir):
+    # second struct-returning parser of the family (hgvs.clj:21-74 analog):
+    # deterministic corpus covering all grammar forms — uncertain ranges
+    # with '?' bounds, definite ranges, single positions, malformed
+    from genegraph_spark.functions import parse as PRS
+
+    k = F.col("o_orderkey")
+    acc = F.concat(
+        F.lit("NC_0000"), ((k % 22) + 1).cast("string"),
+        F.lit("."), ((k % 9) + 1).cast("string"),
+    )
+    uncertain = F.concat(
+        acc, F.lit(":g.("),
+        F.when(k % 10 == 0, F.lit("?")).otherwise((k * 10).cast("string")),
+        F.lit("_"), (k * 10 + 5).cast("string"),
+        F.lit(")_("), (k * 10 + 100).cast("string"), F.lit("_"),
+        F.when(k % 10 == 0, F.lit("?")).otherwise((k * 10 + 105).cast("string")),
+        F.lit(")del"),
+    )
+    point = F.concat(
+        F.lit("NM_"), ((k % 31) + 1).cast("string"), F.lit(".2:c."),
+        (k + 7).cast("string"), F.lit("A>T"),
+    )
+    rng = F.concat(
+        acc, F.lit(":g."), (k * 100).cast("string"),
+        F.lit("_"), (k * 100 + k % 50).cast("string"), F.lit("dup"),
+    )
+    raw = (
+        F.when(k % 13 == 0, F.lit("garbage"))
+        .when(k % 5 == 0, uncertain)
+        .when(k % 3 == 0, point)
+        .otherwise(rng)
+    )
+    o = _read(spark, sf_dir, "orders").select("o_orderkey", raw.alias("raw"))
+    p = o.select("o_orderkey", PRS.parse_hgvs("raw").alias("h"))
+    return p.select(
+        "o_orderkey",
+        *[F.col(f"h.{c}").alias(c) for c in (
+            "accession", "sequence_type", "start_lo", "start_hi",
+            "end_lo", "end_hi", "op", "form", "span",
+        )],
+    )
+
+
 def q_fn_cnv_parse(spark, sf_dir):
     # struct-returning pandas-UDF parser (annotate/cnv.clj:15-96 analog):
     # template strings built deterministically from orders, ~1/13 malformed
@@ -879,6 +923,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "fn_hgvs_parse": q_fn_hgvs_parse,
         "sim_topk": q_sim_topk,
         "text_stats": q_text_stats,
         "text_fingerprints": q_text_fingerprints,
@@ -1455,6 +1500,38 @@ SELECT o_orderkey,
   CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE CAST(o_orderkey * 100 + o_orderkey % 1000 AS BIGINT) END AS end_pos,
   CASE WHEN o_orderkey % 13 = 0 THEN NULL WHEN o_orderkey % 7 = 0 THEN 'DEL' ELSE 'DUP' END AS svtype
 FROM orders""",
+        # recomputes every parsed field arithmetically from the same
+        # deterministic corpus (branch priority mirrors the F.when chain:
+        # %13 garbage → %5 uncertain ('?' bounds when %10) → %3 point → range)
+        "fn_hgvs_parse": """
+WITH k AS (SELECT o_orderkey, o_orderkey AS kk FROM orders)
+SELECT o_orderkey,
+  CASE WHEN kk % 13 = 0 THEN NULL
+       WHEN kk % 5 = 0 THEN 'NC_0000' || CAST(kk % 22 + 1 AS VARCHAR) || '.' || CAST(kk % 9 + 1 AS VARCHAR)
+       WHEN kk % 3 = 0 THEN 'NM_' || CAST(kk % 31 + 1 AS VARCHAR) || '.2'
+       ELSE 'NC_0000' || CAST(kk % 22 + 1 AS VARCHAR) || '.' || CAST(kk % 9 + 1 AS VARCHAR) END AS accession,
+  CASE WHEN kk % 13 = 0 THEN NULL
+       WHEN kk % 5 = 0 THEN 'g' WHEN kk % 3 = 0 THEN 'c' ELSE 'g' END AS sequence_type,
+  CAST(CASE WHEN kk % 13 = 0 THEN NULL
+       WHEN kk % 5 = 0 THEN (CASE WHEN kk % 10 = 0 THEN NULL ELSE kk * 10 END)
+       WHEN kk % 3 = 0 THEN kk + 7 ELSE kk * 100 END AS BIGINT) AS start_lo,
+  CAST(CASE WHEN kk % 13 = 0 THEN NULL
+       WHEN kk % 5 = 0 THEN kk * 10 + 5
+       WHEN kk % 3 = 0 THEN kk + 7 ELSE kk * 100 END AS BIGINT) AS start_hi,
+  CAST(CASE WHEN kk % 13 = 0 THEN NULL
+       WHEN kk % 5 = 0 THEN kk * 10 + 100
+       WHEN kk % 3 = 0 THEN kk + 7 ELSE kk * 100 + kk % 50 END AS BIGINT) AS end_lo,
+  CAST(CASE WHEN kk % 13 = 0 THEN NULL
+       WHEN kk % 5 = 0 THEN (CASE WHEN kk % 10 = 0 THEN NULL ELSE kk * 10 + 105 END)
+       WHEN kk % 3 = 0 THEN kk + 7 ELSE kk * 100 + kk % 50 END AS BIGINT) AS end_hi,
+  CASE WHEN kk % 13 = 0 THEN NULL
+       WHEN kk % 5 = 0 THEN 'del' WHEN kk % 3 = 0 THEN 'A>T' ELSE 'dup' END AS op,
+  CASE WHEN kk % 13 = 0 THEN NULL
+       WHEN kk % 5 = 0 THEN 'uncertain' WHEN kk % 3 = 0 THEN 'point' ELSE 'range' END AS form,
+  CAST(CASE WHEN kk % 13 = 0 THEN NULL
+       WHEN kk % 5 = 0 THEN (CASE WHEN kk % 10 = 0 THEN 96 ELSE 106 END)
+       WHEN kk % 3 = 0 THEN 1 ELSE kk % 50 + 1 END AS BIGINT) AS span
+FROM k""",
         "cur_gene_disease_pairs": f"""
 WITH t AS ({_TRIPLES_SQL}),
 m AS (SELECT subject AS page, object AS entity FROM t WHERE predicate = '{I.P_MENTIONS}'),

@@ -117,3 +117,69 @@ class TestConnectedComponentsLogRounds:
         )
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(df, local_threshold=0, max_iter=1)
+
+
+class TestHgvsParser:
+    """Property round-trip treatment mirroring the CNV parser pair
+    (cnv.clj:15-96 spec'd parse/unparse; hgvs.clj:21-74 grammar)."""
+
+    def test_parse_forms(self):
+        from genegraph_spark.functions.parse import parse_hgvs_py
+
+        p = parse_hgvs_py("NC_000007.14:g.117480025_117668665del")
+        assert p["accession"] == "NC_000007.14"
+        assert p["sequence_type"] == "g"
+        assert (p["start_lo"], p["end_lo"], p["op"], p["form"], p["span"]) == (
+            117480025, 117668665, "del", "range", 117668665 - 117480025 + 1,
+        )
+        u = parse_hgvs_py("NC_000001.11:g.(?_100)_(200_?)dup")
+        assert (u["start_lo"], u["start_hi"], u["end_lo"], u["end_hi"]) == (
+            None, 100, 200, None,
+        )
+        assert u["span"] == 101  # inner definite bounds (hgvs.clj:63-74)
+        pt = parse_hgvs_py("NM_000518.5:c.123A>T")
+        assert (pt["start_lo"], pt["end_hi"], pt["op"], pt["span"]) == (123, 123, "A>T", 1)
+        q = parse_hgvs_py("NC_1.1:g.(?_?)_(?_?)del")
+        assert q["span"] == 0  # no definite bound on either side
+
+    def test_parse_rejects_malformed(self):
+        from genegraph_spark.functions.parse import parse_hgvs_py
+
+        for bad in [
+            None, "garbage", "NC_1.1:g.", "g.100_200del",
+            "NC_1.1:g.200_100del",  # definite negative span (validated)
+            "NC_1.1:g.(1_2)_3del",  # half-parenthesized
+            "NC_1.1:gg.100_200del",  # two-letter sequence type
+        ]:
+            assert parse_hgvs_py(bad) is None, bad
+
+    def test_unparse_roundtrip_property(self):
+        import random
+
+        from genegraph_spark.functions.parse import parse_hgvs_py, unparse_hgvs_py
+
+        random.seed(3)
+        samples = []
+        for _ in range(300):
+            acc = f"NC_{random.randrange(1, 23):06d}.{random.randrange(1, 15)}"
+            st = random.choice("gcmn")
+            op = random.choice(["del", "dup", "inv", "A>T", ""])
+            form = random.choice(["point", "range", "uncertain"])
+            if form == "point":
+                pos = random.randrange(1, 10**8)
+                samples.append(f"{acc}:{st}.{pos}{op}")
+            elif form == "range":
+                s = random.randrange(1, 10**8)
+                samples.append(f"{acc}:{st}.{s}_{s + random.randrange(10**6)}{op}")
+            else:
+                b = [random.randrange(1, 10**8) for _ in range(4)]
+                b = sorted(b)
+                parts = ["?" if random.random() < 0.3 else str(v) for v in b]
+                samples.append(
+                    f"{acc}:{st}.({parts[0]}_{parts[1]})_({parts[2]}_{parts[3]}){op}"
+                )
+        for s in samples:
+            p = parse_hgvs_py(s)
+            assert p is not None, s
+            assert unparse_hgvs_py(p) == s, s
+            assert parse_hgvs_py(unparse_hgvs_py(p)) == p, s
