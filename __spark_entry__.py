@@ -743,6 +743,29 @@ def q_kg_validation_report(spark, sf_dir):
     return VD.violation_report(pages, shape)
 
 
+def q_kg_quarantine(spark, sf_dir):
+    # per-root-type shape registry dispatched INSIDE the pipeline
+    # (annotate.clj:19,30-36,72-132 formats.edn/shapes.edn analog): input
+    # deterministically perturbed so the quarantine is non-empty; rows
+    # carry the sorted violated-constraint names. Tombstone pages skip the
+    # content constraints (their own shape).
+    pages = (
+        fixtures.pages_df(spark, sf_dir)
+        .withColumn(
+            "text",
+            F.when(F.col("doc_id") % 37 == 0, F.lit(None).cast("string")).otherwise(F.col("text")),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 41 == 0, F.lit(None).cast("string")).otherwise(F.col("lang")),
+        )
+    )
+    res = P.construct_kg(spark, sf_dir, pages=pages, use_golden_text=True)
+    return res.quarantine.select(
+        "url", "version", F.array_join("violations", ",").alias("reasons")
+    )
+
+
 def q_kg_jsonld_docs(spark, sf_dir):
     # per-graph JSON-LD-style serialization (query.clj:87-100,
     # sink/event.clj:78-98 produce step)
@@ -924,6 +947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "fn_hgvs_parse": q_fn_hgvs_parse,
+        "kg_quarantine": q_kg_quarantine,
         "sim_topk": q_sim_topk,
         "text_stats": q_text_stats,
         "text_fingerprints": q_text_fingerprints,
@@ -1469,6 +1493,22 @@ SELECT reason, n FROM (
   UNION ALL
   SELECT 'lang:required', count(*) FROM pages WHERE lang IS NULL OR lang = ''
 ) WHERE n > 0""",
+        # replicates the in-pipeline shape-registry dispatch: WebPage rows
+        # validate content constraints, tombstones only the common ones;
+        # violation names sorted, joined — same perturbation as the query
+        "kg_quarantine": f"""
+WITH {_PAGES},
+pert AS (SELECT url, version, tombstone,
+    CASE WHEN doc_id % 37 = 0 THEN NULL ELSE text END AS text,
+    CASE WHEN doc_id % 41 = 0 THEN NULL ELSE lang END AS lang
+  FROM pages),
+v AS (SELECT url, version, list_sort(list_filter([
+    CASE WHEN NOT tombstone AND text IS NULL THEN 'html:decodable' END,
+    CASE WHEN NOT tombstone AND (lang IS NULL OR lang = '') THEN 'lang:required' END,
+    CASE WHEN url IS NULL OR NOT regexp_matches(url, '^https://') THEN 'url:pattern' END,
+    CASE WHEN version IS NULL OR NOT (version >= 1 AND version <= 3) THEN 'version:range' END
+  ], x -> x IS NOT NULL)) AS vio FROM pert)
+SELECT url, version, array_to_string(vio, ',') AS reasons FROM v WHERE len(vio) > 0""",
         "kg_jsonld_docs": f"""
 WITH t AS ({_TRIPLES_SQL}),
 g AS (SELECT graph,

@@ -65,18 +65,66 @@ def when_then(name: str, cond: Column, then: Column) -> Constraint:
     return Constraint(name, ~cond | then)
 
 
-def with_violations(df: DataFrame, shape: list[Constraint], out_col: str = "violations") -> DataFrame:
-    """Append a sorted array of violated constraint names (empty = valid).
-
-    Nulls in a check count as violations (SQL three-valued logic pinned:
-    NULL-valued checks are NOT satisfied)."""
+def violation_array(shape: list[Constraint]) -> Column:
+    """Sorted array of violated constraint names (empty = valid) as one
+    column expression. Nulls in a check count as violations (SQL
+    three-valued logic pinned: NULL-valued checks are NOT satisfied)."""
     entries = [
         F.when(~c.check.eqNullSafe(F.lit(True)), F.lit(c.name)) for c in shape
     ]
-    arr = F.sort_array(
-        F.filter(F.array(*entries), lambda x: x.isNotNull())
-    )
-    return df.withColumn(out_col, arr)
+    return F.sort_array(F.filter(F.array(*entries), lambda x: x.isNotNull()))
+
+
+def with_violations(df: DataFrame, shape: list[Constraint], out_col: str = "violations") -> DataFrame:
+    """Append the :func:`violation_array` of ``shape``."""
+    return df.withColumn(out_col, violation_array(shape))
+
+
+# -- per-root-type shape registry + dispatch ----------------------------------
+
+# formats.edn analog (annotate.clj:19,30-36 add-metadata): source format →
+# root type + graph-name rule. The pipeline's page events carry one format;
+# the tombstone action is inferred per row (annotate/action.clj analog).
+FORMATS: dict[str, dict[str, str]] = {
+    "webpage": {"root_type": "WebPage", "graph_name": "url"},
+    "webpage-tombstone": {"root_type": "TombstonePage", "graph_name": "url"},
+}
+
+
+@dataclass(frozen=True)
+class ShapeRegistry:
+    """Root-type → shape table (shapes.edn analog, annotate.clj:72-132
+    add-validation-shape/add-validation): a row is validated against the
+    shape registered for ITS root type; rows of unregistered types get a
+    ``root_type:unregistered`` violation (the reference terminates events
+    whose type has no transform/shape registration).
+
+    ``dispatch`` compiles the whole table into ONE chained CASE
+    projection — per-row shape selection costs no join, no shuffle, and
+    stays inside whole-stage codegen."""
+
+    shapes: dict[str, list[Constraint]]
+
+    def dispatch(
+        self, df: DataFrame, root_type_col: str = "root_type", out_col: str = "violations"
+    ) -> DataFrame:
+        expr = None
+        for rt, shape in sorted(self.shapes.items()):
+            cond = F.col(root_type_col) == rt
+            arr = violation_array(shape)
+            expr = F.when(cond, arr) if expr is None else expr.when(cond, arr)
+        fallback = F.array(F.lit("root_type:unregistered"))
+        expr = fallback if expr is None else expr.otherwise(fallback)
+        return df.withColumn(out_col, expr)
+
+
+def page_shape_registry() -> ShapeRegistry:
+    """The pipeline's default registry over post-extraction slim rows:
+    WebPages must be decodable with a language tag; tombstones skip the
+    content constraints (their payload is the unpublish marker)."""
+    common = [matches("url", "^https://"), in_range("version", 1, 3)]
+    web = [Constraint("html:decodable", F.col("ok")), required("lang"), *common]
+    return ShapeRegistry({"WebPage": web, "TombstonePage": list(common)})
 
 
 def quarantine_split(

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .. import fixtures
 from ..functions.text import extract_text, is_tombstone
-from ..operators import canonicalize, mentions, triples as T, versioned
+from ..operators import canonicalize, mentions, triples as T, validate, versioned
 
 
 @dataclass
@@ -113,11 +113,22 @@ def construct_kg(
         mapper, mentions.MAP_SCHEMA_TEXT if keep_text else mentions.MAP_SCHEMA
     )
 
-    # 2. quarantine split + version compaction over slim rows
-    #    (annotate.clj:128-132 → quarantine, not fail;
-    #    ga4gh.clj:170-190 → newest version wins, tombstone head deletes)
-    quarantine = mapped.where(~F.col("ok"))
-    heads = versioned.latest_version(mapped.where(F.col("ok")), key="url", version="version")
+    # 2. root-type dispatch + declarative shape validation + version
+    #    compaction over slim rows (formats.edn/shapes.edn registry,
+    #    annotate.clj:19,30-36,72-132 — but quarantine, not chain-abort;
+    #    ga4gh.clj:170-190 → newest version wins, tombstone head deletes).
+    #    The registry compiles to one CASE projection — no join, no UDF.
+    typed = mapped.withColumn(
+        "root_type",
+        F.when(F.col("is_del"), F.lit("TombstonePage")).otherwise(F.lit("WebPage")),
+    )
+    validated = validate.page_shape_registry().dispatch(typed)
+    quarantine = validated.where(F.size("violations") > 0)
+    heads = versioned.latest_version(
+        validated.where(F.size("violations") == 0).drop("violations", "root_type"),
+        key="url",
+        version="version",
+    )
     live_slim = heads.where(~F.col("is_del"))
     deleted_graphs = heads.where(F.col("is_del")).select(F.col("url").alias("graph"))
 

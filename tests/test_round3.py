@@ -119,6 +119,57 @@ class TestConnectedComponentsLogRounds:
             connected_components(df, local_threshold=0, max_iter=1)
 
 
+class TestShapeRegistry:
+    def test_dispatch_selects_shape_by_root_type(self, spark):
+        from genegraph_spark.operators import validate as VD
+
+        reg = VD.ShapeRegistry(
+            {
+                "A": [VD.required("x")],
+                "B": [VD.in_range("n", 1, 5)],
+            }
+        )
+        df = spark.createDataFrame(
+            [
+                ("A", None, 99),   # fails A's shape (x required)
+                ("A", "ok", 99),   # valid: A ignores n
+                ("B", None, 9),    # fails B's shape (n range); B ignores x
+                ("B", None, 3),    # valid
+                ("C", "ok", 3),    # unregistered root type
+            ],
+            "root_type string, x string, n int",
+        )
+        got = {
+            (r.root_type, r.x, r.n): r.violations
+            for r in reg.dispatch(df).collect()
+        }
+        assert got[("A", None, 99)] == ["x:required"]
+        assert got[("A", "ok", 99)] == []
+        assert got[("B", None, 9)] == ["n:range"]
+        assert got[("B", None, 3)] == []
+        assert got[("C", "ok", 3)] == ["root_type:unregistered"]
+
+    def test_pipeline_quarantines_shape_violations(self, spark, sf_dir):
+        """The registry runs INSIDE construct_kg: a lang-less page is now a
+        declarative shape violation, not just undecodable HTML."""
+        from genegraph_spark import fixtures
+        from genegraph_spark.plans.pipeline import construct_kg
+
+        pages = fixtures.pages_df(spark, sf_dir).withColumn(
+            "lang",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(None).cast("string")).otherwise(
+                F.col("lang")
+            ),
+        )
+        res = construct_kg(spark, sf_dir, pages=pages, use_golden_text=True)
+        reasons = {
+            tuple(r.violations) for r in res.quarantine.select("violations").distinct().collect()
+        }
+        assert ("lang:required",) in reasons
+        # tombstone rows skip the content constraints entirely
+        assert res.quarantine.where(F.col("is_del")).count() == 0
+
+
 class TestHgvsParser:
     """Property round-trip treatment mirroring the CNV parser pair
     (cnv.clj:15-96 spec'd parse/unparse; hgvs.clj:21-74 grammar)."""
