@@ -766,6 +766,14 @@ def q_kg_quarantine(spark, sf_dir):
     )
 
 
+def q_cur_activities(spark, sf_dir):
+    # per-gene curation-activity flags (curation.clj:33-72: ASK per
+    # activity BGP → union + semi-join + boolean pivot in one pass)
+    from genegraph_spark.plans import curation as CUR
+
+    return CUR.curation_activities(_kg_triples_df(spark, sf_dir))
+
+
 def q_kg_jsonld_docs(spark, sf_dir):
     # per-graph JSON-LD-style serialization (query.clj:87-100,
     # sink/event.clj:78-98 produce step)
@@ -948,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "fn_hgvs_parse": q_fn_hgvs_parse,
         "kg_quarantine": q_kg_quarantine,
+        "cur_activities": q_cur_activities,
         "sim_topk": q_sim_topk,
         "text_stats": q_text_stats,
         "text_fingerprints": q_text_fingerprints,
@@ -1581,6 +1590,26 @@ FROM m mg JOIN ty g ON mg.entity = g.entity AND g.tp = '{I.TYPE_IRIS["gene"]}'
 JOIN m md ON md.page = mg.page
 JOIN ty d ON md.entity = d.entity AND d.tp = '{I.TYPE_IRIS["disease"]}'
 GROUP BY 1, 2""",
+        "cur_activities": f"""
+WITH t AS ({_TRIPLES_SQL}),
+genes AS (SELECT DISTINCT subject AS gene FROM t
+          WHERE predicate = '{I.RDF_TYPE}' AND object = '{I.TYPE_IRIS["gene"]}'),
+men AS (SELECT DISTINCT object AS gene FROM t WHERE predicate = '{I.P_MENTIONS}'),
+co AS (SELECT DISTINCT mg.object AS gene
+       FROM t mg JOIN t md ON mg.subject = md.subject AND md.predicate = '{I.P_MENTIONS}'
+       JOIN t ty ON md.object = ty.subject AND ty.predicate = '{I.RDF_TYPE}'
+                AND ty.object = '{I.TYPE_IRIS["disease"]}'
+       WHERE mg.predicate = '{I.P_MENTIONS}'),
+al AS (SELECT DISTINCT subject AS gene FROM t
+       WHERE predicate IN ('{I.ALT_LABEL}', '{I.HIDDEN_LABEL}')),
+tagged AS (SELECT gene, 'MENTIONED' AS activity FROM men
+           UNION ALL SELECT gene, 'CO_CURATED' FROM co
+           UNION ALL SELECT gene, 'HAS_ALIAS' FROM al)
+SELECT g.gene,
+  coalesce(bool_or(activity = 'MENTIONED'), false) AS mentioned,
+  coalesce(bool_or(activity = 'CO_CURATED'), false) AS co_curated,
+  coalesce(bool_or(activity = 'HAS_ALIAS'), false) AS has_alias
+FROM genes g LEFT JOIN tagged USING (gene) GROUP BY g.gene""",
         "cur_top_entities": f"""
 WITH t AS ({_TRIPLES_SQL}),
 m AS (SELECT subject AS page, object AS entity FROM t WHERE predicate = '{I.P_MENTIONS}'),

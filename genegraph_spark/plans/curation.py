@@ -77,6 +77,67 @@ def entity_page_counts(
     )
 
 
+def curation_activities(triples: DataFrame) -> DataFrame:
+    """Per-gene curation-activity membership flags
+    (``curation.clj:33-72``: pattern-curation-activities — one ASK per
+    activity BGP per gene — and the UNION'd curation-bgps view,
+    ``curation.clj:74-75``). Re-expressed Spark-first: each activity BGP
+    becomes a distinct membership set, the sets union into one tagged
+    frame, and a grouped boolean pivot replaces the per-gene ASK loop —
+    one pass over all genes instead of 3×|genes| point queries.
+
+    Activities over this KG's vocabulary:
+      MENTIONED      — (?page :mentions ?gene)
+      CO_CURATED     — (?page :mentions ?gene)(?page :mentions ?disease)
+                       (?disease a Disease)
+      HAS_ALIAS      — (?gene skos:altLabel|skos:hiddenLabel ?l)
+    """
+    genes = typed_entities(triples, I.TYPE_IRIS["gene"]).select(
+        F.col("entity").alias("gene")
+    )
+    mentioned = (
+        A.bgp(triples, [("?page", I.P_MENTIONS, "?gene")]).select("gene").distinct()
+    )
+    co_curated = (
+        A.bgp(
+            triples,
+            [
+                ("?page", I.P_MENTIONS, "?gene"),
+                ("?page", I.P_MENTIONS, "?disease"),
+                ("?disease", I.RDF_TYPE, I.TYPE_IRIS["disease"]),
+            ],
+        )
+        .select("gene")
+        .distinct()
+    )
+    has_alias = (
+        triples.where(F.col("predicate").isin(I.ALT_LABEL, I.HIDDEN_LABEL))
+        .select(F.col("subject").alias("gene"))
+        .distinct()
+    )
+    tagged = A.union(
+        A.union(
+            mentioned.withColumn("activity", F.lit("MENTIONED")),
+            co_curated.withColumn("activity", F.lit("CO_CURATED")),
+        ),
+        has_alias.withColumn("activity", F.lit("HAS_ALIAS")),
+    )
+    return (
+        genes.join(tagged, "gene", "left_outer")
+        .groupBy("gene")
+        .agg(
+            *[
+                F.coalesce(F.max(F.col("activity") == a), F.lit(False)).alias(flag)
+                for a, flag in [
+                    ("MENTIONED", "mentioned"),
+                    ("CO_CURATED", "co_curated"),
+                    ("HAS_ALIAS", "has_alias"),
+                ]
+            ]
+        )
+    )
+
+
 def suggest_labels(triples: DataFrame, prefix: str, limit: int = 10) -> DataFrame:
     """Label suggester (suggest/suggesters.clj analog): dictionary labels
     starting with ``prefix``, preferred labels ranked first, then
