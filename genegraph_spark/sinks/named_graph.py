@@ -228,6 +228,32 @@ class NamedGraphStore:
             .select("graph")
         )
 
+    def diff(self, commit_a: int, commit_b: int) -> DataFrame:
+        """Build-to-build regression diff: (graph, n_added, n_removed)
+        for every graph whose triple content differs between two commits
+        — the event-recorder comparison harness
+        (``sink/event_recorder.clj:25-62``;
+        ``variation_transformer_test.clj:196-206`` ``diff-records``)
+        applied store-side via ``model.model_diff`` (exceptAll in both
+        directions, counted per graph).
+
+        Scale note: each direction is one exceptAll shuffle over the two
+        snapshots; on a lake-scale store, prune first by comparing
+        per-bucket manifest file lists (unchanged buckets are byte-equal
+        segments and can be skipped) before diffing row-level."""
+        from ..operators.model import model_diff
+
+        a = self.triples(commit=commit_a)
+        b = self.triples(commit=commit_b)
+        added = model_diff(b, a).groupBy("graph").agg(F.count("*").alias("n_added"))
+        removed = model_diff(a, b).groupBy("graph").agg(F.count("*").alias("n_removed"))
+        zero = F.lit(0).cast("long")
+        return added.join(removed, "graph", "full_outer").select(
+            "graph",
+            F.coalesce("n_added", zero).alias("n_added"),
+            F.coalesce("n_removed", zero).alias("n_removed"),
+        )
+
     def processed_graphs(self) -> DataFrame:
         """Graphs with ANY manifested lineage row (publish OR unpublish) —
         the resume skip-set: a tombstoned graph was processed even though

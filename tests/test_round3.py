@@ -170,6 +170,46 @@ class TestShapeRegistry:
         assert res.quarantine.where(F.col("is_del")).count() == 0
 
 
+class TestStoreDiff:
+    def test_diff_reports_exactly_the_mutated_graph(self, spark, tmp_path):
+        """Publish → mutate one graph → diff(commit0, commit1) names
+        exactly that graph with the right added/removed counts
+        (event_recorder.clj diff-records analog)."""
+        from genegraph_spark.sinks.named_graph import TRIPLE_SCHEMA, NamedGraphStore
+
+        def t(graph, s, p, o):
+            return (graph, s, p, o, True, None)
+
+        store = NamedGraphStore(spark, str(tmp_path / "store"), n_buckets=4)
+        base = [
+            t("g1", "a", "p", "x"),
+            t("g1", "a", "p", "y"),
+            t("g2", "b", "p", "x"),
+            t("g3", "c", "p", "x"),
+        ]
+        store.merge(spark.createDataFrame(base, TRIPLE_SCHEMA))
+        c0 = store.last_commit()
+        # mutate g1 only: drop (a,p,y), add (a,p,z) and (a,q,x)
+        g1_new = [t("g1", "a", "p", "x"), t("g1", "a", "p", "z"), t("g1", "a", "q", "x")]
+        store.merge(spark.createDataFrame(g1_new, TRIPLE_SCHEMA))
+        c1 = store.last_commit()
+        diff = {r.graph: (r.n_added, r.n_removed) for r in store.diff(c0, c1).collect()}
+        assert diff == {"g1": (2, 1)}
+
+    def test_diff_sees_unpublish_as_full_removal(self, spark, tmp_path):
+        from genegraph_spark.sinks.named_graph import TRIPLE_SCHEMA, NamedGraphStore
+
+        store = NamedGraphStore(spark, str(tmp_path / "store"), n_buckets=4)
+        rows = [("g1", "a", "p", "x", True, None), ("g2", "b", "p", "y", True, None)]
+        store.merge(spark.createDataFrame(rows, TRIPLE_SCHEMA))
+        c0 = store.last_commit()
+        store.delete_graphs(spark.createDataFrame([("g2",)], "graph string"))
+        c1 = store.last_commit()
+        diff = {r.graph: (r.n_added, r.n_removed) for r in store.diff(c0, c1).collect()}
+        assert diff == {"g2": (0, 1)}
+        assert store.diff(c0, c0).count() == 0
+
+
 class TestHgvsParser:
     """Property round-trip treatment mirroring the CNV parser pair
     (cnv.clj:15-96 spec'd parse/unparse; hgvs.clj:21-74 grammar)."""
