@@ -590,6 +590,23 @@ def q_cur_top_entities(spark, sf_dir):
     )
 
 
+def q_cur_suggest_infix(spark, sf_dir):
+    # per-type INFIX suggester with curation-count weights
+    # (infix_suggester.clj:27-40, suggesters.clj:24-60): query 's' over
+    # genes, limit 4 — the cut exercises the weight ranking; rank column
+    # verifies the intra-result order
+    from genegraph_spark.plans import curation as CUR
+
+    out = CUR.suggest_infix(
+        _kg_triples_df(spark, sf_dir), query="s", entity_type="gene", limit=4
+    )
+    w = Window.orderBy(
+        F.desc("weight"), F.asc("kind_rank"), F.length("label").asc(),
+        F.asc("label"), F.asc("entity"),
+    )
+    return out.withColumn("rank", F.row_number().over(w))
+
+
 def q_cur_suggest_labels(spark, sf_dir):
     # label suggester (suggest/suggesters.clj analog): prefix 's'
     from genegraph_spark.plans import curation as CUR
@@ -957,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_hgvs_parse": q_fn_hgvs_parse,
         "kg_quarantine": q_kg_quarantine,
         "cur_activities": q_cur_activities,
+        "cur_suggest_infix": q_cur_suggest_infix,
         "sim_topk": q_sim_topk,
         "text_stats": q_text_stats,
         "text_fingerprints": q_text_fingerprints,
@@ -1182,6 +1200,28 @@ otr AS (
   SELECT 'urn:order:' || CAST(o_orderkey AS VARCHAR) AS s, ':by-customer' AS p,
          'urn:customer:' || CAST(o_custkey AS VARCHAR) AS o FROM orders
 )"""
+
+
+# curation-activity fragments shared by cur_activities + cur_suggest_infix
+_CUR_TAGGED = f"""genes AS (SELECT DISTINCT subject AS gene FROM t
+          WHERE predicate = '{I.RDF_TYPE}' AND object = '{I.TYPE_IRIS["gene"]}'),
+men AS (SELECT DISTINCT object AS gene FROM t WHERE predicate = '{I.P_MENTIONS}'),
+co AS (SELECT DISTINCT mg.object AS gene
+       FROM t mg JOIN t md ON mg.subject = md.subject AND md.predicate = '{I.P_MENTIONS}'
+       JOIN t ty ON md.object = ty.subject AND ty.predicate = '{I.RDF_TYPE}'
+                AND ty.object = '{I.TYPE_IRIS["disease"]}'
+       WHERE mg.predicate = '{I.P_MENTIONS}'),
+al AS (SELECT DISTINCT subject AS gene FROM t
+       WHERE predicate IN ('{I.ALT_LABEL}', '{I.HIDDEN_LABEL}')),
+tagged AS (SELECT gene, 'MENTIONED' AS activity FROM men
+           UNION ALL SELECT gene, 'CO_CURATED' FROM co
+           UNION ALL SELECT gene, 'HAS_ALIAS' FROM al)"""
+
+_CUR_ACTS_SELECT = """SELECT g.gene,
+  coalesce(bool_or(activity = 'MENTIONED'), false) AS mentioned,
+  coalesce(bool_or(activity = 'CO_CURATED'), false) AS co_curated,
+  coalesce(bool_or(activity = 'HAS_ALIAS'), false) AS has_alias
+FROM genes g LEFT JOIN tagged USING (gene) GROUP BY g.gene"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1591,25 +1631,26 @@ JOIN m md ON md.page = mg.page
 JOIN ty d ON md.entity = d.entity AND d.tp = '{I.TYPE_IRIS["disease"]}'
 GROUP BY 1, 2""",
         "cur_activities": f"""
-WITH t AS ({_TRIPLES_SQL}),
-genes AS (SELECT DISTINCT subject AS gene FROM t
-          WHERE predicate = '{I.RDF_TYPE}' AND object = '{I.TYPE_IRIS["gene"]}'),
-men AS (SELECT DISTINCT object AS gene FROM t WHERE predicate = '{I.P_MENTIONS}'),
-co AS (SELECT DISTINCT mg.object AS gene
-       FROM t mg JOIN t md ON mg.subject = md.subject AND md.predicate = '{I.P_MENTIONS}'
-       JOIN t ty ON md.object = ty.subject AND ty.predicate = '{I.RDF_TYPE}'
-                AND ty.object = '{I.TYPE_IRIS["disease"]}'
-       WHERE mg.predicate = '{I.P_MENTIONS}'),
-al AS (SELECT DISTINCT subject AS gene FROM t
-       WHERE predicate IN ('{I.ALT_LABEL}', '{I.HIDDEN_LABEL}')),
-tagged AS (SELECT gene, 'MENTIONED' AS activity FROM men
-           UNION ALL SELECT gene, 'CO_CURATED' FROM co
-           UNION ALL SELECT gene, 'HAS_ALIAS' FROM al)
-SELECT g.gene,
-  coalesce(bool_or(activity = 'MENTIONED'), false) AS mentioned,
-  coalesce(bool_or(activity = 'CO_CURATED'), false) AS co_curated,
-  coalesce(bool_or(activity = 'HAS_ALIAS'), false) AS has_alias
-FROM genes g LEFT JOIN tagged USING (gene) GROUP BY g.gene""",
+WITH t AS ({_TRIPLES_SQL}), {_CUR_TAGGED}
+{_CUR_ACTS_SELECT}""",
+        "cur_suggest_infix": f"""
+WITH t AS ({_TRIPLES_SQL}), {_CUR_TAGGED},
+acts AS ({_CUR_ACTS_SELECT}),
+w AS (SELECT gene AS entity,
+        CAST(mentioned AS INT) + CAST(co_curated AS INT) + CAST(has_alias AS INT) AS weight
+      FROM acts),
+lbl AS (SELECT DISTINCT subject AS entity, object AS label,
+        CASE predicate WHEN '{I.PREF_LABEL}' THEN 0 WHEN '{I.ALT_LABEL}' THEN 1 ELSE 2 END AS kind_rank
+        FROM t WHERE predicate IN ('{I.PREF_LABEL}', '{I.ALT_LABEL}', '{I.HIDDEN_LABEL}')
+          AND NOT object_is_iri),
+h AS (SELECT lbl.* FROM lbl
+      WHERE (lower(label) LIKE 's%' OR lower(label) LIKE '% s%')
+        AND entity IN (SELECT gene FROM genes)),
+r AS (SELECT h.entity, h.label, h.kind_rank, coalesce(w.weight, 0) AS weight,
+        row_number() OVER (ORDER BY coalesce(w.weight, 0) DESC, h.kind_rank,
+                           length(h.label), h.label, h.entity) AS rank
+      FROM h LEFT JOIN w USING (entity))
+SELECT entity, label, kind_rank, weight, rank FROM r WHERE rank <= 4""",
         "cur_top_entities": f"""
 WITH t AS ({_TRIPLES_SQL}),
 m AS (SELECT subject AS page, object AS entity FROM t WHERE predicate = '{I.P_MENTIONS}'),

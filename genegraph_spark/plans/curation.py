@@ -138,6 +138,54 @@ def curation_activities(triples: DataFrame) -> DataFrame:
     )
 
 
+def suggest_infix(
+    triples: DataFrame, query: str, entity_type: str | None = None, limit: int = 10
+) -> DataFrame:
+    """Per-entity-type INFIX suggester with curation-count weights —
+    the AnalyzingInfixSuggester analog
+    (``suggest/infix_suggester.clj:27-40``: token-start infix match,
+    min_prefix_chars=1; ``suggest/suggesters.clj:24-60``: per-type
+    payloads whose weight is the entity's curation-activity count).
+
+    A label matches when ANY of its tokens starts with ``query``
+    (case-insensitive), not just the first — 'syndrome' finds
+    'slowness syndrome'. Ranking: curation weight desc, then
+    preferred-before-alt-before-hidden, shorter label, alphabetic.
+    Returns (entity, label, kind_rank, weight)."""
+    q = query.lower()
+    lbl = triples.where(
+        F.col("predicate").isin(I.PREF_LABEL, I.ALT_LABEL, I.HIDDEN_LABEL)
+        & ~F.col("object_is_iri")
+    ).select(
+        F.col("subject").alias("entity"),
+        F.col("object").alias("label"),
+        F.when(F.col("predicate") == I.PREF_LABEL, 0)
+        .when(F.col("predicate") == I.ALT_LABEL, 1)
+        .otherwise(2)
+        .alias("kind_rank"),
+    )
+    low = F.lower(F.col("label"))
+    hits = lbl.where(low.startswith(q) | low.contains(" " + q)).distinct()
+    if entity_type is not None:
+        typed = typed_entities(triples, I.TYPE_IRIS[entity_type])
+        hits = hits.join(F.broadcast(typed), "entity", "left_semi")
+    weights = curation_activities(triples).select(
+        F.col("gene").alias("entity"),
+        (
+            F.col("mentioned").cast("int")
+            + F.col("co_curated").cast("int")
+            + F.col("has_alias").cast("int")
+        ).alias("weight"),
+    )
+    out = hits.join(F.broadcast(weights), "entity", "left_outer").withColumn(
+        "weight", F.coalesce("weight", F.lit(0))
+    )
+    return out.orderBy(
+        F.desc("weight"), F.asc("kind_rank"), F.length("label").asc(),
+        F.asc("label"), F.asc("entity"),
+    ).limit(limit)
+
+
 def suggest_labels(triples: DataFrame, prefix: str, limit: int = 10) -> DataFrame:
     """Label suggester (suggest/suggesters.clj analog): dictionary labels
     starting with ``prefix``, preferred labels ranked first, then
