@@ -162,10 +162,37 @@ def sameas_from_dictionary(dictionary: DataFrame) -> DataFrame:
 
 
 # The gazetteer is curated-dictionary-scale by contract (names.edn is
-# O(10^3) entries / tens of MB in the reference); the pipeline collects it
-# to the driver to compile the broadcast matcher. Guard that contract
-# instead of silently collecting whatever arrives.
-MAX_GAZETTEER_ROWS = 2_000_000
+# O(10^3) entries in the reference); the pipeline collects it to the
+# driver to compile the broadcast matcher. Guard that contract — in rows
+# AND bytes (2M string rows would be multi-GB on the driver; the byte cap
+# is what actually protects the heap) — instead of silently collecting
+# whatever arrives.
+MAX_GAZETTEER_ROWS = 100_000
+MAX_GAZETTEER_BYTES = 64 * 1024 * 1024
+
+
+def assert_gazetteer_scale(alias: DataFrame) -> int:
+    """Enforce the curated-dictionary contract BEFORE any driver collect:
+    one aggregation job measures the alias table (rows + payload bytes)
+    and raises if it exceeds broadcast scale, directing callers to the
+    join-based detect_mentions/link_entities path (identical results,
+    tested). Returns the row count."""
+    row = alias.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.length("label") + F.length("iri") + F.length("label_kind")
+        ).alias("b"),
+    ).collect()[0]
+    n, nbytes = row[0], row[1] or 0
+    if n > MAX_GAZETTEER_ROWS or nbytes > MAX_GAZETTEER_BYTES:
+        raise ValueError(
+            f"gazetteer has {n} aliases / ~{nbytes >> 20} MiB "
+            f"(caps: {MAX_GAZETTEER_ROWS} rows, {MAX_GAZETTEER_BYTES >> 20} MiB); "
+            "the driver-side broadcast-matcher compile assumes a curated "
+            "dictionary — shard the dictionary or use the join-based "
+            "detect_mentions/link_entities path instead"
+        )
+    return n
 
 
 def gazetteer_payload(alias_rows, canon_of: dict[str, str]):

@@ -87,16 +87,10 @@ def construct_kg(
         # derive the gazetteer and same-as graph from the SUPPLIED
         # dictionary (not the fixture vocabulary)
         alias = mentions.alias_from_dictionary(dictionary)
+        # guard BEFORE canonicalization or any collect: rows + bytes
+        mentions.assert_gazetteer_scale(alias)
         sameas = mentions.sameas_from_dictionary(dictionary)
         canon = canonicalize.canonical_entity_map(dictionary, sameas)
-        n_alias = alias.count()
-        if n_alias > mentions.MAX_GAZETTEER_ROWS:
-            raise ValueError(
-                f"gazetteer has {n_alias} aliases (> {mentions.MAX_GAZETTEER_ROWS}); "
-                "the driver-side broadcast-matcher compile assumes a curated "
-                "dictionary — shard the dictionary or use the join-based "
-                "detect_mentions/link_entities path instead"
-            )
         alias_rows = alias.collect()
         canon_of = {r["iri"]: r["canonical_iri"] for r in canon.collect()}
     by_label, e_to_c, canon_iris = mentions.gazetteer_payload(alias_rows, canon_of)

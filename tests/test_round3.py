@@ -210,6 +210,66 @@ class TestStoreDiff:
         assert store.diff(c0, c0).count() == 0
 
 
+class TestGazetteerGuard:
+    def test_oversized_row_count_raises_before_collect(self, spark, sf_dir):
+        from genegraph_spark.operators import mentions
+        from genegraph_spark.plans.pipeline import construct_kg
+
+        n = mentions.MAX_GAZETTEER_ROWS + 1
+        big = spark.range(n).select(
+            F.concat(F.lit("urn:e"), F.col("id")).alias("iri"),
+            F.lit("gene").alias("entity_type"),
+            F.concat(F.lit("label"), F.col("id")).alias("preferred_label"),
+            F.array().cast("array<string>").alias("alt_labels"),
+            F.array().cast("array<string>").alias("hidden_labels"),
+            F.array().cast("array<string>").alias("same_as"),
+        )
+        with pytest.raises(ValueError, match="detect_mentions"):
+            construct_kg(spark, sf_dir, dictionary=big, use_golden_text=True)
+
+    def test_oversized_bytes_raise_even_with_few_rows(self, spark):
+        """The byte cap is the real heap guard: 100 × 1 MiB labels blow
+        the 64 MiB cap at a row count the old 2M-row guard waved through."""
+        from genegraph_spark.operators import mentions
+
+        alias = spark.range(100).select(
+            F.concat(F.lit("urn:e"), F.col("id")).alias("iri"),
+            F.repeat(F.lit("x"), 1_000_000).alias("label"),
+            F.lit("preferred").alias("label_kind"),
+        )
+        with pytest.raises(ValueError, match="MiB"):
+            mentions.assert_gazetteer_scale(alias)
+
+    def test_join_path_matches_fused_pipeline(self, spark, sf_dir):
+        """The guard's escape hatch must be real: the join-based
+        detect→link→aggregate composition produces exactly the fused
+        mapInPandas pipeline's linked-mention table."""
+        from genegraph_spark import fixtures
+        from genegraph_spark.operators import mentions
+        from genegraph_spark.plans.pipeline import construct_kg
+
+        cols = ["url", "canonical_iri", "n_mentions", "first_pos"]
+        res = construct_kg(spark, sf_dir, use_golden_text=True)
+        fused = {tuple(r) for r in res.linked.select(cols).collect()}
+
+        alias = fixtures.alias_df(spark)
+        canon = spark.createDataFrame(
+            sorted(fixtures.canonical_map_py().items()),
+            "iri string, canonical_iri string",
+        )
+        toks = mentions.tokenize(res.live_pages)
+        picked = mentions.link_entities(mentions.detect_mentions(toks, alias), alias)
+        composed = {
+            tuple(r)
+            for r in picked.join(canon, "iri")
+            .groupBy("url", "canonical_iri")
+            .agg(F.count("*").alias("n_mentions"), F.min("pos").alias("first_pos"))
+            .select(cols)
+            .collect()
+        }
+        assert composed == fused
+
+
 class TestHgvsParser:
     """Property round-trip treatment mirroring the CNV parser pair
     (cnv.clj:15-96 spec'd parse/unparse; hgvs.clj:21-74 grammar)."""
