@@ -75,8 +75,12 @@ def canonical_bnode_triples(triples: DataFrame, rounds: int = 3) -> DataFrame:
         e = e.select(
             "graph", "subject", "predicate", "object", "object_is_iri",
             F.coalesce("_l_subject", F.col("subject")).alias("ls"),
+            # object_is_iri guard on the joined label too: a string LITERAL
+            # whose value lexically equals a bnode id in the same graph
+            # must not inherit that bnode's WL label (it would mislabel
+            # bnodes and could flip an is_isomorphic verdict)
             F.coalesce(
-                "_l_object",
+                F.when(F.col("object_is_iri"), F.col("_l_object")),
                 F.when(F.col("object_is_iri"), F.col("object")).otherwise(
                     F.concat_ws("^^", F.col("object"), F.col("object_datatype"))
                 ),

@@ -214,11 +214,15 @@ def run_to_store(
     built and the would-be commit summarized (graphs / triples /
     deletes), but nothing is written — the store is untouched.
 
-    ``resume``: skip input pages whose graph is already committed in the
-    store (the offset-file resume semantic at graph granularity,
-    stream.clj:221-236) — a restarted run only pays extraction for the
-    unprocessed remainder. Replay without ``resume`` stays correct
-    (idempotent MERGE), resume makes it CHEAP."""
+    ``resume``: RESTART-OF-THE-SAME-INPUT ONLY — it skips any url with
+    ANY processed lineage row (the offset-file resume semantic at graph
+    granularity, stream.clj:221-236), so a restarted run only pays
+    extraction for the unprocessed remainder. It is NOT incremental
+    ingest: an input containing NEW versions of a previously-processed
+    url would be silently skipped — feed updates through a plain
+    (non-resume) run, whose whole-graph MERGE replaces the graph
+    idempotently. Replay without ``resume`` stays correct, resume makes
+    the identical-input restart CHEAP."""
     from ..sinks.named_graph import NamedGraphStore
 
     store = NamedGraphStore(spark, store_path)

@@ -123,9 +123,65 @@ class NamedGraphStore:
         """Replace every incoming graph's content; optionally delete
         graphs. A graph in BOTH inputs is deleted (delete wins — one
         deterministic outcome instead of publish/unpublish racing in the
-        same commit's lineage)."""
+        same commit's lineage).
+
+        SINGLE-WRITER contract: exactly one writer may merge at a time
+        (matching the reference's single-writer TDB transaction,
+        database/util.clj:29-42). The data write uses mode=overwrite so a
+        crash-replay converges on the same commit id — which also means
+        two CONCURRENT writers computing the same id would interleave
+        into the same data dir with last-manifest-wins over mixed data. A
+        lock file (O_EXCL manifest create) fails fast on the second
+        writer."""
         last = self.last_commit()
         commit = 0 if last is None else last + 1
+        lock = os.path.join(self.path, f"commit-{commit:08d}.lock")
+        os.makedirs(self.path, exist_ok=True)
+        # O_EXCL create with our pid: a LIVE concurrent writer holding the
+        # same commit id fails fast; a lock left by a CRASHED writer (pid
+        # dead — crash-replay is the documented resume path) is reclaimed,
+        # and the overwrite below clobbers its orphan data dir so the
+        # manifest write makes exactly one outcome visible. On a cluster
+        # store the same role is played by an O_EXCL/conditional-put
+        # manifest create on shared storage.
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+        except FileExistsError:
+            try:
+                holder = int(open(lock).read().strip() or "0")
+            except (OSError, ValueError):
+                holder = 0
+            alive = False
+            if holder > 0:
+                try:
+                    os.kill(holder, 0)
+                    alive = True
+                except OSError:
+                    alive = False
+            if alive:
+                raise RuntimeError(
+                    f"concurrent writer (pid {holder}) detected for commit "
+                    f"{commit} (lock {lock}); the store is single-writer"
+                ) from None
+            with open(lock, "w") as f:  # stale lock from a dead writer
+                f.write(str(os.getpid()))
+        try:
+            return self._merge_locked(triples, delete_graphs, last, commit)
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    def _merge_locked(
+        self,
+        triples: DataFrame,
+        delete_graphs: DataFrame | None,
+        last: int | None,
+        commit: int,
+    ) -> dict:
         if delete_graphs is not None:
             triples = triples.join(delete_graphs.select("graph"), "graph", "left_anti")
         # the incoming plan may be expensive (pandas-UDF extraction) and

@@ -210,6 +210,89 @@ class TestStoreDiff:
         assert store.diff(c0, c0).count() == 0
 
 
+class TestSingleWriterLock:
+    def test_live_concurrent_writer_fails_fast(self, spark, tmp_path):
+        """Two writers computing the same commit id must not interleave:
+        the second sees the first's live lock and raises."""
+        import os
+
+        from genegraph_spark.sinks.named_graph import TRIPLE_SCHEMA, NamedGraphStore
+
+        store = NamedGraphStore(spark, str(tmp_path / "store"), n_buckets=4)
+        rows = spark.createDataFrame([("g1", "a", "p", "x", True, None)], TRIPLE_SCHEMA)
+        store.merge(rows)
+        # simulate a LIVE holder of the next commit's lock (our own pid)
+        commit = store.last_commit() + 1
+        lock = os.path.join(store.path, f"commit-{commit:08d}.lock")
+        with open(lock, "w") as f:
+            f.write(str(os.getpid()))
+        with pytest.raises(RuntimeError, match="single-writer"):
+            store.merge(rows)
+        os.remove(lock)
+
+    def test_stale_lock_from_dead_writer_is_reclaimed(self, spark, tmp_path):
+        """Crash-replay (the documented resume path) must proceed past a
+        lock whose holder pid is gone."""
+        import os
+
+        from genegraph_spark.sinks.named_graph import TRIPLE_SCHEMA, NamedGraphStore
+
+        store = NamedGraphStore(spark, str(tmp_path / "store"), n_buckets=4)
+        rows = spark.createDataFrame([("g1", "a", "p", "x", True, None)], TRIPLE_SCHEMA)
+        lock = os.path.join(store.path, "commit-00000000.lock")
+        os.makedirs(store.path, exist_ok=True)
+        with open(lock, "w") as f:
+            f.write("999999999")  # no such pid
+        store.merge(rows)
+        assert store.last_commit() == 0
+        assert not os.path.exists(lock)
+
+
+class TestModelWlLiteralGuard:
+    def test_literal_matching_bnode_id_does_not_inherit_wl_label(self, spark):
+        """A string LITERAL whose value lexically equals a bnode id in the
+        same graph must keep its literal label in WL out-signatures —
+        graphs that differ only in literal-vs-bnode objecthood are NOT
+        isomorphic."""
+        from genegraph_spark.operators.model import is_isomorphic
+
+        schema = (
+            "graph string, subject string, predicate string, object string, "
+            "object_is_iri boolean, object_datatype string"
+        )
+        # g_a: s -p-> bnode _:x (IRI-position);  s -q-> literal "_:x"
+        a = spark.createDataFrame(
+            [
+                ("g", "urn:s", "urn:p", "_:x", True, None),
+                ("g", "_:x", "urn:r", "leaf", False, "xsd:string"),
+                ("g", "urn:s", "urn:q", "_:x", False, "xsd:string"),
+            ],
+            schema,
+        )
+        # g_b: the q-object is a DIFFERENT literal — if the literal in g_a
+        # wrongly inherited _:x's WL label, these could still canonicalize
+        # identically modulo literal text; they must differ
+        b = spark.createDataFrame(
+            [
+                ("g", "urn:s", "urn:p", "_:x", True, None),
+                ("g", "_:x", "urn:r", "leaf", False, "xsd:string"),
+                ("g", "urn:s", "urn:q", "other", False, "xsd:string"),
+            ],
+            schema,
+        )
+        assert not is_isomorphic(a, b)
+        # and a bnode-renamed copy of g_a IS isomorphic, literal untouched
+        c = spark.createDataFrame(
+            [
+                ("g", "urn:s", "urn:p", "_:zz", True, None),
+                ("g", "_:zz", "urn:r", "leaf", False, "xsd:string"),
+                ("g", "urn:s", "urn:q", "_:x", False, "xsd:string"),
+            ],
+            schema,
+        )
+        assert is_isomorphic(a, c)
+
+
 class TestGazetteerGuard:
     def test_oversized_row_count_raises_before_collect(self, spark, sf_dir):
         from genegraph_spark.operators import mentions
