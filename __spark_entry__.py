@@ -783,6 +783,14 @@ def q_kg_quarantine(spark, sf_dir):
     )
 
 
+def q_kg_turtle_docs(spark, sf_dir):
+    # Turtle serialization per named graph (query.clj:87-100 — the
+    # reference's public output format); line-sorted, byte-deterministic
+    from genegraph_spark.functions import serialize as SER
+
+    return SER.turtle_docs(_kg_triples_df(spark, sf_dir))
+
+
 def q_cur_activities(spark, sf_dir):
     # per-gene curation-activity flags (curation.clj:33-72: ASK per
     # activity BGP → union + semi-join + boolean pivot in one pass)
@@ -973,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "fn_hgvs_parse": q_fn_hgvs_parse,
         "kg_quarantine": q_kg_quarantine,
+        "kg_turtle_docs": q_kg_turtle_docs,
         "cur_activities": q_cur_activities,
         "cur_suggest_infix": q_cur_suggest_infix,
         "sim_topk": q_sim_topk,
@@ -1542,6 +1551,22 @@ SELECT reason, n FROM (
   UNION ALL
   SELECT 'lang:required', count(*) FROM pages WHERE lang IS NULL OR lang = ''
 ) WHERE n > 0""",
+        # Turtle line construction replicated exactly: bnodes verbatim,
+        # IRIs angle-bracketed, literals escaped (backslash first) with
+        # datatype tags; string_agg ordered by line == sort_array
+        "kg_turtle_docs": f"""
+WITH t AS ({_TRIPLES_SQL}),
+lines AS (SELECT graph,
+  (CASE WHEN subject LIKE '!_:%' ESCAPE '!' THEN subject ELSE '<' || subject || '>' END)
+  || ' <' || predicate || '> ' ||
+  (CASE WHEN object_is_iri THEN
+          (CASE WHEN object LIKE '!_:%' ESCAPE '!' THEN object ELSE '<' || object || '>' END)
+        ELSE '"' || replace(replace(replace(replace(replace(object,
+               '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'), chr(13), '\\r'), chr(9), '\\t') || '"'
+             || (CASE WHEN object_datatype IS NOT NULL THEN '^^<' || object_datatype || '>' ELSE '' END)
+   END) || ' .' AS line
+  FROM t)
+SELECT graph, string_agg(line, chr(10) ORDER BY line) AS turtle FROM lines GROUP BY graph""",
         # replicates the in-pipeline shape-registry dispatch: WebPage rows
         # validate content constraints, tombstones only the common ones;
         # violation names sorted, joined — same perturbation as the query

@@ -20,8 +20,12 @@ serialize-then-produce reuses one exchange.
 
 from __future__ import annotations
 
+import re
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -66,6 +70,116 @@ def graph_documents(triples: DataFrame) -> DataFrame:
     return per_graph.select(
         "graph",
         F.to_json(F.struct(F.col("graph"), F.col("triples"))).alias("doc"),
+    )
+
+
+# -- Turtle (the reference's public output format) -----------------------------
+
+# @context document (JSON-LD @context analog,
+# transform/clinvar/variation.clj:814-923): prefix → namespace map shared
+# by serializers and the CURIE machinery
+def jsonld_context() -> dict[str, str]:
+    from . import iri as I
+
+    return dict(I._PREFIX_MAP)
+
+
+def _ttl_escape(col):
+    # Turtle string-literal escapes; backslash FIRST so later passes
+    # cannot double-escape it
+    out = F.replace(col, F.lit("\\"), F.lit("\\\\"))
+    out = F.replace(out, F.lit('"'), F.lit('\\"'))
+    out = F.replace(out, F.lit("\n"), F.lit("\\n"))
+    out = F.replace(out, F.lit("\r"), F.lit("\\r"))
+    return F.replace(out, F.lit("\t"), F.lit("\\t"))
+
+
+def _ttl_term(col, is_iri):
+    bnode = F.col(col).startswith("_:")
+    return F.when(is_iri & bnode, F.col(col)).when(
+        is_iri, F.concat(F.lit("<"), F.col(col), F.lit(">"))
+    )
+
+
+def turtle_docs(triples: DataFrame) -> DataFrame:
+    """(graph, turtle): one deterministic Turtle document per named graph
+    (``database/query.clj:87-100`` serializes models to Turtle; the
+    repo's JSON doc is the transport format, this is the reference's
+    public one). Full-IRI statements — `<s> <p> <o> .` with escaped,
+    datatype-tagged literals — sorted line-wise so the bytes are
+    independent of partitioning. Same shuffle key (graph) as the store
+    sink and the JSON serializer."""
+    lit_obj = F.concat(
+        F.lit('"'),
+        _ttl_escape(F.col("object")),
+        F.lit('"'),
+        F.when(
+            F.col("object_datatype").isNotNull(),
+            F.concat(F.lit("^^<"), F.col("object_datatype"), F.lit(">")),
+        ).otherwise(F.lit("")),
+    )
+    line = F.concat(
+        _ttl_term("subject", F.lit(True)),
+        F.lit(" "),
+        F.concat(F.lit("<"), F.col("predicate"), F.lit(">")),
+        F.lit(" "),
+        F.coalesce(_ttl_term("object", F.col("object_is_iri")), lit_obj),
+        F.lit(" ."),
+    )
+    return triples.groupBy("graph").agg(
+        F.array_join(F.sort_array(F.collect_list(line)), "\n").alias("turtle")
+    )
+
+
+_TTL_LINE_RE = r"^(\S+) <([^>]+)> (.+) \.$"
+_TTL_LIT_RE = r'^"((?:[^"\\]|\\.)*)"(?:\^\^<([^>]+)>)?$'
+
+
+@pandas_udf(StringType())
+def _ttl_unescape(s: pd.Series) -> pd.Series:
+    # single left-to-right pass over escape pairs — a replace() CHAIN
+    # cannot unescape correctly ('\\n' two-char sequences would turn into
+    # a newline); regex callback is the right tool, vectorized via Arrow
+    sub = {"\\\\": "\\", '\\"': '"', "\\n": "\n", "\\r": "\r", "\\t": "\t"}
+    pat = re.compile(r"\\.")
+    return s.map(
+        lambda v: None
+        if v is None
+        else pat.sub(lambda m: sub.get(m.group(0), m.group(0)), v)
+    )
+
+
+def parse_turtle(docs: DataFrame, turtle_col: str = "turtle") -> DataFrame:
+    """Inverse of :func:`turtle_docs`: Turtle docs → triple rows
+    (round-trip tested). Literal unescaping is the one non-JVM step — a
+    single vectorized pandas UDF on literal objects only (parse is not a
+    hot path; the reference parses RDF via Jena, transform/core.clj:37-58)."""
+    lines = docs.select(
+        "graph", F.explode(F.split(F.col(turtle_col), "\n")).alias("line")
+    ).where(F.col("line") != "")
+    parsed = lines.select(
+        "graph",
+        F.regexp_extract("line", _TTL_LINE_RE, 1).alias("s_tok"),
+        F.regexp_extract("line", _TTL_LINE_RE, 2).alias("predicate"),
+        F.regexp_extract("line", _TTL_LINE_RE, 3).alias("o_tok"),
+    )
+    strip_angle = lambda c: F.regexp_replace(c, r"^<|>$", "")  # noqa: E731
+    is_lit = F.col("o_tok").startswith('"')
+    return parsed.select(
+        "graph",
+        F.when(F.col("s_tok").startswith("_:"), F.col("s_tok"))
+        .otherwise(strip_angle(F.col("s_tok")))
+        .alias("subject"),
+        "predicate",
+        F.when(is_lit, _ttl_unescape(F.regexp_extract("o_tok", _TTL_LIT_RE, 1)))
+        .when(F.col("o_tok").startswith("_:"), F.col("o_tok"))
+        .otherwise(strip_angle(F.col("o_tok")))
+        .alias("object"),
+        (~is_lit).alias("object_is_iri"),
+        F.when(
+            is_lit & (F.regexp_extract("o_tok", _TTL_LIT_RE, 2) != ""),
+            F.regexp_extract("o_tok", _TTL_LIT_RE, 2),
+        ).alias("object_datatype"),
     )
 
 

@@ -210,6 +210,51 @@ class TestStoreDiff:
         assert store.diff(c0, c0).count() == 0
 
 
+class TestTurtleSerialization:
+    def test_turtle_roundtrip_with_adversarial_literals(self, spark):
+        """turtle_docs → parse_turtle is a lossless round-trip, including
+        literals containing quotes, backslashes, newlines, tabs, '\\n'
+        two-char sequences, bnode-lookalike strings, and datatype tags."""
+        from genegraph_spark.functions.serialize import parse_turtle, turtle_docs
+
+        schema = (
+            "graph string, subject string, predicate string, object string, "
+            "object_is_iri boolean, object_datatype string"
+        )
+        rows = [
+            ("g1", "urn:s", "urn:p", "urn:o", True, None),
+            ("g1", "_:b0", "urn:p", "_:b1", True, None),
+            ("g1", "urn:s", "urn:q", 'she said "hi"', False, None),
+            ("g1", "urn:s", "urn:q", "back\\slash and \\n literal", False, None),
+            ("g1", "urn:s", "urn:q", "line1\nline2\ttabbed\rcr", False, "urn:xsd:string"),
+            ("g2", "urn:s", "urn:q", "_:not_a_bnode", False, None),
+            ("g2", "urn:s", "urn:q", "42", False, "http://www.w3.org/2001/XMLSchema#integer"),
+        ]
+        t = spark.createDataFrame(rows, schema)
+        docs = turtle_docs(t)
+        back = parse_turtle(docs)
+        assert {tuple(r) for r in back.collect()} == set(rows)
+
+    def test_turtle_is_partitioning_independent(self, spark):
+        from genegraph_spark.functions.serialize import turtle_docs
+
+        rows = [("g", f"urn:s{i}", "urn:p", f"v{i}", False, None) for i in range(50)]
+        schema = (
+            "graph string, subject string, predicate string, object string, "
+            "object_is_iri boolean, object_datatype string"
+        )
+        a = turtle_docs(spark.createDataFrame(rows, schema).repartition(16)).collect()
+        b = turtle_docs(spark.createDataFrame(list(reversed(rows)), schema).coalesce(1)).collect()
+        assert a == b
+
+    def test_jsonld_context_has_core_prefixes(self):
+        from genegraph_spark.functions.serialize import jsonld_context
+
+        ctx = jsonld_context()
+        assert ctx["rdf"].endswith("#") or ctx["rdf"].endswith("/")
+        assert "skos" in ctx and "xsd" in ctx
+
+
 class TestSingleWriterLock:
     def test_live_concurrent_writer_fails_fast(self, spark, tmp_path):
         """Two writers computing the same commit id must not interleave:
