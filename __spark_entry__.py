@@ -271,13 +271,15 @@ def q_alg_property_path(spark, sf_dir):
     return A.ld_path(t, start.toDF("node"), [(">", ":in-nation"), (">", ":in-region")])
 
 
-def q_alg_transitive_closure(spark, sf_dir):
+def _chain_triples(spark, sf_dir):
+    """:next chain over consecutive order keys < 20 — the shared fixture
+    for closure / bounded-repetition path queries."""
     orders = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") < 20)
     keys = orders.select("o_orderkey").distinct()
     nxt = keys.alias("a").join(
         keys.alias("b"), F.col("b.o_orderkey") == F.col("a.o_orderkey") + 1
     )
-    edges = nxt.select(
+    return nxt.select(
         F.lit("g").alias("graph"),
         F.concat(F.lit("k"), F.col("a.o_orderkey").cast("string")).alias("subject"),
         F.lit(":next").alias("predicate"),
@@ -285,7 +287,26 @@ def q_alg_transitive_closure(spark, sf_dir):
         F.lit(True).alias("object_is_iri"),
         F.lit(None).cast("string").alias("object_datatype"),
     )
-    return A.transitive_closure(edges, ":next")
+
+
+def q_alg_transitive_closure(spark, sf_dir):
+    return A.transitive_closure(_chain_triples(spark, sf_dir), ":next")
+
+
+def q_alg_path_negated(spark, sf_dir):
+    """Negated property set: from every customer, one hop over
+    !(:in-nation|:name) — reaches the :balance/:segment literals only."""
+    t = _geo_triples(spark, sf_dir)
+    start = A.project(A.bgp(t, [("?c", ":in-nation", "?n")]), ["?c"]).distinct()
+    return A.ld_path(t, start.toDF("node"), [("!", [":in-nation", ":name"])])
+
+
+def q_alg_path_bounded(spark, sf_dir):
+    """Bounded repetition :next{2,3}: nodes reachable in exactly 2 or 3
+    hops from any chain node — an unrolled join chain, no fixpoint."""
+    t = _chain_triples(spark, sf_dir)
+    start = t.select("subject").distinct()
+    return A.ld_path(t, start, [("range", ":next", 2, 3)])
 
 
 def q_alg_text_search(spark, sf_dir):
@@ -537,6 +558,38 @@ def q_sim_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(emb, q, k=5, n_probe=2).select(
         "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
     )
+
+
+def q_sim_ivf_kmeans(spark, sf_dir):
+    """IVF top-k with a fitted coarse quantizer: 2 deterministic Lloyd's
+    iterations over the md5-bucket seed centroids (similarity.kmeans_centroids)
+    — the production centroid path the fixed-K selection stands in for."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    cen = SIM.kmeans_centroids(emb, n_centroids=16, iters=2, dim=64)
+    return SIM.ivf_topk(emb, q, centroids=cen, k=5, n_probe=2).select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine")
+    )
+
+
+def q_sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: md5-seeded per-subspace codebooks, ADC
+    candidate generation over the (id, subspace, code) encoding, exact
+    cosine re-rank of the top k·refine candidates."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where("vec_id < 5").select(F.col("vec_id").alias("query_id"), "embedding")
+    return SIM.pq_topk(emb, q, n_subspaces=8, n_codes=16, k=5, refine=4, dim=64).select(
+        "query_id", "vec_id", "rank",
+        F.round("adc", 4).alias("adc"), F.round("cosine", 4).alias("cosine"),
+    )
+
+
+def q_dedup_cluster_reps(spark, sf_dir):
+    """Near-dup pairs → connected components → one kept representative
+    per cluster (the dedup-decision tail of the MinHash pipeline)."""
+    docs = _versioned_docs(spark, sf_dir)
+    pairs = q_dedup_minhash_pairs(spark, sf_dir).select("id_a", "id_b")
+    return D.cluster_representatives(docs, pairs)
 
 
 def q_text_stats(spark, sf_dir):
@@ -970,6 +1023,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and streaming queries without a verdict. Those previously-unverified
     # entries therefore come FIRST.
     return {
+        # round-3 additions (no driver verdict yet — run first)
+        "sim_ivf_kmeans": q_sim_ivf_kmeans,
+        "sim_pq_topk": q_sim_pq_topk,
+        "dedup_cluster_reps": q_dedup_cluster_reps,
+        "alg_path_negated": q_alg_path_negated,
+        "alg_path_bounded": q_alg_path_bounded,
         # training-data ops (unverified in round 2 — run first)
         "sim_ivf_topk": q_sim_ivf_topk,
         "dedup_exact": q_dedup_exact,
@@ -1372,6 +1431,22 @@ WITH {_GEO_TRIPLES}
 SELECT DISTINCT ir.o AS node
 FROM geo innat JOIN geo ir ON innat.o = ir.s AND ir.p = ':in-region'
 WHERE innat.p = ':in-nation'""",
+        # negated property set !(:in-nation|:name) out of customer nodes
+        "alg_path_negated": f"""
+WITH {_GEO_TRIPLES}
+SELECT DISTINCT g.o AS node
+FROM geo g
+WHERE g.p NOT IN (':in-nation', ':name')
+  AND g.s IN (SELECT DISTINCT s FROM geo WHERE p = ':in-nation')""",
+        # bounded repetition :next{2,3} from every chain node: union of
+        # the exactly-2 and exactly-3 hop join chains
+        "alg_path_bounded": """
+WITH keys_ AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey < 20),
+edges AS (SELECT 'k' || CAST(a.k AS VARCHAR) AS src, 'k' || CAST(b.k AS VARCHAR) AS dst
+          FROM keys_ a JOIN keys_ b ON b.k = a.k + 1),
+h2 AS (SELECT a.src, b.dst FROM edges a JOIN edges b ON a.dst = b.src),
+h3 AS (SELECT h2.src, e.dst FROM h2 JOIN edges e ON h2.dst = e.src)
+SELECT DISTINCT dst AS node FROM (SELECT dst FROM h2 UNION ALL SELECT dst FROM h3)""",
         "alg_transitive_closure": """
 WITH RECURSIVE keys_ AS (SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey < 20),
 edges AS (SELECT 'k' || CAST(a.k AS VARCHAR) AS src, 'k' || CAST(b.k AS VARCHAR) AS dst
@@ -1467,6 +1542,120 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""",
         "dedup_embedding_lsh": embedding_lsh_sql,
+        # minhash pairs → recursive-CTE connected components (min string
+        # id per component — matches connected_components' contract) →
+        # longest-text representative per cluster
+        "dedup_cluster_reps": f"""
+WITH RECURSIVE {_PAGES}, {_VDOCS}, {_shingle_sql('vdocs', 3)}, {_minhash_sql(16)},
+bands AS (
+  SELECT doc_id, 0 AS band, md5(concat_ws('|', h0, h1, h2, h3)) AS bucket FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h4, h5, h6, h7)) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h8, h9, h10, h11)) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h12, h13, h14, h15)) FROM sigs),
+cpairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+          AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter FROM cpairs p
+  JOIN sh a ON a.doc_id = p.id_a JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b),
+jac AS (SELECT i.id_a, i.id_b,
+  round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b),
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.6),
+edges AS (SELECT CAST(id_a AS VARCHAR) AS src, CAST(id_b AS VARCHAR) AS dst FROM pairs
+          UNION SELECT CAST(id_b AS VARCHAR), CAST(id_a AS VARCHAR) FROM pairs),
+nodes AS (SELECT DISTINCT src AS n FROM edges),
+walk(n, c) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT e.dst, w.c FROM walk w JOIN edges e ON e.src = w.n),
+comp AS (SELECT n, min(c) AS cluster FROM walk GROUP BY n),
+members AS (SELECT v.doc_id, co.cluster, v.text FROM vdocs v
+            JOIN comp co ON CAST(v.doc_id AS VARCHAR) = co.n),
+ranked AS (SELECT doc_id, cluster, row_number() OVER (
+             PARTITION BY cluster ORDER BY strlen(text) DESC, doc_id ASC) AS rn
+           FROM members),
+reps AS (SELECT cluster, doc_id AS rep_id FROM ranked WHERE rn = 1)
+SELECT m.doc_id, m.cluster, r.rep_id, m.doc_id = r.rep_id AS keep
+FROM members m JOIN reps r ON r.cluster = m.cluster""",
+        # two unrolled Lloyd's iterations (rounded-cosine argmax
+        # assignment; per-dimension 6dp-rounded means) over the md5-bucket
+        # seed centroids, then the standard IVF probe/rank
+        "sim_ivf_kmeans": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bkt AS (SELECT vec_id, CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS b FROM e),
+reps AS (SELECT b, min(vec_id) AS centroid_id FROM bkt GROUP BY b),
+cen0 AS (SELECT centroid_id, v AS cv FROM reps JOIN e ON e.vec_id = reps.centroid_id),
+asn1 AS (SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cen0 c) WHERE rn = 1),
+cen1 AS (SELECT centroid_id, list(val ORDER BY i) AS cv FROM (
+    SELECT a.centroid_id, t.i, round(avg(e.v[t.i + 1]), 6) AS val
+    FROM asn1 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN range(64) t(i)
+    GROUP BY a.centroid_id, t.i) GROUP BY centroid_id),
+asn2 AS (SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cen1 c) WHERE rn = 1),
+cen2 AS (SELECT centroid_id, list(val ORDER BY i) AS cv FROM (
+    SELECT a.centroid_id, t.i, round(avg(e.v[t.i + 1]), 6) AS val
+    FROM asn2 a JOIN e ON e.vec_id = a.vec_id CROSS JOIN range(64) t(i)
+    GROUP BY a.centroid_id, t.i) GROUP BY centroid_id),
+asn AS (SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, c.cv), 6) DESC, c.centroid_id ASC) AS rn
+    FROM e CROSS JOIN cen2 c) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+probes AS (SELECT query_id, centroid_id, qv FROM (
+    SELECT q.query_id, c.centroid_id, q.qv,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.centroid_id ASC) AS rn
+    FROM q CROSS JOIN cen2 c) WHERE rn <= 2),
+scored AS (SELECT p.query_id, a.vec_id, round(list_cosine_similarity(p.qv, e.v), 6) AS cosine
+           FROM probes p JOIN asn a ON a.centroid_id = p.centroid_id
+           JOIN e ON e.vec_id = a.vec_id
+           WHERE a.vec_id <> p.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM scored)
+SELECT query_id, vec_id, rank, round(cosine, 4) AS cosine FROM r WHERE rank <= 5""",
+        # full PQ path: per-subspace md5-bucket codebooks, rounded-L2
+        # argmin encoding, per-query LUT, ADC sum of 6dp-rounded partial
+        # dots, top-20 candidates, exact-cosine re-rank
+        "sim_pq_topk": """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sub AS (SELECT vec_id, s.i AS subspace, list_slice(v, s.i * 8 + 1, s.i * 8 + 8) AS sv
+        FROM e CROSS JOIN range(8) s(i)),
+codebkt AS (SELECT vec_id, subspace,
+    CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || ':' || CAST(subspace AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS code
+    FROM sub),
+creps AS (SELECT subspace, code, min(vec_id) AS rep FROM codebkt GROUP BY subspace, code),
+books AS (SELECT r.subspace, r.code, s.sv AS codeword
+          FROM creps r JOIN sub s ON s.vec_id = r.rep AND s.subspace = r.subspace),
+enc AS (SELECT vec_id, subspace, code FROM (
+    SELECT s.vec_id, s.subspace, b.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.subspace
+             ORDER BY round(list_distance(s.sv, b.codeword), 6) ASC, b.code ASC) AS rn
+    FROM sub s JOIN books b ON b.subspace = s.subspace) WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+lut AS (SELECT q.query_id, b.subspace, b.code,
+        round(list_dot_product(list_slice(q.qv, b.subspace * 8 + 1, b.subspace * 8 + 8), b.codeword), 6) AS pd
+        FROM q CROSS JOIN books b),
+adc AS (SELECT l.query_id, en.vec_id, round(sum(l.pd), 6) AS adc
+        FROM enc en JOIN lut l ON l.subspace = en.subspace AND l.code = en.code
+        WHERE en.vec_id <> l.query_id GROUP BY l.query_id, en.vec_id),
+cand AS (SELECT query_id, vec_id, adc FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS rn
+    FROM adc) WHERE rn <= 20),
+exact AS (SELECT c.query_id, c.vec_id, c.adc,
+          round(list_cosine_similarity(q.qv, e.v), 6) AS cosine
+          FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rank FROM exact)
+SELECT query_id, vec_id, rank, round(adc, 4) AS adc, round(cosine, 4) AS cosine FROM r WHERE rank <= 5""",
         # replicates the IVF path end-to-end: fixed-K md5-bucket centroid
         # selection, rounded-cosine assignment argmax, per-query top-2
         # probe, rank within probed partitions

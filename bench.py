@@ -55,7 +55,9 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_embedding_lsh",
+    "dedup_cluster_reps",
     "sim_topk",
+    "sim_pq_topk",
     "text_stats",
     "kg_jsonld_docs",
     "join_asof_descriptor",

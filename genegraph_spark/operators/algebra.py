@@ -188,10 +188,14 @@ def construct(bindings: DataFrame, templates: list[tuple], graph: Term = None) -
 
 # -- traversal ---------------------------------------------------------------
 
-def _hop(triples: DataFrame, direction: str, preds: list[str]) -> DataFrame:
+def _hop(
+    triples: DataFrame, direction: str, preds: list[str], negate: bool = False
+) -> DataFrame:
     """(node, next) edge pairs for one traversal step over ``preds``
-    (a set = SPARQL alternation ``a|b``)."""
-    edges = triples.where(F.col("predicate").isin(preds))
+    (a set = SPARQL alternation ``a|b``); ``negate`` inverts the
+    predicate set (SPARQL negated property set ``!(a|b)``)."""
+    cond = F.col("predicate").isin(preds)
+    edges = triples.where(~cond if negate else cond)
     hops = []
     if direction in (">", "-"):
         hops.append(edges.select(F.col("subject").alias("node"), F.col("object").alias("next")))
@@ -210,15 +214,21 @@ def ld_path(triples: DataFrame, start: DataFrame, steps: list[tuple]) -> DataFra
       direction accepts a list; construct_proband_score.sparql:147-148);
     - ``('?', pred)`` — zero-or-one out-hop (``pred?``);
     - ``('rep', pred, n)`` — exactly-n out-hops (the positional
-      ``rdf:rest{n}`` list indexing, construct_proband_score.sparql:127-132).
+      ``rdf:rest{n}`` list indexing, construct_proband_score.sparql:127-132);
+    - ``('!', preds)`` — negated property set ``!(p1|p2)``: one out-hop
+      over any predicate NOT in the set (SPARQL 1.1 §9.1);
+    - ``('range', pred, n, m)`` — bounded repetition ``pred{n,m}``:
+      n mandatory out-hops then m−n optional ones, i.e. the union of
+      ``pred^i`` for n ≤ i ≤ m. A bounded unrolled join chain — unlike
+      ``*``/``+`` (:func:`transitive_closure`) it needs no fixpoint.
 
     Returns one column ``node``. Each hop is an equi-join against a
     predicate-filtered scan; predicate pushdown applies."""
     cur = start.toDF("node")
 
-    def follow(df: DataFrame, direction: str, preds) -> DataFrame:
+    def follow(df: DataFrame, direction: str, preds, negate: bool = False) -> DataFrame:
         preds = preds if isinstance(preds, list) else [preds]
-        hop = _hop(triples, direction, preds)
+        hop = _hop(triples, direction, preds, negate)
         return df.join(hop, "node").select(F.col("next").alias("node")).distinct()
 
     for step in steps:
@@ -228,6 +238,15 @@ def ld_path(triples: DataFrame, start: DataFrame, steps: list[tuple]) -> DataFra
         elif kind == "rep":
             for _ in range(step[2]):
                 cur = follow(cur, ">", step[1])
+        elif kind == "!":
+            cur = follow(cur, ">", step[1], negate=True)
+        elif kind == "range":
+            _, pred, lo, hi = step
+            assert 0 <= lo <= hi, f"range step needs 0 <= n <= m, got {lo},{hi}"
+            for _ in range(lo):
+                cur = follow(cur, ">", pred)
+            for _ in range(hi - lo):
+                cur = cur.unionByName(follow(cur, ">", pred)).distinct()
         else:
             cur = follow(cur, kind, step[1])
     return cur

@@ -373,3 +373,53 @@ def embedding_lsh_near_duplicates(
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def cluster_representatives(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into dedup DECISIONS: connected
+    components over the pair graph, one representative kept per cluster.
+
+    The standard tail of a training-data dedup pipeline (pairs alone
+    over-delete: a–b and b–c near-dups must not drop both b and c when
+    only one cluster member should survive). Representative = the longest
+    text in the cluster, ties on min id — deterministic and
+    engine-reproducible. Returns (``id_col``, cluster, rep_id, keep) for
+    documents that are in some cluster; singletons are trivially kept and
+    not emitted.
+
+    Scale: component count/size is bounded by the near-dup graph, not the
+    corpus; the CC runs on ids only (strings), never text, via
+    :func:`genegraph_spark.operators.canonicalize.connected_components`
+    (alternating star contraction — O(log) rounds). Cluster ids are the
+    lexicographic min member id (string form), matching the CC contract."""
+    from genegraph_spark.operators.canonicalize import connected_components
+
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    cc = connected_components(edges)
+    members = docs.join(
+        cc, docs[id_col].cast("string") == cc["node"]
+    ).select(docs[id_col], F.col("component").alias("cluster"), F.col(text_col))
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc(F.length(text_col)), F.asc(id_col)
+    )
+    ranked = members.withColumn("_rn", F.row_number().over(w))
+    reps = ranked.where(F.col("_rn") == 1).select(
+        F.col("cluster").alias("_rc"), F.col(id_col).alias("rep_id")
+    )
+    return (
+        ranked.join(F.broadcast(reps), F.col("cluster") == F.col("_rc"))
+        .select(
+            id_col,
+            "cluster",
+            "rep_id",
+            (F.col(id_col) == F.col("rep_id")).alias("keep"),
+        )
+    )

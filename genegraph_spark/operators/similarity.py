@@ -93,6 +93,68 @@ def default_centroids(
     ).select("centroid_id", F.col(vec_col))
 
 
+def l2_expr(a: Column, b: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def _infer_dim(corpus: DataFrame, vec_col: str) -> int:
+    row = corpus.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None:
+        raise ValueError("cannot infer embedding dimension from an empty corpus")
+    return int(row["d"])
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 2,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means fit for the IVF coarse quantizer
+    (the production replacement for :func:`default_centroids`' md5-bucket
+    representatives — which seed it here).
+
+    Each iteration is (1) a broadcast-join argmax assignment (rounded
+    cosine, ties on centroid id — the same determinism contract as
+    :func:`ivf_assign`) and (2) a per-dimension mean, computed as ``dim``
+    independent ``avg`` aggregates over one shuffle keyed by centroid —
+    map-side partial aggregation applies, so the shuffle carries
+    O(partitions × K × dim) not O(corpus). Means are rounded to 6dp so
+    the fitted centroids are bit-identical across engines and float
+    summation orders. Clusters that receive no vectors drop out (inner
+    join), mirroring standard empty-cluster elimination.
+
+    Per-round cost at 100 TB: one broadcast (O(K·dim)) + one narrow
+    scan + one tiny shuffle — rounds are a constant (``iters``), not
+    data-dependent."""
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    cen = default_centroids(corpus, n_centroids, id_col=id_col, vec_col=vec_col).select(
+        "centroid_id", F.col(vec_col).cast("array<double>").alias("v")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(iters):
+        asn = ivf_assign(c, cen, id_col=id_col, vec_col="v").select(id_col, "centroid_id")
+        cen = (
+            c.join(asn, id_col)
+            .groupBy("centroid_id")
+            .agg(
+                F.array(
+                    *[F.round(F.avg(F.col("v").getItem(i)), 6) for i in range(dim)]
+                ).alias("v")
+            )
+        )
+    return cen.select("centroid_id", F.col("v").alias(vec_col))
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -158,3 +220,187 @@ def ivf_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# -- product quantization (ADC) ----------------------------------------------
+
+def pq_codebooks(
+    corpus: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-subspace codebooks for product quantization (Jégou et al.,
+    "Product Quantization for Nearest Neighbor Search", TPAMI'11):
+    split the vector into ``n_subspaces`` contiguous slices and pick
+    ``n_codes`` codewords per subspace.
+
+    Codewords are md5-bucket representatives (hash ``id:subspace`` into a
+    code bucket, take the min-id vector's slice) — the same
+    engine-reproducible discipline as :func:`default_centroids`; a
+    k-means fit per subspace is the production upgrade and slots into the
+    same (subspace, code, codeword) schema. Returns
+    (subspace, code, codeword: array<double>). O(m·K) rows — always
+    broadcastable."""
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    assert dim % n_subspaces == 0, (
+        f"dim={dim} must be divisible by n_subspaces={n_subspaces}"
+    )
+    width = dim // n_subspaces
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    sub = c.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    F.slice("v", s * width + 1, width).alias("sv"),
+                )
+                for s in range(n_subspaces)
+            ])
+        ).alias("e"),
+    ).select(id_col, "e.subspace", "e.sv")
+    code = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.col("subspace").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        % n_codes
+    )
+    reps = (
+        sub.select("subspace", code.alias("code"), F.col(id_col))
+        .groupBy("subspace", "code")
+        .agg(F.min(id_col).alias("_rep"))
+        # break self-join lineage ambiguity: reps derives from sub
+        .select(F.col("subspace").alias("_rs"), "code", "_rep")
+    )
+    return (
+        sub.join(
+            F.broadcast(reps),
+            (F.col("subspace") == F.col("_rs")) & (F.col(id_col) == F.col("_rep")),
+        )
+        .select("subspace", "code", F.col("sv").alias("codeword"))
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    n_subspaces: int = 8,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``n_subspaces`` small-int codes: per
+    subspace, the codeword minimizing L2 distance to the vector's slice
+    (rounded to 6dp, ties on code id — deterministic across engines).
+
+    Returns (id, subspace, code) — the compressed corpus a 100 TB ANN
+    index actually stores: m bytes per vector instead of dim floats. The
+    codebook is broadcast (O(m·K) rows); encoding is map-side except the
+    final argmin window, keyed by (id, subspace) — no skew possible."""
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    width = dim // n_subspaces
+    c = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    sub = c.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("subspace"),
+                    F.slice("v", s * width + 1, width).alias("sv"),
+                )
+                for s in range(n_subspaces)
+            ])
+        ).alias("e"),
+    ).select(id_col, "e.subspace", "e.sv")
+    scored = sub.join(F.broadcast(codebooks), "subspace").select(
+        id_col,
+        "subspace",
+        "code",
+        F.round(l2_expr(F.col("sv"), F.col("codeword")), 6).alias("_d"),
+    )
+    # argmin as a struct-min aggregate (lexicographic on (_d, code) — same
+    # tie-break as a window rank but partially aggregatable map-side, so
+    # the K-way expansion never survives the shuffle)
+    return (
+        scored.groupBy(id_col, "subspace")
+        .agg(F.min(F.struct("_d", "code")).alias("_m"))
+        .select(id_col, "subspace", F.col("_m.code").alias("code"))
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    k: int = 5,
+    refine: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k with exact re-rank: score every
+    encoded vector against a per-query lookup table (subspace, code) →
+    partial dot product, take the top ``k·refine`` ADC candidates, then
+    re-rank those (and only those) by exact cosine.
+
+    The scale shape: the corpus is touched only through its (id,
+    subspace, code) encoding — m small ints per vector; the per-query LUT
+    (m·K rows) is broadcast; the exact re-rank reads full vectors for
+    k·refine candidates per query, not the corpus. Partial dots are
+    rounded to 6dp before the sum and the sum re-rounded, so ADC scores
+    are order-independent and engine-reproducible."""
+    if dim is None:
+        dim = _infer_dim(corpus, vec_col)
+    width = dim // n_subspaces
+    books = pq_codebooks(corpus, n_subspaces, n_codes, dim, id_col, vec_col)
+    encoded = pq_encode(corpus, books, n_subspaces, dim, id_col, vec_col)
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    lut = q.join(F.broadcast(books)).select(
+        query_id_col,
+        "subspace",
+        "code",
+        F.round(
+            dot_expr(
+                F.slice("qv", F.col("subspace") * width + 1, width), F.col("codeword")
+            ),
+            6,
+        ).alias("_pd"),
+    )
+    adc = (
+        encoded.join(F.broadcast(lut), ["subspace", "code"])
+        .where(F.col(id_col) != F.col(query_id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_pd"), 6).alias("adc"))
+    )
+    wc = Window.partitionBy(query_id_col).orderBy(F.desc("adc"), F.asc(id_col))
+    cands = (
+        adc.withColumn("_rn", F.row_number().over(wc))
+        .where(F.col("_rn") <= k * refine)
+        .select(query_id_col, id_col, "adc")
+    )
+    full = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv"))
+    exact = (
+        cands.join(full, id_col)
+        .join(F.broadcast(q), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            "adc",
+            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -462,3 +462,138 @@ class TestHgvsParser:
             assert p is not None, s
             assert unparse_hgvs_py(p) == s, s
             assert parse_hgvs_py(unparse_hgvs_py(p)) == p, s
+
+
+class TestKmeansCentroids:
+    def test_fit_is_deterministic_and_fixed_k(self, spark, sf_dir):
+        from genegraph_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        a = S.kmeans_centroids(emb, n_centroids=8, iters=2)
+        b = S.kmeans_centroids(emb.repartition(13), n_centroids=8, iters=2)
+        ra = sorted((r.centroid_id, tuple(r.embedding)) for r in a.collect())
+        rb = sorted((r.centroid_id, tuple(r.embedding)) for r in b.collect())
+        assert ra == rb
+        assert 0 < len(ra) <= 8
+
+    def test_fitted_centroids_do_not_hurt_ivf_recall(self, spark, sf_dir):
+        """On a clustered input (vectors perturbed around 4 anchors), the
+        Lloyd's fit must match or beat the raw md5-bucket seeds."""
+        from genegraph_spark.operators import similarity as S
+
+        anchors = [[(7 * (a + 1) * (i % 5) % 11) - 5.0 for i in range(16)] for a in range(4)]
+        rows = []
+        for vid in range(200):
+            base = anchors[vid % 4]
+            rows.append((vid, [base[i] + ((vid * 31 + i) % 7) * 0.1 for i in range(16)]))
+        emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        q = emb.where("vec_id < 8").selectExpr("vec_id as query_id", "embedding")
+        truth = {(r.query_id, r.vec_id) for r in S.cosine_topk(emb, q, k=5).collect()}
+
+        def recall(cen):
+            got = {
+                (r.query_id, r.vec_id)
+                for r in S.ivf_topk(emb, q, centroids=cen, k=5, n_probe=2).collect()
+            }
+            return len(truth & got) / len(truth)
+
+        seed = recall(S.default_centroids(emb, 8))
+        fit = recall(S.kmeans_centroids(emb, n_centroids=8, iters=2))
+        assert fit >= seed
+        assert fit >= 0.9
+
+
+class TestProductQuantization:
+    def test_encoding_is_m_codes_per_vector(self, spark, sf_dir):
+        from genegraph_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        books = S.pq_codebooks(emb, n_subspaces=8, n_codes=16)
+        enc = S.pq_encode(emb, books, n_subspaces=8)
+        per_vec = enc.groupBy("vec_id").count().select("count").distinct().collect()
+        assert [r["count"] for r in per_vec] == [8]
+
+    def test_adc_rerank_recall_floor(self, spark, sf_dir):
+        from genegraph_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where("vec_id < 5").selectExpr("vec_id as query_id", "embedding")
+        truth = {(r.query_id, r.vec_id) for r in S.cosine_topk(emb, q, k=5).collect()}
+        got = {
+            (r.query_id, r.vec_id)
+            for r in S.pq_topk(emb, q, n_subspaces=8, n_codes=16, k=5, refine=4).collect()
+        }
+        # md5-seeded codebooks over near-random synthetic vectors: a modest
+        # floor documents the compression trade (exact re-rank caps at the
+        # candidate set ADC surfaces)
+        assert len(truth & got) / len(truth) >= 0.4
+
+    def test_rerank_scores_are_exact_cosines(self, spark, sf_dir):
+        from genegraph_spark.operators import similarity as S
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+        pq = S.pq_topk(emb, q, n_subspaces=8, n_codes=16, k=3, refine=4)
+        exact = S.cosine_topk(emb, q, k=10_000)
+        joined = pq.select("query_id", "vec_id", F.col("cosine").alias("pq_cos")).join(
+            exact.select("query_id", "vec_id", "cosine"), ["query_id", "vec_id"]
+        )
+        bad = joined.where(F.abs(F.col("pq_cos") - F.col("cosine")) > 1e-9).count()
+        assert bad == 0
+
+
+class TestClusterRepresentatives:
+    def test_chain_cluster_keeps_single_longest(self, spark):
+        from genegraph_spark.operators.dedup import cluster_representatives
+
+        docs = spark.createDataFrame(
+            [(1, "aa"), (2, "aaaa"), (3, "aaa"), (4, "zz"), (5, "unrelated")],
+            "doc_id int, text string",
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (4, 3)], "id_a int, id_b int"
+        )
+        out = {r.doc_id: r for r in cluster_representatives(docs, pairs).collect()}
+        # one cluster {1,2,3,4}; rep = doc 2 (longest text)
+        assert set(out) == {1, 2, 3, 4}
+        assert all(r.rep_id == 2 for r in out.values())
+        assert [d for d, r in out.items() if r.keep] == [2]
+        assert all(r.cluster == "1" for r in out.values())
+
+    def test_singletons_not_emitted(self, spark):
+        from genegraph_spark.operators.dedup import cluster_representatives
+
+        docs = spark.createDataFrame([(1, "a"), (9, "b")], "doc_id int, text string")
+        pairs = spark.createDataFrame([], "id_a int, id_b int")
+        assert cluster_representatives(docs, pairs).count() == 0
+
+
+class TestPathExtensions:
+    def _triples(self, spark, rows):
+        return spark.createDataFrame(
+            [("g", s, p, o, True, None) for s, p, o in rows],
+            "graph string, subject string, predicate string, object string, "
+            "object_is_iri boolean, object_datatype string",
+        )
+
+    def test_negated_property_set(self, spark):
+        from genegraph_spark.operators import algebra as A
+
+        t = self._triples(
+            spark,
+            [("a", ":x", "b"), ("a", ":y", "c"), ("a", ":z", "d"), ("e", ":z", "f")],
+        )
+        start = spark.createDataFrame([("a",)], "node string")
+        out = {r.node for r in A.ld_path(t, start, [("!", [":x", ":y"])]).collect()}
+        assert out == {"d"}
+
+    def test_bounded_repetition_n_to_m(self, spark):
+        from genegraph_spark.operators import algebra as A
+
+        chain = [(f"n{i}", ":next", f"n{i+1}") for i in range(6)]
+        t = self._triples(spark, chain)
+        start = spark.createDataFrame([("n0",)], "node string")
+        out = {r.node for r in A.ld_path(t, start, [("range", ":next", 2, 4)]).collect()}
+        assert out == {"n2", "n3", "n4"}
+        zero = {r.node for r in A.ld_path(t, start, [("range", ":next", 0, 1)]).collect()}
+        assert zero == {"n0", "n1"}
