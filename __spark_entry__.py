@@ -852,6 +852,17 @@ def q_cur_activities(spark, sf_dir):
     return CUR.curation_activities(_kg_triples_df(spark, sf_dir))
 
 
+def q_cur_disease_subtree(spark, sf_dir):
+    # descendant-aware curation rollup (curation.clj:303-314:
+    # subClassOf* + membership): skos:broader+ closure over the fixture
+    # disease forest, then pages-supporting-any-descendant counts
+    from genegraph_spark.plans import curation as CUR
+
+    return CUR.disease_subtree_counts(
+        _kg_triples_df(spark, sf_dir), fixtures.hierarchy_triples(spark)
+    )
+
+
 def q_kg_jsonld_docs(spark, sf_dir):
     # per-graph JSON-LD-style serialization (query.clj:87-100,
     # sink/event.clj:78-98 produce step)
@@ -1029,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_reps": q_dedup_cluster_reps,
         "alg_path_negated": q_alg_path_negated,
         "alg_path_bounded": q_alg_path_bounded,
+        "cur_disease_subtree": q_cur_disease_subtree,
         # training-data ops (unverified in round 2 — run first)
         "sim_ivf_topk": q_sim_ivf_topk,
         "dedup_exact": q_dedup_exact,
@@ -1847,6 +1859,25 @@ GROUP BY 1, 2""",
         "cur_activities": f"""
 WITH t AS ({_TRIPLES_SQL}), {_CUR_TAGGED}
 {_CUR_ACTS_SELECT}""",
+        "cur_disease_subtree": f"""
+WITH RECURSIVE t AS ({_TRIPLES_SQL}),
+hier(child, parent) AS (VALUES {", ".join(
+    f"({fixtures._sql_quote(c)}, {fixtures._sql_quote(p)})"
+    for c, p in fixtures.DISEASE_HIERARCHY)}),
+diseases AS (SELECT DISTINCT subject AS iri FROM t
+             WHERE predicate = '{I.RDF_TYPE}' AND object = '{I.TYPE_IRIS["disease"]}'),
+closure(root, descendant) AS (
+  SELECT iri, iri FROM diseases
+  UNION
+  SELECT c.root, h.child FROM closure c JOIN hier h ON h.parent = c.descendant),
+m AS (SELECT subject AS page, object AS descendant FROM t
+      WHERE predicate = '{I.P_MENTIONS}'),
+sizes AS (SELECT root, count(DISTINCT descendant) AS n_descendants
+          FROM closure GROUP BY root),
+pc AS (SELECT c.root, count(DISTINCT m.page) AS n_pages
+       FROM closure c JOIN m ON m.descendant = c.descendant GROUP BY c.root)
+SELECT s.root, s.n_descendants, coalesce(pc.n_pages, CAST(0 AS BIGINT)) AS n_pages
+FROM sizes s LEFT JOIN pc USING (root)""",
         "cur_suggest_infix": f"""
 WITH t AS ({_TRIPLES_SQL}), {_CUR_TAGGED},
 acts AS ({_CUR_ACTS_SELECT}),

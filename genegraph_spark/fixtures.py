@@ -76,6 +76,34 @@ ENTITIES: list[tuple[str, str, str, list[str], list[str], list[str]]] = [
 # words never linked (stopword analog)
 STOPWORDS = ["a", "the", "data", "line", "table", "order", "part", "customer", "group", "agg"]
 
+# Disease hierarchy (child, parent) — skos:broader edges. The reference's
+# disease-descendant resolvers walk a MONDO ``rdfs:subClassOf*`` tree
+# (``src/genegraph/source/graphql/common/curation.clj:303-314``); no
+# external ontology is allowed here, so a fixed two-tree forest over the
+# six fixture diseases stands in. The SLOWNESS side is a depth-3 chain so
+# the closure needs >1 doubling round.
+DISEASE_HIERARCHY: list[tuple[str, str]] = [
+    (f"{KG}/entity/SMALLNESS", f"{KG}/entity/SLOWNESS"),
+    (f"{KG}/entity/QUERYOSIS", f"{KG}/entity/SMALLNESS"),
+    (f"{KG}/entity/DUPLICATION", f"{KG}/entity/BIGNESS"),
+    (f"{KG}/entity/FASTNESS", f"{KG}/entity/BIGNESS"),
+]
+
+
+def hierarchy_triples(spark: SparkSession) -> DataFrame:
+    """``skos:broader`` edges as triples-shaped rows (dictionary graph)."""
+    from .functions import iri as I
+
+    rows = [
+        (I.DICTIONARY_GRAPH, child, I.BROADER, parent, True, None)
+        for child, parent in DISEASE_HIERARCHY
+    ]
+    return spark.createDataFrame(
+        rows,
+        "graph string, subject string, predicate string, object string, "
+        "object_is_iri boolean, object_datatype string",
+    )
+
 
 def dictionary_df(spark: SparkSession) -> DataFrame:
     """Normalized dictionary: one row per entity (arrays for labels)."""

@@ -34,6 +34,7 @@ PREF_LABEL = _PREFIX_MAP["skos"] + "prefLabel"
 ALT_LABEL = _PREFIX_MAP["skos"] + "altLabel"
 HIDDEN_LABEL = _PREFIX_MAP["skos"] + "hiddenLabel"
 SAME_AS = _PREFIX_MAP["owl"] + "sameAs"
+BROADER = _PREFIX_MAP["skos"] + "broader"
 REPLACES = _PREFIX_MAP["dc"] + "replaces"
 IS_REPLACED_BY = _PREFIX_MAP["dc"] + "isReplacedBy"
 P_MENTIONS = _PREFIX_MAP["kgp"] + "mentions"

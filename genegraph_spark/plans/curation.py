@@ -138,6 +138,46 @@ def curation_activities(triples: DataFrame) -> DataFrame:
     )
 
 
+def disease_subtree_counts(triples: DataFrame, hierarchy: DataFrame) -> DataFrame:
+    """Per-disease subtree rollup — the reference's descendant-aware
+    curation resolver (``curation.clj:303-314``: ``?disease
+    rdfs:subClassOf* ?root`` then membership per descendant), re-expressed
+    as closure + broadcast join + grouped counts instead of a per-root
+    recursive traversal.
+
+    For every disease ``root``: the size of its descendants-or-self set
+    (via ``skos:broader+`` path doubling over ``hierarchy``) and the
+    number of distinct live pages mentioning ANY disease in that set.
+    Roots with zero supporting pages are kept (left join + coalesce).
+
+    Scale shape: the closure runs on the ontology (dictionary-scale, ≪
+    corpus) and broadcasts; the corpus-sized mentions scan is filtered to
+    disease objects by that broadcast semi-join, then one shuffle groups
+    by root. No corpus self-join anywhere.
+    """
+    diseases = typed_entities(triples, I.TYPE_IRIS["disease"]).select(
+        F.col("entity").alias("root")
+    )
+    # (src=descendant, dst=ancestor) pairs, one-or-more broader hops
+    anc = A.transitive_closure(hierarchy, I.BROADER)
+    pairs = (
+        diseases.select("root", F.col("root").alias("descendant"))
+        .unionByName(
+            anc.select(F.col("dst").alias("root"), F.col("src").alias("descendant"))
+        )
+        .distinct()
+    )
+    mentions = A.bgp(triples, [("?page", I.P_MENTIONS, "?descendant")])
+    hits = mentions.join(F.broadcast(pairs), "descendant")
+    sizes = pairs.groupBy("root").agg(
+        F.countDistinct("descendant").alias("n_descendants")
+    )
+    counts = hits.groupBy("root").agg(F.countDistinct("page").alias("n_pages"))
+    return sizes.join(counts, "root", "left_outer").withColumn(
+        "n_pages", F.coalesce(F.col("n_pages"), F.lit(0).cast("long"))
+    )
+
+
 def suggest_infix(
     triples: DataFrame, query: str, entity_type: str | None = None, limit: int = 10
 ) -> DataFrame:

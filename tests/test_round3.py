@@ -597,3 +597,59 @@ class TestPathExtensions:
         assert out == {"n2", "n3", "n4"}
         zero = {r.node for r in A.ld_path(t, start, [("range", ":next", 0, 1)]).collect()}
         assert zero == {"n0", "n1"}
+
+
+class TestDiseaseSubtree:
+    """disease_subtree_counts — closure + broadcast join + rollup
+    (curation.clj:303-314 descendant-aware membership)."""
+
+    def _triples(self, spark, rows):
+        return spark.createDataFrame(
+            [("g", s, p, o, is_iri, None) for s, p, o, is_iri in rows],
+            "graph string, subject string, predicate string, object string, "
+            "object_is_iri boolean, object_datatype string",
+        )
+
+    def test_counts_roll_up_through_chain(self, spark):
+        from genegraph_spark.functions import iri as I
+        from genegraph_spark.plans import curation as CUR
+
+        dis = I.TYPE_IRIS["disease"]
+        # chain root <- mid <- leaf ; 'other' is an isolated disease
+        triples = self._triples(
+            spark,
+            [
+                ("root", I.RDF_TYPE, dis, True),
+                ("mid", I.RDF_TYPE, dis, True),
+                ("leaf", I.RDF_TYPE, dis, True),
+                ("other", I.RDF_TYPE, dis, True),
+                ("p1", I.P_MENTIONS, "leaf", True),
+                ("p2", I.P_MENTIONS, "mid", True),
+                ("p2", I.P_MENTIONS, "leaf", True),  # same page: distinct count
+                ("p3", I.P_MENTIONS, "other", True),
+            ],
+        )
+        hier = self._triples(
+            spark,
+            [("mid", I.BROADER, "root", True), ("leaf", I.BROADER, "mid", True)],
+        )
+        rows = {
+            r.root: (r.n_descendants, r.n_pages)
+            for r in CUR.disease_subtree_counts(triples, hier).collect()
+        }
+        assert rows == {
+            "root": (3, 2),   # {root, mid, leaf}; pages p1+p2
+            "mid": (2, 2),    # {mid, leaf}; p1+p2
+            "leaf": (1, 2),   # p1+p2 both mention leaf
+            "other": (1, 1),
+        }
+
+    def test_zero_page_root_kept(self, spark):
+        from genegraph_spark.functions import iri as I
+        from genegraph_spark.plans import curation as CUR
+
+        dis = I.TYPE_IRIS["disease"]
+        triples = self._triples(spark, [("lonely", I.RDF_TYPE, dis, True)])
+        hier = self._triples(spark, [])
+        [r] = CUR.disease_subtree_counts(triples, hier).collect()
+        assert (r.root, r.n_descendants, r.n_pages) == ("lonely", 1, 0)
