@@ -205,6 +205,7 @@ def run_to_store(
     store_path: str,
     dry_run: bool = False,
     resume: bool = False,
+    incremental: bool = False,
     **kw,
 ):
     """Full batch run: construct + MERGE into the named-graph store.
@@ -219,22 +220,44 @@ def run_to_store(
     granularity, stream.clj:221-236), so a restarted run only pays
     extraction for the unprocessed remainder. It is NOT incremental
     ingest: an input containing NEW versions of a previously-processed
-    url would be silently skipped — feed updates through a plain
-    (non-resume) run, whose whole-graph MERGE replaces the graph
-    idempotently. Replay without ``resume`` stays correct, resume makes
-    the identical-input restart CHEAP."""
+    url would be silently skipped — that is what ``incremental`` is for.
+
+    ``incremental``: TRUE INCREMENTAL INGEST — the skip-set is keyed on
+    (url, max processed version), not url alone: a url is reprocessed
+    when the incoming max ``version`` exceeds the lineage watermark
+    (:meth:`NamedGraphStore.processed_versions`) or the watermark is
+    null/absent (unknown → reprocess; whole-graph MERGE keeps that
+    idempotent). Each merge records the watermark via
+    ``graph_versions``, so successive incremental feeds pay extraction
+    only for new or updated urls — the Kafka-consumer catch-up loop
+    (stream.clj:150-170) re-expressed as batch anti-join + MERGE."""
     from ..sinks.named_graph import NamedGraphStore
 
+    assert not (resume and incremental), "resume and incremental are exclusive modes"
     store = NamedGraphStore(spark, store_path)
+    pages = kw.pop("pages", None)
+    if pages is None:
+        pages = fixtures.pages_df(spark, sf_dir)
     if resume and store.exists():
-        pages = kw.pop("pages", None)
-        if pages is None:
-            pages = fixtures.pages_df(spark, sf_dir)
         # processed set (publish OR unpublish — a tombstoned graph was
         # handled too) is corpus-scale: shuffled anti-join on url, NOT a
         # broadcast; AQE picks the strategy
         done = store.processed_graphs().withColumnRenamed("graph", "url")
-        kw["pages"] = pages.join(done, "url", "left_anti")
+        pages = pages.join(done, "url", "left_anti")
+    elif incremental and store.exists():
+        # stale = unseen urls + urls whose incoming max version advanced
+        # past the processed watermark; one shuffled join on url
+        incoming = pages.groupBy("url").agg(F.max("version").alias("_in_v"))
+        wm = store.processed_versions().select(
+            F.col("graph").alias("url"), F.col("version").alias("_done_v")
+        )
+        stale = (
+            incoming.join(wm, "url", "left_outer")
+            .where(F.col("_done_v").isNull() | (F.col("_in_v") > F.col("_done_v")))
+            .select("url")
+        )
+        pages = pages.join(stale, "url", "left_semi")
+    kw["pages"] = pages
     res = construct_kg(spark, sf_dir, **kw)
     if dry_run:
         summary = {
@@ -245,5 +268,10 @@ def run_to_store(
             "n_deleted_graphs": res.deleted_graphs.count(),
         }
         return res, store, summary
-    commit = store.merge(res.triples, delete_graphs=res.deleted_graphs)
+    versions = pages.groupBy(F.col("url").alias("graph")).agg(
+        F.max("version").alias("version")
+    )
+    commit = store.merge(
+        res.triples, delete_graphs=res.deleted_graphs, graph_versions=versions
+    )
     return res, store, commit

@@ -37,7 +37,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
+from contextlib import contextmanager
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -119,7 +121,12 @@ class NamedGraphStore:
         return self.read(commit).drop("bucket")
 
     # -- write path ------------------------------------------------------------
-    def merge(self, triples: DataFrame, delete_graphs: DataFrame | None = None) -> dict:
+    def merge(
+        self,
+        triples: DataFrame,
+        delete_graphs: DataFrame | None = None,
+        graph_versions: DataFrame | None = None,
+    ) -> dict:
         """Replace every incoming graph's content; optionally delete
         graphs. A graph in BOTH inputs is deleted (delete wins — one
         deterministic outcome instead of publish/unpublish racing in the
@@ -135,15 +142,20 @@ class NamedGraphStore:
         writer."""
         last = self.last_commit()
         commit = 0 if last is None else last + 1
+        with self._commit_lock(commit):
+            return self._merge_locked(triples, delete_graphs, last, commit, graph_versions)
+
+    @contextmanager
+    def _commit_lock(self, commit: int):
+        """O_EXCL create with our pid: a LIVE concurrent writer holding the
+        same commit id fails fast; a lock left by a CRASHED writer (pid
+        dead — crash-replay is the documented resume path) is reclaimed,
+        and the overwrite below clobbers its orphan data dir so the
+        manifest write makes exactly one outcome visible. On a cluster
+        store the same role is played by an O_EXCL/conditional-put
+        manifest create on shared storage."""
         lock = os.path.join(self.path, f"commit-{commit:08d}.lock")
         os.makedirs(self.path, exist_ok=True)
-        # O_EXCL create with our pid: a LIVE concurrent writer holding the
-        # same commit id fails fast; a lock left by a CRASHED writer (pid
-        # dead — crash-replay is the documented resume path) is reclaimed,
-        # and the overwrite below clobbers its orphan data dir so the
-        # manifest write makes exactly one outcome visible. On a cluster
-        # store the same role is played by an O_EXCL/conditional-put
-        # manifest create on shared storage.
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(fd, str(os.getpid()).encode())
@@ -168,7 +180,7 @@ class NamedGraphStore:
             with open(lock, "w") as f:  # stale lock from a dead writer
                 f.write(str(os.getpid()))
         try:
-            return self._merge_locked(triples, delete_graphs, last, commit)
+            yield
         finally:
             try:
                 os.remove(lock)
@@ -181,6 +193,7 @@ class NamedGraphStore:
         delete_graphs: DataFrame | None,
         last: int | None,
         commit: int,
+        graph_versions: DataFrame | None = None,
     ) -> dict:
         if delete_graphs is not None:
             triples = triples.join(delete_graphs.select("graph"), "graph", "left_anti")
@@ -225,7 +238,7 @@ class NamedGraphStore:
             # the manifest write (tests/test_store.py kill/resume)
             os._exit(17)
 
-        self._write_lineage(commit, new, delete_graphs)
+        self._write_lineage(commit, new, delete_graphs, graph_versions)
         meta = {
             "commit": commit,
             "buckets": buckets_map,
@@ -243,8 +256,80 @@ class NamedGraphStore:
         empty = self.spark.createDataFrame([], TRIPLE_SCHEMA)
         return self.merge(empty, delete_graphs=graphs)
 
+    # -- maintenance ---------------------------------------------------------
+    def compact(self) -> dict:
+        """Rewrite every live bucket into one fresh data dir — Iceberg's
+        ``rewrite_data_files`` analog. After many incremental merges the
+        manifest points buckets at many commit dirs, and old dirs carry
+        dead rows for graphs replaced later; a compaction commit rewrites
+        the CURRENT rows once (one bucket-partitioned shuffle, same layout
+        the merge path uses) and publishes a manifest where all buckets
+        point at the new dir. Content is unchanged, so no lineage rows are
+        written and ``diff(last, compacted)`` is empty; older snapshots
+        stay readable until :meth:`expire_snapshots`.
+
+        The reference never compacts (Jena TDB2 manages its own B-trees,
+        ``database/instance.clj``); on a lakehouse this is the operation
+        that keeps read amplification flat as commit count grows."""
+        last = self.last_commit()
+        if last is None:
+            raise ValueError("nothing to compact: store has no commits")
+        commit = last + 1
+        with self._commit_lock(commit):
+            live = self._read_segments(self._read_manifest(last))
+            data_dir = f"data/c{commit:08d}"
+            live.repartition("bucket").sortWithinPartitions(
+                "bucket", "graph"
+            ).write.mode("overwrite").parquet(os.path.join(self.path, data_dir))
+            meta = {
+                "commit": commit,
+                "buckets": {str(b): data_dir for b in range(self.n_buckets)},
+                "n_buckets": self.n_buckets,
+                "wall_ts": time.time(),
+                "compaction_of": last,
+            }
+            with open(self._manifest_path(commit), "w") as f:
+                json.dump(meta, f)
+            return meta
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Drop all but the newest ``keep_last`` manifests and delete data
+        dirs no retained manifest references — Iceberg's
+        ``expire_snapshots`` analog. Time travel to expired commits stops
+        working (that is the point: bounded storage); lineage history is
+        kept, only snapshot data is reclaimed. Returns removed data dirs."""
+        assert keep_last >= 1, "must retain at least the latest snapshot"
+        commits = sorted(
+            int(m[1:-5]) for m in os.listdir(self._manifests)
+            if m.startswith("c") and m.endswith(".json")
+        )
+        drop, keep = commits[:-keep_last], commits[-keep_last:]
+        if not drop:
+            return []
+        # guard the newest commit's lock so expiry never races a writer
+        with self._commit_lock(commits[-1] + 1):
+            live_dirs = {
+                d for c in keep for d in self._read_manifest(c)["buckets"].values()
+            }
+            removed = []
+            data_root = os.path.join(self.path, "data")
+            for d in sorted(os.listdir(data_root) if os.path.exists(data_root) else []):
+                rel = os.path.join("data", d)
+                if rel not in live_dirs:
+                    shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+                    removed.append(rel)
+            for c in drop:
+                os.remove(self._manifest_path(c))
+            return removed
+
     # -- lineage / resume ---------------------------------------------------
-    def _write_lineage(self, commit: int, triples: DataFrame, delete_graphs: DataFrame | None):
+    def _write_lineage(
+        self,
+        commit: int,
+        triples: DataFrame,
+        delete_graphs: DataFrame | None,
+        graph_versions: DataFrame | None = None,
+    ):
         lin = (
             triples.groupBy("graph")
             .agg(F.count("*").alias("n_triples"))
@@ -257,12 +342,24 @@ class NamedGraphStore:
                 .withColumn("n_triples", F.lit(0).cast("long"))
                 .withColumn("action", F.lit("unpublish"))
             )
+        # optional per-graph source version (incremental-ingest watermark);
+        # graphs without one (e.g. the dictionary graph) record null
+        if graph_versions is not None:
+            lin = lin.join(
+                graph_versions.select("graph", F.col("version").cast("long")),
+                "graph",
+                "left_outer",
+            )
+        else:
+            lin = lin.withColumn("version", F.lit(None).cast("long"))
         lin.write.mode("overwrite").parquet(os.path.join(self._lineage, f"commit={commit}"))
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.option("basePath", self._lineage).parquet(
-            os.path.join(self._lineage, "commit=*")
-        )
+        # mergeSchema: commits written before the version column existed
+        # surface it as null instead of failing the union
+        return self.spark.read.option("basePath", self._lineage).option(
+            "mergeSchema", "true"
+        ).parquet(os.path.join(self._lineage, "commit=*"))
 
     def committed_graphs(self) -> DataFrame:
         """Graphs whose latest lineage action is publish — the resume set:
@@ -319,4 +416,20 @@ class NamedGraphStore:
             return self.spark.createDataFrame([], "graph string")
         return (
             self.lineage().where(F.col("commit") <= last).select("graph").distinct()
+        )
+
+    def processed_versions(self) -> DataFrame:
+        """(graph, version) — the highest source version each graph was
+        processed at (publish or unpublish), the incremental-ingest
+        watermark. ``version`` is null for graphs only ever merged
+        without ``graph_versions`` (callers must treat null as unknown
+        and reprocess; the whole-graph MERGE makes that safe)."""
+        last = self.last_commit()
+        if last is None:
+            return self.spark.createDataFrame([], "graph string, version bigint")
+        return (
+            self.lineage()
+            .where(F.col("commit") <= last)
+            .groupBy("graph")
+            .agg(F.max("version").alias("version"))
         )

@@ -80,3 +80,91 @@ def test_pipeline_to_store_and_resume(spark, sf_dir, tmp_path):
     a = {tuple(r) for r in store2.triples().collect()}
     b = {tuple(r) for r in store2.triples(commit=commit["commit"]).collect()}
     assert a == b
+
+
+def test_compact_and_expire_snapshots(spark, tmp_path):
+    import os
+
+    store = NamedGraphStore(spark, str(tmp_path / "store3"), n_buckets=8)
+    store.merge(make(spark, [t(f"g{i}", "s", "p", f"o{i}") for i in range(40)]))
+    store.merge(make(spark, [t("g3", "s", "p", "NEW3")]))            # c1
+    store.delete_graphs(make(spark, [t("g5", "x", "x", "x")]).select("graph"))  # c2
+    before = {(r["graph"], r["object"]) for r in store.triples().collect()}
+    pre_commit = store.last_commit()
+
+    meta = store.compact()                                           # c3
+    assert meta["compaction_of"] == pre_commit
+    # content unchanged, all buckets now point at the compaction dir
+    after = {(r["graph"], r["object"]) for r in store.triples().collect()}
+    assert after == before
+    assert set(meta["buckets"].values()) == {f"data/c{meta['commit']:08d}"}
+    # no content change ⇒ empty diff vs the pre-compaction snapshot
+    assert store.diff(pre_commit, meta["commit"]).count() == 0
+    # time travel to pre-compaction commits still works…
+    assert store.triples(commit=0).count() == 40
+
+    removed = store.expire_snapshots(keep_last=1)
+    assert removed  # old commit dirs reclaimed
+    data_dirs = set(os.listdir(os.path.join(str(tmp_path / "store3"), "data")))
+    assert data_dirs == {f"c{meta['commit']:08d}"}
+    # …until expiry; latest snapshot unaffected, resume set survives
+    assert {(r["graph"], r["object"]) for r in store.triples().collect()} == before
+    committed = {r["graph"] for r in store.committed_graphs().collect()}
+    assert "g5" not in committed and "g3" in committed
+
+    # writes continue normally after maintenance
+    store.merge(make(spark, [t("g100", "s", "p", "o100")]))
+    assert store.triples().where(F.col("graph") == "g100").count() == 1
+
+
+def test_incremental_ingest_processes_only_updated_urls(spark, sf_dir, tmp_path):
+    """incremental=True keys the skip-set on (url, max processed version):
+    unchanged urls are never re-extracted, a url with a NEW version is —
+    the gap the restart-only resume mode documents away."""
+    from genegraph_spark import fixtures
+    from genegraph_spark.plans.pipeline import run_to_store
+
+    path = str(tmp_path / "inc")
+    base = fixtures.pages_df(spark, sf_dir)
+    _, store, c0 = run_to_store(spark, sf_dir, path, pages=base, use_golden_text=True)
+    n0 = store.triples().count()
+
+    # identical feed: zero stale pages; only the (unversioned) dictionary
+    # graph republishes, with identical content
+    res2, store, c1 = run_to_store(
+        spark, sf_dir, path, pages=base, incremental=True, use_golden_text=True
+    )
+    assert res2.pages.count() == 0
+    assert store.triples().count() == n0
+    assert store.diff(c0["commit"], c1["commit"]).count() == 0
+
+    # feed with ONE url advanced to a new version (different text);
+    # pick a url whose head is a LIVE v1 (max version 3 would copy the
+    # fixture's tombstone html and the graph would stay deleted)
+    row = (
+        base.groupBy("url")
+        .agg(F.max("version").alias("v"))
+        .where(F.col("v") == 1)
+        .orderBy("url")
+        .limit(1)
+    ).collect()[0]
+    upd = (
+        base.where((F.col("url") == row.url) & (F.col("version") == row.v))
+        .withColumn("version", F.col("version") + F.lit(1))
+        .withColumn("text", F.lit("spark big slow"))
+    )
+    res3, store, c2 = run_to_store(
+        spark, sf_dir, path, pages=base.unionByName(upd),
+        incremental=True, use_golden_text=True,
+    )
+    # only the updated url entered the pipeline…
+    assert {r.url for r in res3.pages.select("url").distinct().collect()} == {row.url}
+    # …and only its graph changed in the store
+    changed = {r.graph for r in store.diff(c1["commit"], c2["commit"]).collect()}
+    assert changed == {row.url}
+    # its watermark advanced, so replaying the same feed is again a no-op
+    res4, store, _ = run_to_store(
+        spark, sf_dir, path, pages=base.unionByName(upd),
+        incremental=True, use_golden_text=True,
+    )
+    assert res4.pages.count() == 0
