@@ -605,6 +605,12 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    # Gopher-style repetition filters: top-bigram coverage + duplicated-
+    # trigram coverage per document (explode + groupBy(doc, gram), no UDF)
+    return TS.repetition_stats(_read(spark, sf_dir, "documents"))
+
+
 def q_text_fingerprints(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -852,6 +858,17 @@ def q_cur_activities(spark, sf_dir):
     return CUR.curation_activities(_kg_triples_df(spark, sf_dir))
 
 
+def q_alg_describe(spark, sf_dir):
+    # DESCRIBE ?page WHERE { ?page :mentions kge:SLOWNESS } — concise
+    # bounded description: page triples + their mention bnodes' triples
+    t = _kg_triples_df(spark, sf_dir)
+    start = A.project(
+        A.bgp(t, [("?page", I.P_MENTIONS, f"{fixtures.KG}/entity/SLOWNESS")]),
+        ["?page"],
+    ).withColumnRenamed("page", "node")
+    return A.describe(t, start)
+
+
 def q_cur_disease_subtree(spark, sf_dir):
     # descendant-aware curation rollup (curation.clj:303-314:
     # subClassOf* + membership): skos:broader+ closure over the fixture
@@ -1041,6 +1058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alg_path_negated": q_alg_path_negated,
         "alg_path_bounded": q_alg_path_bounded,
         "cur_disease_subtree": q_cur_disease_subtree,
+        "alg_describe": q_alg_describe,
         # training-data ops (unverified in round 2 — run first)
         "sim_ivf_topk": q_sim_ivf_topk,
         "dedup_exact": q_dedup_exact,
@@ -1057,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_suggest_infix": q_cur_suggest_infix,
         "sim_topk": q_sim_topk,
         "text_stats": q_text_stats,
+        "text_repetition": q_text_repetition,
         "text_fingerprints": q_text_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         # streaming (foreachBatch → batch-dir table; SQL-oracled)
@@ -1716,6 +1735,23 @@ SELECT doc_id, len(toks) AS n_tokens,
     x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) / len(toks)
     ELSE 0.0 END) >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_guess
 FROM t""",
+        "text_repetition": """
+WITH base AS (SELECT doc_id,
+  list_filter(list_transform(string_split_regex(text, '\\s+'), x -> lower(x)), x -> x <> '') AS tk
+  FROM documents),
+b AS (SELECT doc_id, tk, len(tk) AS n FROM base),
+g2 AS (SELECT doc_id, unnest(list_transform(range(n - 1), i -> tk[i+1] || ' ' || tk[i+2])) AS g
+       FROM b WHERE n >= 2),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, max(c) AS mx2 FROM c2 GROUP BY 1),
+g3 AS (SELECT doc_id, unnest(list_transform(range(n - 2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
+       FROM b WHERE n >= 3),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+t3 AS (SELECT doc_id, sum(c) AS d3 FROM c3 WHERE c > 1 GROUP BY 1)
+SELECT b.doc_id, b.n AS n_tokens,
+  round(CASE WHEN b.n > 0 THEN least(1.0, coalesce(CAST(t2.mx2 AS DOUBLE) * 2 / b.n, 0.0)) ELSE 0.0 END, 6) AS top_bigram_frac,
+  round(CASE WHEN b.n > 0 THEN least(1.0, coalesce(CAST(t3.d3 AS DOUBLE) * 3 / b.n, 0.0)) ELSE 0.0 END, 6) AS dup_trigram_frac
+FROM b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)""",
         "text_fingerprints": """
 WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
 SELECT doc_id, md5(text) AS fp,
@@ -1859,6 +1895,18 @@ GROUP BY 1, 2""",
         "cur_activities": f"""
 WITH t AS ({_TRIPLES_SQL}), {_CUR_TAGGED}
 {_CUR_ACTS_SELECT}""",
+        "alg_describe": f"""
+WITH RECURSIVE t AS ({_TRIPLES_SQL}),
+start(subject) AS (SELECT DISTINCT subject FROM t
+  WHERE predicate = '{I.P_MENTIONS}'
+    AND object = '{fixtures.KG}/entity/SLOWNESS'),
+nodes(subject) AS (
+  SELECT subject FROM start
+  UNION
+  SELECT t.object FROM t JOIN nodes n ON t.subject = n.subject
+  WHERE starts_with(t.object, '_:'))
+SELECT DISTINCT t.graph, t.subject, t.predicate, t.object, t.object_is_iri, t.object_datatype
+FROM t JOIN nodes USING (subject)""",
         "cur_disease_subtree": f"""
 WITH RECURSIVE t AS ({_TRIPLES_SQL}),
 hier(child, parent) AS (VALUES {", ".join(

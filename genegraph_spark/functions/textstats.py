@@ -79,3 +79,74 @@ def rolling_fingerprint(text: Column, k: int = 3) -> Column:
         lambda i: F.md5(F.array_join(F.slice(toks, i + 1, k), " ")),
     )
     return F.array_min(sh)
+
+
+def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, public):
+    per-document top-bigram coverage and duplicated-trigram coverage —
+    the standard "remove boilerplate/templated pages" signals a
+    training-data pipeline applies before dedup.
+
+    Returns (doc_id, n_tokens, top_bigram_frac, dup_trigram_frac):
+      top_bigram_frac  = tokens covered by the single most frequent
+                         bigram: max_count * 2 / n_tokens, capped at 1;
+      dup_trigram_frac = tokens covered by trigrams occurring >1 time:
+                         sum(count) * 3 / n_tokens, capped at 1.
+    Fractions are 0 for docs too short to form a gram. Rounded to 6
+    decimals (int/int division → cross-engine exact).
+
+    Scale shape: one explode + groupBy(doc, gram) shuffle per gram size
+    with map-side combine; state is bounded by per-document vocabulary,
+    keys are (doc, gram) so hot documents don't make hot keys. No UDFs.
+    """
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    base = (
+        df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+        .withColumn("n", F.size("tk"))
+    )
+
+    def grams(k):
+        return F.when(
+            F.col("n") >= k,
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - k),
+                lambda i: F.array_join(F.slice("tk", i + 1, k), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    c2 = (
+        base.select("doc_id", F.explode(grams(2)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    top2 = c2.groupBy("doc_id").agg(F.max("c").alias("mx2"))
+    c3 = (
+        base.select("doc_id", F.explode(grams(3)).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    dup3 = c3.where(F.col("c") > 1).groupBy("doc_id").agg(F.sum("c").alias("d3"))
+    zero = F.lit(0.0)
+    return (
+        base.select("doc_id", "n")
+        .join(top2, "doc_id", "left_outer")
+        .join(dup3, "doc_id", "left_outer")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.round(
+                F.when(
+                    F.col("n") > 0,
+                    F.least(F.lit(1.0), F.coalesce(F.col("mx2") * 2 / F.col("n"), zero)),
+                ).otherwise(zero),
+                6,
+            ).alias("top_bigram_frac"),
+            F.round(
+                F.when(
+                    F.col("n") > 0,
+                    F.least(F.lit(1.0), F.coalesce(F.col("d3") * 3 / F.col("n"), zero)),
+                ).otherwise(zero),
+                6,
+            ).alias("dup_trigram_frac"),
+        )
+    )

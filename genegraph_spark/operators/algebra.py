@@ -186,6 +186,37 @@ def construct(bindings: DataFrame, templates: list[tuple], graph: Term = None) -
     return reduce(lambda a, b: a.unionByName(b), outs).dropDuplicates()
 
 
+def describe(triples: DataFrame, nodes: DataFrame, max_iter: int = 10) -> DataFrame:
+    """SPARQL DESCRIBE as a Concise Bounded Description: every triple
+    whose subject is a described node, recursively following blank-node
+    objects (Jena's DESCRIBE handler semantics; the reference serializes
+    per-resource models the same way, ``database/query.clj:87-100``).
+
+    ``nodes`` is a one-column (node) frame. Rounds are bounded by the
+    bnode-chain depth (here: page → mention bnode, depth 1; anonymous
+    structures are shallow by construction), each round one join keyed on
+    subject — never a full-graph fixpoint. ``seen`` accumulation keeps
+    cycles of bnodes from looping."""
+    frontier = nodes.select(F.col("node").alias("subject")).distinct()
+    seen = frontier.localCheckpoint(eager=True)
+    out = triples.join(seen, "subject", "inner")
+    for _ in range(max_iter):
+        bnodes = (
+            out.where(F.col("object").startswith("_:"))
+            .select(F.col("object").alias("subject"))
+            .distinct()
+            .join(seen, "subject", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if bnodes.limit(1).count() == 0:
+            break
+        seen = seen.unionByName(bnodes).localCheckpoint(eager=True)
+        out = out.unionByName(triples.join(bnodes, "subject", "inner"))
+    return out.select(
+        "graph", "subject", "predicate", "object", "object_is_iri", "object_datatype"
+    ).dropDuplicates()
+
+
 # -- traversal ---------------------------------------------------------------
 
 def _hop(

@@ -134,3 +134,30 @@ def test_multimodal_plumbing(spark, sf_dir):
         multimodal.decode_media(media, fake=False).limit(1).collect()
     frames = multimodal.frame_sample(media, every_n=50)
     assert frames.where("frame_idx < 0").count() == 0 and frames.count() > 0
+
+
+def test_repetition_stats(spark):
+    from genegraph_spark.functions import textstats as TS
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam ham spam ham spam ham"),       # "spam ham" bigram x3
+            (2, "all words here are unique tokens"),  # no repetition
+            (3, "x y z x y z x y z"),                 # trigram "x y z" repeats
+            (4, "one"),                               # too short for any gram
+            (5, ""),                                  # empty
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in TS.repetition_stats(docs).collect()}
+    # doc1: 6 tokens, bigram "spam ham" occurs 3× → 3*2/6 = 1.0
+    assert got[1].top_bigram_frac == 1.0
+    # doc2: every bigram unique → 1*2/6; no duplicated trigram
+    assert abs(got[2].top_bigram_frac - 2 / 6) < 1e-6  # rounded to 6 decimals
+    assert got[2].dup_trigram_frac == 0.0
+    # doc3: 9 tokens, trigram "x y z" occurs 3× (positions 0,3,6) →
+    # duplicated-trigram coverage 3*3/9 = 1.0
+    assert got[3].dup_trigram_frac == 1.0
+    # short/empty docs: zero fractions, kept in output
+    assert got[4].top_bigram_frac == 0.0 and got[4].dup_trigram_frac == 0.0
+    assert got[5].n_tokens == 0 and got[5].top_bigram_frac == 0.0

@@ -653,3 +653,29 @@ class TestDiseaseSubtree:
         hier = self._triples(spark, [])
         [r] = CUR.disease_subtree_counts(triples, hier).collect()
         assert (r.root, r.n_descendants, r.n_pages) == ("lonely", 1, 0)
+
+
+class TestDescribe:
+    def test_cbd_follows_bnode_chain_and_survives_cycles(self, spark):
+        from genegraph_spark.operators import algebra as A
+
+        rows = [
+            ("g", "iri:a", ":p", "_:b1", True, None),
+            ("g", "_:b1", ":q", "_:b2", True, None),       # depth-2 chain
+            ("g", "_:b2", ":r", "lit", False, None),
+            ("g", "_:b2", ":back", "_:b1", True, None),    # bnode cycle
+            ("g", "iri:other", ":p", "_:b3", True, None),  # unreachable
+        ]
+        t = spark.createDataFrame(
+            rows,
+            "graph string, subject string, predicate string, object string, "
+            "object_is_iri boolean, object_datatype string",
+        )
+        start = spark.createDataFrame([("iri:a",)], "node string")
+        got = {(r.subject, r.predicate, r.object) for r in A.describe(t, start).collect()}
+        assert got == {
+            ("iri:a", ":p", "_:b1"),
+            ("_:b1", ":q", "_:b2"),
+            ("_:b2", ":r", "lit"),
+            ("_:b2", ":back", "_:b1"),
+        }
