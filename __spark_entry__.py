@@ -1004,7 +1004,11 @@ def _stream_source(spark, sf_dir: str, kind: str) -> str:
         import tempfile
 
         base = tempfile.mkdtemp(prefix=f"gg_src_{kind}_")
-        writer = S.write_pages_source if kind == "pages" else S.write_events_source
+        writer = {
+            "pages": S.write_pages_source,
+            "events": S.write_events_source,
+            "events_dupes": S.write_events_source_with_dupes,
+        }[kind]
         _STREAM_SRC_CACHE[key] = writer(spark, sf_dir, os.path.join(base, "src"))
     return _STREAM_SRC_CACHE[key]
 
@@ -1017,6 +1021,19 @@ def q_stream_mentions(spark, sf_dir):
     src = _stream_source(spark, sf_dir, "pages")
     ckpt = tempfile.mkdtemp(prefix="gg_stream_")
     return S.stream_mention_counts(spark, src, os.path.join(ckpt, "ckpt"))
+
+
+def q_stream_dedup(spark, sf_dir):
+    # exactly-once over at-least-once delivery: dropDuplicatesWithinWatermark
+    # collapses the replayed events (every 10th id delivered twice, in a
+    # later micro-batch) back to the distinct event set
+    import tempfile
+
+    from genegraph_spark.streaming import stream as S
+
+    src = _stream_source(spark, sf_dir, "events_dupes")
+    ckpt = tempfile.mkdtemp(prefix="gg_stream_dd_")
+    return S.stream_dedup_events(spark, src, os.path.join(ckpt, "ckpt"))
 
 
 def q_stream_windows(spark, sf_dir):
@@ -1079,6 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprints": q_text_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         # streaming (foreachBatch → batch-dir table; SQL-oracled)
+        "stream_dedup": q_stream_dedup,
         "stream_mentions": q_stream_mentions,
         "stream_windows": q_stream_windows,
         "stream_stateful_totals": q_stream_stateful_totals,
@@ -1999,6 +2017,10 @@ SELECT node FROM hop2""",
         # their batch-composed results are deterministic, so plain SQL
         # oracles apply (the stream processes every non-tombstone page
         # VERSION — no latest-head compaction in the ingest path)
+        # dedup-within-watermark over a source that delivers every 10th
+        # event twice: the exactly-once output is the plain distinct set
+        "stream_dedup": """
+SELECT event_id, ts, user_id, event_type, value, props FROM events""",
         "stream_mentions": f"""
 WITH {_PAGES}, {_ALIAS},
 np AS (SELECT url, text FROM pages WHERE NOT tombstone),

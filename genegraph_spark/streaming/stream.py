@@ -59,6 +59,18 @@ def write_events_source(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
     return out_dir
 
 
+def write_events_source_with_dupes(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Events source with deterministic duplicate deliveries: every
+    event_id divisible by 10 appears a second time, appended as separate
+    files so the replay lands in a LATER micro-batch — the at-least-once
+    redelivery shape (a Kafka consumer replaying past its last committed
+    offset, stream.clj:150-170) the dedup stream must collapse."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(4).write.mode("overwrite").parquet(out_dir)
+    ev.where(F.col("event_id") % 10 == 0).coalesce(1).write.mode("append").parquet(out_dir)
+    return out_dir
+
+
 def _batch_dir_writer(out_dir: str):
     """foreachBatch fn: write the micro-batch result to ``batch=N``,
     overwriting on checkpoint replay — idempotent exactly-once commits
@@ -163,6 +175,45 @@ def stream_windowed_events(
         .withColumn("_rn", F.row_number().over(w))
         .where("_rn = 1")
         .select("window_start", "event_type", "n", "total")
+    )
+
+
+def stream_dedup_events(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    out_dir: str | None = None,
+    watermark_delay: str = "35 days",
+    max_files_per_trigger: int = 2,
+) -> DataFrame:
+    """Streaming exactly-once dedup: ``dropDuplicatesWithinWatermark``
+    keyed on event_id — duplicate deliveries from an at-least-once
+    source (offset replay after a crash) collapse to ONE emission, and
+    the dedup state is EVICTED once the watermark passes an event's
+    time, instead of growing forever (the unbounded ``dropDuplicates``
+    state trap at 100 TB). ``watermark_delay`` must cover the source's
+    redelivery horizon (Kafka retention / replay window); here it spans
+    the whole fixture so the assertion is deterministic regardless of
+    how files split into micro-batches."""
+    out_dir = out_dir or checkpoint_dir + "_out"
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    dd = src.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        dd.writeStream.outputMode("append")
+        .foreachBatch(_batch_dir_writer(out_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return _read_batches(spark, out_dir, EVENT_SCHEMA + ", batch int").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
     )
 
 

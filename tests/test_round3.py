@@ -679,3 +679,19 @@ class TestDescribe:
             ("_:b2", ":r", "lit"),
             ("_:b2", ":back", "_:b1"),
         }
+
+
+class TestStreamDedup:
+    def test_redelivered_events_collapse_to_one_emission(self, spark, sf_dir, tmp_path):
+        from pyspark.sql import functions as FF
+
+        from genegraph_spark.streaming import stream as S
+
+        src = S.write_events_source_with_dupes(spark, sf_dir, str(tmp_path / "src"))
+        n_deliveries = spark.read.parquet(src).count()
+        n_distinct = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert n_deliveries > n_distinct  # the source really redelivers
+
+        got = S.stream_dedup_events(spark, src, str(tmp_path / "ckpt"))
+        assert got.count() == n_distinct
+        assert got.groupBy("event_id").count().where(FF.col("count") > 1).count() == 0
