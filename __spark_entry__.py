@@ -611,6 +611,16 @@ def q_text_repetition(spark, sf_dir):
     return TS.repetition_stats(_read(spark, sf_dir, "documents"))
 
 
+def q_text_corpus_filter(spark, sf_dir):
+    # composed curation pass over a corpus with injected exact dups
+    # (every 100th doc delivered twice under a shifted id)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.where(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return TS.corpus_filter(docs.unionByName(dupes))
+
+
 def q_text_fingerprints(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -1093,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "text_stats": q_text_stats,
         "text_repetition": q_text_repetition,
+        "text_corpus_filter": q_text_corpus_filter,
         "text_fingerprints": q_text_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         # streaming (foreachBatch → batch-dir table; SQL-oracled)
@@ -1753,6 +1764,51 @@ SELECT doc_id, len(toks) AS n_tokens,
     x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) / len(toks)
     ELSE 0.0 END) >= 0.05 THEN 'en' ELSE 'unknown' END AS lang_guess
 FROM t""",
+        "text_corpus_filter": """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 100 = 0),
+tok AS (SELECT doc_id, text,
+  list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks FROM corpus),
+stats AS (SELECT doc_id, len(toks) AS n_tokens,
+  round(((CASE WHEN len(toks) BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.5 END)
+   + (CASE WHEN len(toks) > 0 THEN CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS DOUBLE) / len(toks) ELSE 0.0 END)
+   + (CASE WHEN CAST(length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) <= 0.2 THEN 1.0 ELSE 0.0 END)
+  ) / 3.0, 6) AS quality,
+  CASE WHEN (CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(list_transform(toks, x -> lower(x)),
+    x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE) / len(toks) ELSE 0.0 END) >= 0.05
+    THEN 'en' ELSE 'unknown' END AS lang_guess,
+  md5(text) AS fp
+  FROM tok),
+lt AS (SELECT doc_id, list_filter(list_transform(string_split_regex(text, '\\s+'), x -> lower(x)), x -> x <> '') AS tk FROM corpus),
+b AS (SELECT doc_id, tk, len(tk) AS n FROM lt),
+g2 AS (SELECT doc_id, unnest(list_transform(range(n - 1), i -> tk[i+1] || ' ' || tk[i+2])) AS g FROM b WHERE n >= 2),
+c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, max(c) AS mx2 FROM c2 GROUP BY 1),
+g3 AS (SELECT doc_id, unnest(list_transform(range(n - 2), i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g FROM b WHERE n >= 3),
+c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+t3 AS (SELECT doc_id, sum(c) AS d3 FROM c3 WHERE c > 1 GROUP BY 1),
+rep AS (SELECT b.doc_id,
+  round(CASE WHEN b.n > 0 THEN least(1.0, coalesce(CAST(t2.mx2 AS DOUBLE) * 2 / b.n, 0.0)) ELSE 0.0 END, 6) AS top_bigram_frac,
+  round(CASE WHEN b.n > 0 THEN least(1.0, coalesce(CAST(t3.d3 AS DOUBLE) * 3 / b.n, 0.0)) ELSE 0.0 END, 6) AS dup_trigram_frac
+  FROM b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)),
+fst AS (SELECT fp, min(doc_id) AS keep_id FROM stats GROUP BY 1),
+j AS (SELECT s.doc_id, s.n_tokens, s.quality, r.top_bigram_frac, r.dup_trigram_frac,
+             s.lang_guess,
+  list_sort(list_filter([
+    CASE WHEN s.n_tokens < 20 THEN 'too_short' END,
+    CASE WHEN s.quality < 0.75 THEN 'low_quality' END,
+    CASE WHEN s.lang_guess <> 'en' THEN 'non_english' END,
+    CASE WHEN r.top_bigram_frac > 0.2 THEN 'repetitive_bigram' END,
+    CASE WHEN r.dup_trigram_frac > 0.2 THEN 'repetitive_trigram' END,
+    CASE WHEN s.doc_id <> f.keep_id THEN 'exact_dup' END
+  ], x -> x IS NOT NULL)) AS reasons
+  FROM stats s JOIN rep r USING (doc_id) JOIN fst f USING (fp))
+SELECT doc_id, n_tokens, quality, top_bigram_frac, dup_trigram_frac, lang_guess,
+  coalesce(array_to_string(reasons, ','), '') AS drop_reasons,
+  coalesce(len(reasons), 0) = 0 AS keep
+FROM j""",
         "text_repetition": """
 WITH base AS (SELECT doc_id,
   list_filter(list_transform(string_split_regex(text, '\\s+'), x -> lower(x)), x -> x <> '') AS tk

@@ -150,3 +150,64 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
             ).alias("dup_trigram_frac"),
         )
     )
+
+
+def corpus_filter(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    min_quality: float = 0.75,
+    max_top_bigram: float = 0.2,
+    max_dup_trigram: float = 0.2,
+):
+    """The composed training-data curation pass: every document scored on
+    length / quality / language / repetition / exact duplication in one
+    plan, returning keep/drop with machine-readable reasons — the filter
+    chain a Common-Crawl-style pipeline runs before dedup+training
+    (C4/Gopher-style rule filtering, all public heuristics).
+
+    Exact-dup policy: among byte-identical texts the SMALLEST id is kept
+    (deterministic), the rest get reason ``exact_dup``.
+
+    Scale shape: stats are pure column expressions over one scan; the
+    repetition join shuffles on doc_id; dup detection is one groupBy on
+    the md5 fingerprint (map-side combined) + an equi-join back — no
+    pairwise comparisons anywhere. ``drop_reasons`` is a sorted
+    comma-joined string so downstream filters and the cross-engine
+    oracle are order-stable.
+    """
+    t = F.col(text_col)
+    stats = df.select(
+        F.col(id_col).alias("doc_id"),
+        whitespace_token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"),
+        lang_id_en(t).alias("lang_guess"),
+        content_fingerprint(t).alias("_fp"),
+    )
+    rep = repetition_stats(df, id_col, text_col).drop("n_tokens")
+    first = stats.groupBy("_fp").agg(F.min("doc_id").alias("_keep_id"))
+    j = stats.join(rep, "doc_id").join(first, "_fp")
+    reasons = F.array_sort(
+        F.filter(
+            F.array(
+                F.when(F.col("n_tokens") < min_tokens, F.lit("too_short")),
+                F.when(F.col("quality") < min_quality, F.lit("low_quality")),
+                F.when(F.col("lang_guess") != "en", F.lit("non_english")),
+                F.when(F.col("top_bigram_frac") > max_top_bigram, F.lit("repetitive_bigram")),
+                F.when(F.col("dup_trigram_frac") > max_dup_trigram, F.lit("repetitive_trigram")),
+                F.when(F.col("doc_id") != F.col("_keep_id"), F.lit("exact_dup")),
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "top_bigram_frac",
+        "dup_trigram_frac",
+        "lang_guess",
+        F.array_join(reasons, ",").alias("drop_reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    )

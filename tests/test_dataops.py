@@ -161,3 +161,25 @@ def test_repetition_stats(spark):
     # short/empty docs: zero fractions, kept in output
     assert got[4].top_bigram_frac == 0.0 and got[4].dup_trigram_frac == 0.0
     assert got[5].n_tokens == 0 and got[5].top_bigram_frac == 0.0
+
+
+def test_corpus_filter_reasons(spark):
+    from genegraph_spark.functions import textstats as TS
+
+    good = "the cat sat on a mat and then the dog ran to it for fun in that park of joy is it"
+    docs = spark.createDataFrame(
+        [
+            (1, good),                         # keeps: long, english, diverse
+            (2, "tiny doc"),                   # too_short (+ non_english)
+            (3, good),                         # exact_dup of 1 (larger id loses)
+            (4, "spam ham " * 15),             # repetitive + non_english
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in TS.corpus_filter(docs).collect()}
+    assert got[1].keep and got[1].drop_reasons == ""
+    assert "too_short" in got[2].drop_reasons and not got[2].keep
+    assert got[3].drop_reasons == "exact_dup"  # same text, higher id
+    assert "repetitive_bigram" in got[4].drop_reasons
+    # reasons are sorted + comma-joined → deterministic string
+    assert got[4].drop_reasons == ",".join(sorted(got[4].drop_reasons.split(",")))
