@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "sim_topk",
     "sim_pq_topk",
     "text_stats",
+    "text_corpus_filter",
     "kg_jsonld_docs",
     "join_asof_descriptor",
 ]

@@ -356,7 +356,15 @@ def embedding_lsh_near_duplicates(
     exactly like the MinHash banding above."""
     from .similarity import cosine_expr
 
-    buckets = hyperplane_lsh_buckets(emb, id_col, vec_col, dim, n_planes, n_bands, seed)
+    # the input plan may itself be expensive (synthesized/perturbed
+    # corpora); without the caches the self-join + both vector fetches
+    # re-run it 8× (measured). Same discipline as the shingle cache in
+    # minhash_near_duplicates: persist the two frames consumed twice —
+    # at lake scale these become persisted intermediates.
+    vecs = emb.select(F.col(id_col), F.col(vec_col)).persist()
+    buckets = hyperplane_lsh_buckets(
+        vecs, id_col, vec_col, dim, n_planes, n_bands, seed
+    ).persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(b, ["band", "bucket"])
@@ -364,8 +372,8 @@ def embedding_lsh_near_duplicates(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     cos = cosine_expr(F.col("va"), F.col("vb"))
     return (
         cands.join(va, "id_a")

@@ -404,3 +404,95 @@ def pq_topk(
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+# -- persisted IVF index (build once, query many) -----------------------------
+
+class IvfIndex:
+    """IVF index persisted to the lake: the centroid-assigned corpus is
+    written as parquet PARTITIONED BY centroid_id, so probing a query's
+    ``n_probe`` closest centroids becomes a partition-pruned scan — the
+    build-once / query-many shape a 100 TB corpus requires (re-assigning
+    every vector per query batch, as the inline :func:`ivf_topk` does, is
+    only right for one-shot jobs).
+
+    Layout: ``{path}/centroids`` (small, broadcast on load),
+    ``{path}/corpus/centroid_id=N/``, ``{path}/meta.json``.
+
+    The probe set is collected to the driver by design — it is bounded by
+    n_queries × n_probe centroid ids (NOT corpus-scale), and inlining the
+    ids into the scan filter is what lets the reader prune partitions.
+    """
+
+    def __init__(self, spark: DataFrame, path: str):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.centroids = spark.read.parquet(os.path.join(path, "centroids"))
+
+    @staticmethod
+    def build(
+        corpus: DataFrame,
+        path: str,
+        centroids: DataFrame | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> "IvfIndex":
+        import json
+        import os
+
+        spark = corpus.sparkSession
+        if centroids is None:
+            centroids = default_centroids(corpus, id_col=id_col, vec_col=vec_col)
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(path, "corpus")
+        )
+        centroids.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump({"id_col": id_col, "vec_col": vec_col}, f)
+        return IvfIndex(spark, path)
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 2,
+        query_id_col: str = "query_id",
+    ) -> DataFrame:
+        import os
+
+        id_col = self.meta["id_col"]
+        vec_col = self.meta["vec_col"]
+        cen = self.centroids.select("centroid_id", F.col(vec_col).alias("cenvec"))
+        q = queries.select(F.col(query_id_col), F.col(vec_col).alias("qvec"))
+        qc = q.join(F.broadcast(cen)).select(
+            query_id_col, "qvec", "centroid_id",
+            F.round(cosine_expr(F.col("qvec"), F.col("cenvec")), 6).alias("_s"),
+        )
+        wq = Window.partitionBy(query_id_col).orderBy(F.desc("_s"), F.asc("centroid_id"))
+        probes = (
+            qc.withColumn("_rn", F.row_number().over(wq))
+            .where(F.col("_rn") <= n_probe)
+            .drop("_rn", "_s")
+        )
+        probe_ids = sorted({r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()})
+        # partition-pruned scan: only the probed centroid dirs are read
+        part = self.spark.read.parquet(os.path.join(self.path, "corpus")).where(
+            F.col("centroid_id").isin(probe_ids)
+        )
+        scored = (
+            part.join(F.broadcast(probes), "centroid_id")
+            .where(F.col(id_col) != F.col(query_id_col))
+            .select(
+                query_id_col,
+                id_col,
+                F.round(cosine_expr(F.col("qvec"), F.col(vec_col)), 6).alias("cosine"),
+            )
+        )
+        w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+        return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

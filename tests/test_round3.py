@@ -695,3 +695,36 @@ class TestStreamDedup:
         got = S.stream_dedup_events(spark, src, str(tmp_path / "ckpt"))
         assert got.count() == n_distinct
         assert got.groupBy("event_id").count().where(FF.col("count") > 1).count() == 0
+
+
+class TestIvfIndexPersistence:
+    def test_build_load_query_matches_inline_ivf_and_prunes(self, spark, sf_dir, tmp_path):
+        from genegraph_spark.operators import similarity as SIM
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.where("vec_id < 5").select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        path = str(tmp_path / "ivf")
+        SIM.IvfIndex.build(emb, path)
+
+        # a FRESH object (load path) answers identically to the inline op
+        idx = SIM.IvfIndex(spark, path)
+        got = idx.topk(q, k=5, n_probe=2)
+        want = SIM.ivf_topk(emb, q, k=5, n_probe=2)
+        as_set = lambda df: {
+            (r.query_id, r.vec_id, r.rank, r.cosine) for r in df.collect()
+        }
+        assert as_set(got) == as_set(want)
+
+        # the probe filter partition-prunes the scan: executing the same
+        # filtered read touches ONLY the probed centroid dirs
+        import os
+        part = spark.read.parquet(os.path.join(path, "corpus")).where(
+            F.col("centroid_id").isin([0, 1])
+        )
+        touched = {
+            r[0].split("centroid_id=")[1].split("/")[0]
+            for r in part.select(F.input_file_name()).distinct().collect()
+        }
+        assert touched == {"0", "1"}
