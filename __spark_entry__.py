@@ -890,6 +890,14 @@ def q_cur_disease_subtree(spark, sf_dir):
     )
 
 
+def q_cur_statistics(spark, sf_dir):
+    # single-row KG totals via the resolver registry (tot-* /
+    # server-status resolvers, core.clj:86-90) — one conditional-agg scan
+    from genegraph_spark.plans import resolvers as R
+
+    return R.resolve("statistics", _kg_triples_df(spark, sf_dir))
+
+
 def q_kg_jsonld_docs(spark, sf_dir):
     # per-graph JSON-LD-style serialization (query.clj:87-100,
     # sink/event.clj:78-98 produce step)
@@ -1086,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alg_path_bounded": q_alg_path_bounded,
         "cur_disease_subtree": q_cur_disease_subtree,
         "alg_describe": q_alg_describe,
+        "cur_statistics": q_cur_statistics,
         # training-data ops (unverified in round 2 — run first)
         "sim_ivf_topk": q_sim_ivf_topk,
         "dedup_exact": q_dedup_exact,
@@ -1969,6 +1978,15 @@ GROUP BY 1, 2""",
         "cur_activities": f"""
 WITH t AS ({_TRIPLES_SQL}), {_CUR_TAGGED}
 {_CUR_ACTS_SELECT}""",
+        "cur_statistics": f"""
+WITH t AS ({_TRIPLES_SQL})
+SELECT count(*) AS n_triples,
+  count(DISTINCT CASE WHEN predicate = '{I.RDF_TYPE}' AND object = '{I.C_WEBPAGE}' THEN subject END) AS n_pages,
+  count(DISTINCT CASE WHEN predicate = '{I.RDF_TYPE}' AND object = '{I.TYPE_IRIS["gene"]}' THEN subject END) AS n_genes,
+  count(DISTINCT CASE WHEN predicate = '{I.RDF_TYPE}' AND object = '{I.TYPE_IRIS["disease"]}' THEN subject END) AS n_diseases,
+  count(DISTINCT CASE WHEN predicate = '{I.RDF_TYPE}' AND object = '{I.TYPE_IRIS["variant"]}' THEN subject END) AS n_variants,
+  count(CASE WHEN predicate = '{I.P_MENTIONS}' THEN 1 END) AS n_mentions
+FROM t""",
         "alg_describe": f"""
 WITH RECURSIVE t AS ({_TRIPLES_SQL}),
 start(subject) AS (SELECT DISTINCT subject FROM t
