@@ -197,6 +197,10 @@ def describe(triples: DataFrame, nodes: DataFrame, max_iter: int = 10) -> DataFr
     structures are shallow by construction), each round one join keyed on
     subject — never a full-graph fixpoint. ``seen`` accumulation keeps
     cycles of bnodes from looping."""
+    # the input plan is consumed once per closure round (and may itself be
+    # an expensive pipeline, not a table scan) — persist it; on a store-
+    # backed deployment this is the already-materialized triples table
+    triples = triples.persist()
     frontier = nodes.select(F.col("node").alias("subject")).distinct()
     seen = frontier.localCheckpoint(eager=True)
     out = triples.join(seen, "subject", "inner")

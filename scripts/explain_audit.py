@@ -18,8 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT = [
     "kg_triples", "kg_linked_mentions", "kg_mentions_preferred",
-    "dedup_minhash_pairs", "sim_topk", "sim_ivf_topk",
+    "dedup_minhash_pairs", "dedup_embedding_lsh", "sim_topk", "sim_ivf_topk",
     "tpch_q3_revenue", "join_asof_descriptor", "kg_jsonld_docs",
+    "text_corpus_filter", "alg_describe", "cur_disease_subtree",
 ]
 
 MARKERS = [
