@@ -424,7 +424,7 @@ class IvfIndex:
     ids into the scan filter is what lets the reader prune partitions.
     """
 
-    def __init__(self, spark: DataFrame, path: str):
+    def __init__(self, spark, path: str):
         import json
         import os
 

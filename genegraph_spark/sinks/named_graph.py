@@ -227,9 +227,11 @@ class NamedGraphStore:
         # written last is what makes a commit visible — an interrupted
         # commit is invisible and replay converges, load.clj:72-87
         # idempotence kept)
+        t0 = time.monotonic()
         out.repartition("bucket").sortWithinPartitions("bucket", "graph").write.mode(
             "overwrite"
         ).parquet(os.path.join(self.path, data_dir))
+        write_s = time.monotonic() - t0
         for b in touched:
             buckets_map[str(b)] = data_dir
 
@@ -238,12 +240,16 @@ class NamedGraphStore:
             # the manifest write (tests/test_store.py kill/resume)
             os._exit(17)
 
+        t0 = time.monotonic()
         self._write_lineage(commit, new, delete_graphs, graph_versions)
+        lineage_s = time.monotonic() - t0
+        self._write_metrics(commit, data_dir)
         meta = {
             "commit": commit,
             "buckets": buckets_map,
             "n_buckets": self.n_buckets,
             "wall_ts": time.time(),
+            "timings": {"write_s": round(write_s, 3), "lineage_s": round(lineage_s, 3)},
         }
         with open(self._manifest_path(commit), "w") as f:
             json.dump(meta, f)
@@ -281,6 +287,7 @@ class NamedGraphStore:
             live.repartition("bucket").sortWithinPartitions(
                 "bucket", "graph"
             ).write.mode("overwrite").parquet(os.path.join(self.path, data_dir))
+            self._write_metrics(commit, data_dir)
             meta = {
                 "commit": commit,
                 "buckets": {str(b): data_dir for b in range(self.n_buckets)},
@@ -321,6 +328,30 @@ class NamedGraphStore:
             for c in drop:
                 os.remove(self._manifest_path(c))
             return removed
+
+    # -- per-partition metrics ----------------------------------------------
+    def _write_metrics(self, commit: int, data_dir: str) -> None:
+        """Per-partition (bucket) row counts + file sizes for the rows this
+        commit wrote — the north rule's 'every partition writes lineage
+        records and row-count/latency metrics'. Ground truth comes from
+        reading BACK the freshly written files (cheap: they are still in
+        page cache), so the metric can never disagree with the data; commit
+        latencies live in the manifest's ``timings``."""
+        written = self.spark.read.parquet(os.path.join(self.path, data_dir))
+        m = written.groupBy("bucket").agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("graph").alias("n_graphs"),
+        )
+        m.write.mode("overwrite").parquet(
+            os.path.join(self.path, "metrics", f"commit={commit}")
+        )
+
+    def metrics(self) -> DataFrame:
+        """(commit, bucket, n_rows, n_graphs) across all commits."""
+        base = os.path.join(self.path, "metrics")
+        return self.spark.read.option("basePath", base).parquet(
+            os.path.join(base, "commit=*")
+        )
 
     # -- lineage / resume ---------------------------------------------------
     def _write_lineage(

@@ -168,3 +168,20 @@ def test_incremental_ingest_processes_only_updated_urls(spark, sf_dir, tmp_path)
         incremental=True, use_golden_text=True,
     )
     assert res4.pages.count() == 0
+
+
+def test_per_partition_metrics_recorded(spark, tmp_path):
+    """North rule: every partition writes row-count metrics alongside
+    lineage; latencies land in the manifest's timings block."""
+    store = NamedGraphStore(spark, str(tmp_path / "m"), n_buckets=8)
+    meta = store.merge(make(spark, [t(f"g{i}", "s", "p", f"o{i}") for i in range(50)]))
+    m0 = store.metrics().where(F.col("commit") == 0)
+    got = {(r.bucket, r.n_rows) for r in m0.collect()}
+    # sums reconcile with the data itself
+    assert sum(n for _, n in got) == 50
+    assert m0.agg(F.sum("n_graphs")).collect()[0][0] == 50
+    assert meta["timings"]["write_s"] > 0
+    # an incremental commit records metrics only for its touched buckets
+    store.merge(make(spark, [t("g7", "s", "p", "NEW")]))
+    m1 = store.metrics().where(F.col("commit") == 1)
+    assert 0 < m1.count() <= 2  # ≤ buckets touched by one graph
