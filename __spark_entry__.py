@@ -2030,7 +2030,7 @@ nodes(subject) AS (
   SELECT subject FROM start
   UNION
   SELECT t.object FROM t JOIN nodes n ON t.subject = n.subject
-  WHERE starts_with(t.object, '_:'))
+  WHERE t.object_is_iri AND starts_with(t.object, '_:'))
 SELECT DISTINCT t.graph, t.subject, t.predicate, t.object, t.object_is_iri, t.object_datatype
 FROM t JOIN nodes USING (subject)""",
         "cur_disease_subtree": f"""

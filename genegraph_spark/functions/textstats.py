@@ -100,9 +100,13 @@ def repetition_stats(df, id_col: str = "doc_id", text_col: str = "text"):
     keys are (doc, gram) so hot documents don't make hot keys. No UDFs.
     """
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    # tokenized base is consumed 3× (bigram explode, trigram explode,
+    # final sizes join); lazy localCheckpoint materializes it once and is
+    # GC-reclaimed with the result — no pinned cache per call
     base = (
         df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
         .withColumn("n", F.size("tk"))
+        .localCheckpoint(eager=False)
     )
 
     def grams(k):
@@ -178,13 +182,17 @@ def corpus_filter(
     oracle are order-stable.
     """
     t = F.col(text_col)
+    # the (possibly expensive) input is consumed by the stats scan AND
+    # repetition_stats, and stats itself by the fingerprint groupBy AND
+    # the final join — checkpoint both once (lazy; GC-reclaimed)
+    df = df.localCheckpoint(eager=False)
     stats = df.select(
         F.col(id_col).alias("doc_id"),
         whitespace_token_count(t).alias("n_tokens"),
         quality_score(t).alias("quality"),
         lang_id_en(t).alias("lang_guess"),
         content_fingerprint(t).alias("_fp"),
-    )
+    ).localCheckpoint(eager=False)
     rep = repetition_stats(df, id_col, text_col).drop("n_tokens")
     first = stats.groupBy("_fp").agg(F.min("doc_id").alias("_keep_id"))
     j = stats.join(rep, "doc_id").join(first, "_fp")

@@ -198,15 +198,21 @@ def describe(triples: DataFrame, nodes: DataFrame, max_iter: int = 10) -> DataFr
     subject — never a full-graph fixpoint. ``seen`` accumulation keeps
     cycles of bnodes from looping."""
     # the input plan is consumed once per closure round (and may itself be
-    # an expensive pipeline, not a table scan) — persist it; on a store-
-    # backed deployment this is the already-materialized triples table
-    triples = triples.persist()
+    # an expensive pipeline, not a table scan) — lazy localCheckpoint
+    # materializes it once on first use and, unlike persist(), is
+    # reclaimed by the ContextCleaner when the result goes out of scope
+    # (no per-call cache leak); on a store-backed deployment this is the
+    # already-materialized triples table
+    triples = triples.localCheckpoint(eager=False)
+    # a bnode OBJECT is an IRI-position term ("_:..." with object_is_iri);
+    # a string literal that merely looks like "_:x" must not be followed
+    is_bnode_obj = F.col("object_is_iri") & F.col("object").startswith("_:")
     frontier = nodes.select(F.col("node").alias("subject")).distinct()
     seen = frontier.localCheckpoint(eager=True)
     out = triples.join(seen, "subject", "inner")
     for _ in range(max_iter):
         bnodes = (
-            out.where(F.col("object").startswith("_:"))
+            out.where(is_bnode_obj)
             .select(F.col("object").alias("subject"))
             .distinct()
             .join(seen, "subject", "left_anti")
@@ -216,6 +222,11 @@ def describe(triples: DataFrame, nodes: DataFrame, max_iter: int = 10) -> DataFr
             break
         seen = seen.unionByName(bnodes).localCheckpoint(eager=True)
         out = out.unionByName(triples.join(bnodes, "subject", "inner"))
+    else:
+        raise RuntimeError(
+            f"describe() bnode closure did not converge in {max_iter} rounds "
+            "(deeper anonymous structure than expected); raise max_iter"
+        )
     return out.select(
         "graph", "subject", "predicate", "object", "object_is_iri", "object_datatype"
     ).dropDuplicates()

@@ -357,14 +357,15 @@ def embedding_lsh_near_duplicates(
     from .similarity import cosine_expr
 
     # the input plan may itself be expensive (synthesized/perturbed
-    # corpora); without the caches the self-join + both vector fetches
-    # re-run it 8× (measured). Same discipline as the shingle cache in
-    # minhash_near_duplicates: persist the two frames consumed twice —
-    # at lake scale these become persisted intermediates.
-    vecs = emb.select(F.col(id_col), F.col(vec_col)).persist()
+    # corpora); without materialization the self-join + both vector
+    # fetches re-run it 8× (measured). Lazy localCheckpoint (not persist):
+    # computed once on first action, and reclaimed by the ContextCleaner
+    # when the result is dropped — repeated calls don't accumulate pinned
+    # cache entries. At lake scale these become persisted intermediates.
+    vecs = emb.select(F.col(id_col), F.col(vec_col)).localCheckpoint(eager=False)
     buckets = hyperplane_lsh_buckets(
         vecs, id_col, vec_col, dim, n_planes, n_bands, seed
-    ).persist()
+    ).localCheckpoint(eager=False)
     a, b = buckets.alias("a"), buckets.alias("b")
     cands = (
         a.join(b, ["band", "bucket"])

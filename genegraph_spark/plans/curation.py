@@ -158,12 +158,16 @@ def disease_subtree_counts(triples: DataFrame, hierarchy: DataFrame) -> DataFram
     diseases = typed_entities(triples, I.TYPE_IRIS["disease"]).select(
         F.col("entity").alias("root")
     )
-    # (src=descendant, dst=ancestor) pairs, one-or-more broader hops
+    # (src=descendant, dst=ancestor) pairs, one-or-more broader hops;
+    # roots are restricted to TYPED diseases (the closure would otherwise
+    # also emit untyped ancestor nodes, diverging from the oracle, which
+    # seeds its recursion from the typed set)
     anc = A.transitive_closure(hierarchy, I.BROADER)
     pairs = (
         diseases.select("root", F.col("root").alias("descendant"))
         .unionByName(
             anc.select(F.col("dst").alias("root"), F.col("src").alias("descendant"))
+            .join(F.broadcast(diseases), "root", "left_semi")
         )
         .distinct()
     )

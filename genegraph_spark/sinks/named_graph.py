@@ -143,6 +143,15 @@ class NamedGraphStore:
         last = self.last_commit()
         commit = 0 if last is None else last + 1
         with self._commit_lock(commit):
+            # TOCTOU guard (same as compact/expire): another writer may have
+            # committed between reading `last` and acquiring the lock; a
+            # crash-REPLAY is unaffected (the orphan commit has no manifest,
+            # so last_commit() is unchanged and the replay proceeds).
+            if self.last_commit() != last:
+                raise RuntimeError(
+                    f"store advanced past commit {last!r} while acquiring the "
+                    "merge lock; re-run merge() against the new head"
+                )
             return self._merge_locked(triples, delete_graphs, last, commit, graph_versions)
 
     @contextmanager
@@ -282,6 +291,15 @@ class NamedGraphStore:
             raise ValueError("nothing to compact: store has no commits")
         commit = last + 1
         with self._commit_lock(commit):
+            # TOCTOU guard: a merge may have landed between reading `last`
+            # and acquiring the lock; its commit id would equal ours and
+            # this compaction (built from snapshot `last`) would silently
+            # overwrite it. Re-read under the lock and fail fast.
+            if self.last_commit() != last:
+                raise RuntimeError(
+                    f"store advanced past commit {last} while acquiring the "
+                    "compaction lock; retry compact()"
+                )
             live = self._read_segments(self._read_manifest(last))
             data_dir = f"data/c{commit:08d}"
             live.repartition("bucket").sortWithinPartitions(
@@ -315,6 +333,15 @@ class NamedGraphStore:
             return []
         # guard the newest commit's lock so expiry never races a writer
         with self._commit_lock(commits[-1] + 1):
+            # TOCTOU guard: a merge finishing between the listdir above and
+            # the lock acquisition would add a manifest this expiry did not
+            # account for — its data dir must not be reclaimed. Re-read
+            # under the lock and fail fast if the store advanced.
+            if self.last_commit() != commits[-1]:
+                raise RuntimeError(
+                    "store advanced while acquiring the expiry lock; "
+                    "retry expire_snapshots()"
+                )
             live_dirs = {
                 d for c in keep for d in self._read_manifest(c)["buckets"].values()
             }

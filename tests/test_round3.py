@@ -665,6 +665,10 @@ class TestDescribe:
             ("g", "_:b2", ":r", "lit", False, None),
             ("g", "_:b2", ":back", "_:b1", True, None),    # bnode cycle
             ("g", "iri:other", ":p", "_:b3", True, None),  # unreachable
+            # literal that merely LOOKS like a bnode id: emitted as a
+            # triple of iri:a but must NOT be followed into _:b9
+            ("g", "iri:a", ":note", "_:b9", False, None),
+            ("g", "_:b9", ":s", "secret", False, None),
         ]
         t = spark.createDataFrame(
             rows,
@@ -675,10 +679,11 @@ class TestDescribe:
         got = {(r.subject, r.predicate, r.object) for r in A.describe(t, start).collect()}
         assert got == {
             ("iri:a", ":p", "_:b1"),
+            ("iri:a", ":note", "_:b9"),   # the literal itself is described
             ("_:b1", ":q", "_:b2"),
             ("_:b2", ":r", "lit"),
             ("_:b2", ":back", "_:b1"),
-        }
+        }  # but _:b9's triples are NOT pulled in (literal, not a bnode ref)
 
 
 class TestStreamDedup:
