@@ -29,16 +29,24 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
-        master = f"local[{cpus}]"
+        # precedence: an explicit `master` arg wins; else whatever
+        # spark-submit/--master put into spark.master (cluster deploys);
+        # else the local sandbox default. Never override a submitted master.
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         # local mode: one shuffle partition per core is the sweet spot;
         # at cluster scale this is set per-job from input size / target
         # 128MB partitions, and AQE coalesces the rest.
         shuffle_partitions = cpus
 
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
