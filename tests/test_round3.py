@@ -783,3 +783,29 @@ class TestResolverRegistry:
 
         with pytest.raises(KeyError, match="unknown resolver"):
             R.resolve("nope", triples)
+
+
+class TestPlanShapes:
+    def test_text_ops_stay_jvm_side(self, spark, sf_dir):
+        """The training-data text family must never regress into Python
+        UDFs: repetition stats, corpus filter, and text stats compile to
+        pure JVM plans (no MapInPandas / BatchEvalPython / ArrowEval)."""
+        import __spark_entry__ as E
+
+        for name in ("text_stats", "text_repetition", "text_corpus_filter"):
+            df = E.queries()[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            for marker in ("MapInPandas", "BatchEvalPython", "ArrowEval"):
+                assert marker not in plan, f"{name} plan contains {marker}"
+
+    def test_corpus_filter_no_cartesian(self, spark, sf_dir):
+        """Dup detection is a fingerprint groupBy + equi-join — never a
+        pairwise comparison."""
+        import __spark_entry__ as E
+
+        plan = (
+            E.queries()["text_corpus_filter"](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
