@@ -640,6 +640,28 @@ def q_text_corpus_filter(spark, sf_dir):
     return TS.corpus_filter(docs.unionByName(dupes))
 
 
+def q_text_scrub(spark, sf_dir):
+    # PII scrub + audit counts over a corpus with deterministically
+    # injected emails/phones/IPs (every 7th doc)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    injected = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact bob@example.com or 555-123-4567 via 10.0.0.1"),
+        ),
+    ).otherwise(F.col("text"))
+    base = docs.select("doc_id", injected.alias("text"))
+    c = TS.pii_counts(F.col("text"))
+    return base.select(
+        "doc_id",
+        TS.scrub_pii(F.col("text")).alias("scrubbed"),
+        c["email"].alias("n_email"),
+        c["phone"].alias("n_phone"),
+        c["ipv4"].alias("n_ipv4"),
+    )
+
+
 def q_text_fingerprints(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
@@ -1147,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "text_repetition": q_text_repetition,
         "text_corpus_filter": q_text_corpus_filter,
+        "text_scrub": q_text_scrub,
         "text_fingerprints": q_text_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         # streaming (foreachBatch → batch-dir table; SQL-oracled)
@@ -1393,6 +1416,32 @@ _CUR_ACTS_SELECT = """SELECT g.gene,
   coalesce(bool_or(activity = 'CO_CURATED'), false) AS co_curated,
   coalesce(bool_or(activity = 'HAS_ALIAS'), false) AS has_alias
 FROM genes g LEFT JOIN tagged USING (gene) GROUP BY g.gene"""
+
+
+
+
+def _text_scrub_sql() -> str:
+    """DuckDB mirror of q_text_scrub: same injected PII, same pattern
+    list applied in the same order (patterns are RE2/Java-portable by
+    construction — see textstats.PII_PATTERNS)."""
+    from genegraph_spark.functions.textstats import PII_PATTERNS
+
+    q = fixtures._sql_quote
+    scrub = "text"
+    count_exprs = []
+    for name, pat in PII_PATTERNS:
+        # priority-aware counts: pattern i counted on text with patterns
+        # <i already masked (mirrors textstats.pii_counts)
+        count_exprs.append(f"len(regexp_extract_all({scrub}, {q(pat)})) AS n_{name}")
+        scrub = f"regexp_replace({scrub}, {q(pat)}, {q('<' + name.upper() + '>')}, 'g')"
+    counts = ", ".join(count_exprs)
+    return f"""
+WITH base AS (SELECT doc_id,
+  CASE WHEN doc_id % 7 = 0
+       THEN text || ' contact bob@example.com or 555-123-4567 via 10.0.0.1'
+       ELSE text END AS text
+  FROM documents)
+SELECT doc_id, {scrub} AS scrubbed, {counts} FROM base"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1852,6 +1901,7 @@ SELECT doc_id, n_tokens, quality, top_bigram_frac, dup_trigram_frac, lang_guess,
   coalesce(array_to_string(reasons, ','), '') AS drop_reasons,
   coalesce(len(reasons), 0) = 0 AS keep
 FROM j""",
+        "text_scrub": _text_scrub_sql(),
         "text_repetition": """
 WITH base AS (SELECT doc_id,
   list_filter(list_transform(string_split_regex(text, '\\s+'), x -> lower(x)), x -> x <> '') AS tk

@@ -219,3 +219,39 @@ def corpus_filter(
         F.array_join(reasons, ",").alias("drop_reasons"),
         (F.size(reasons) == 0).alias("keep"),
     )
+
+
+# PII patterns (public, C4-style scrubbing): kept simple and portable so
+# both engines (Java regex and DuckDB/RE2) compile them identically.
+# PRIORITY order: emails first (their digits must not be half-eaten),
+# then IPv4 (a dotted quad ≥11 chars would otherwise match the looser
+# phone run), phones last.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9][0-9()\-\. ]{7,}[0-9]"),
+]
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact emails, IPv4s, and phone-like digit runs with typed tokens
+    (``<EMAIL>``/``<IPV4>``/``<PHONE>``) — the standard pre-training
+    scrub pass. Pure chained ``regexp_replace`` (JVM-side, order-stable);
+    a real deployment swaps in its compliance-approved pattern set."""
+    out = text
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def pii_counts(text: Column) -> Column:
+    """(email, ipv4, phone) hit counts as a struct — the audit metric a
+    scrub job reports per partition. Priority-aware: each pattern is
+    counted on text with higher-priority matches already masked, so an
+    IP inside a document is never double-counted as a phone."""
+    counts = []
+    cur = text
+    for name, pat in PII_PATTERNS:
+        counts.append(F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0)).alias(name))
+        cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
+    return F.struct(*counts)

@@ -183,3 +183,21 @@ def test_corpus_filter_reasons(spark):
     assert "repetitive_bigram" in got[4].drop_reasons
     # reasons are sorted + comma-joined → deterministic string
     assert got[4].drop_reasons == ",".join(sorted(got[4].drop_reasons.split(",")))
+
+
+def test_pii_scrub(spark):
+    from genegraph_spark.functions import textstats as TS
+
+    df = spark.createDataFrame(
+        [(1, "mail alice.smith+x@corp.example.org or call (555) 123-4567, "
+             "server 192.168.0.1; plain text stays")],
+        "id long, text string",
+    )
+    row = df.select(
+        TS.scrub_pii(F.col("text")).alias("s"),
+        TS.pii_counts(F.col("text")).alias("c"),
+    ).collect()[0]
+    assert "<EMAIL>" in row.s and "<PHONE>" in row.s and "<IPV4>" in row.s
+    assert "alice" not in row.s and "4567" not in row.s and "192.168" not in row.s
+    assert "plain text stays" in row.s
+    assert (row.c.email, row.c.phone, row.c.ipv4) == (1, 1, 1)
