@@ -640,6 +640,20 @@ def q_text_corpus_filter(spark, sf_dir):
     return TS.corpus_filter(docs.unionByName(dupes))
 
 
+def q_src_url_filter(spark, sf_dir):
+    # C4-style URL hygiene: per-domain rollup + blocklist flag — the
+    # filter a Common-Crawl pipeline applies before fetching/extracting.
+    # Portable regex domain parse (no parse_url: DuckDB lacks it).
+    pages = fixtures.pages_df(spark, sf_dir)
+    domain = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
+    per_url = pages.select("url", domain.alias("domain")).distinct()
+    return (
+        per_url.groupBy("domain")
+        .agg(F.countDistinct("url").alias("n_urls"))
+        .withColumn("blocked", F.col("domain").isin("ex3.example.org"))
+    )
+
+
 def q_text_scrub(spark, sf_dir):
     # PII scrub + audit counts over a corpus with deterministically
     # injected emails/phones/IPs (every 7th doc)
@@ -1170,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_corpus_filter": q_text_corpus_filter,
         "text_scrub": q_text_scrub,
+        "src_url_filter": q_src_url_filter,
         "text_fingerprints": q_text_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         # streaming (foreachBatch → batch-dir table; SQL-oracled)
@@ -1902,6 +1917,12 @@ SELECT doc_id, n_tokens, quality, top_bigram_frac, dup_trigram_frac, lang_guess,
   coalesce(len(reasons), 0) = 0 AS keep
 FROM j""",
         "text_scrub": _text_scrub_sql(),
+        "src_url_filter": f"""
+WITH {_PAGES},
+d AS (SELECT DISTINCT url, regexp_extract(url, '^https?://([^/]+)/', 1) AS domain FROM pages)
+SELECT domain, count(DISTINCT url) AS n_urls,
+       domain IN ('ex3.example.org') AS blocked
+FROM d GROUP BY domain""",
         "text_repetition": """
 WITH base AS (SELECT doc_id,
   list_filter(list_transform(string_split_regex(text, '\\s+'), x -> lower(x)), x -> x <> '') AS tk
