@@ -104,7 +104,13 @@ class NamedGraphStore:
         for d, bs in by_dir.items():
             full = os.path.join(self.path, d)
             if os.path.exists(full):
-                parts.append(self.spark.read.parquet(full).where(F.col("bucket").isin(bs)))
+                # explicit schema: a delete-only commit writes ZERO data
+                # files under its bucket=K layout, which breaks inference
+                parts.append(
+                    self.spark.read.schema(TRIPLE_SCHEMA + ", bucket bigint")
+                    .parquet(full)
+                    .where(F.col("bucket").isin(bs))
+                )
         return reduce(lambda a, b: a.unionByName(b), parts) if parts else self._empty()
 
     # -- read paths ----------------------------------------------------------
@@ -119,6 +125,26 @@ class NamedGraphStore:
         """The union model: all named graphs (query.clj:15-16 analog).
         ``commit`` selects a historical snapshot (time travel)."""
         return self.read(commit).drop("bucket")
+
+    def graphs(self, graph_iris: list[str], commit: int | None = None) -> DataFrame:
+        """Point lookup of specific named graphs (``getNamedModel``,
+        load.clj:72-87 read side) — reads ONLY the buckets those graphs
+        hash to (same pmod(xxhash64) the writer used), so a k-graph
+        lookup scans ~k/n_buckets of the store instead of all of it.
+        The graph filter on top is pushed into the parquet scan."""
+        if commit is None:
+            commit = self.last_commit()
+        if commit is None:
+            return self.spark.createDataFrame([], TRIPLE_SCHEMA)
+        hashed = self._bucket(
+            self.spark.createDataFrame([(g,) for g in graph_iris], "graph string")
+        )
+        wanted = {r["bucket"] for r in hashed.select("bucket").distinct().collect()}
+        seg = self._read_segments(self._read_manifest(commit), wanted)
+        return (
+            seg.where(F.col("graph").isin(graph_iris))
+            .drop("bucket")
+        )
 
     # -- write path ------------------------------------------------------------
     def merge(
@@ -237,9 +263,13 @@ class NamedGraphStore:
         # commit is invisible and replay converges, load.clj:72-87
         # idempotence kept)
         t0 = time.monotonic()
+        # bucket=K subdirectories: point lookups (graphs()) and the next
+        # merge's keep-side read prune at the FILE level, not just via a
+        # row filter — the partitioned-table layout the Iceberg mapping
+        # prescribes (bucket(graph, N) partition transform)
         out.repartition("bucket").sortWithinPartitions("bucket", "graph").write.mode(
             "overwrite"
-        ).parquet(os.path.join(self.path, data_dir))
+        ).partitionBy("bucket").parquet(os.path.join(self.path, data_dir))
         write_s = time.monotonic() - t0
         for b in touched:
             buckets_map[str(b)] = data_dir
@@ -304,7 +334,9 @@ class NamedGraphStore:
             data_dir = f"data/c{commit:08d}"
             live.repartition("bucket").sortWithinPartitions(
                 "bucket", "graph"
-            ).write.mode("overwrite").parquet(os.path.join(self.path, data_dir))
+            ).write.mode("overwrite").partitionBy("bucket").parquet(
+                os.path.join(self.path, data_dir)
+            )
             self._write_metrics(commit, data_dir)
             meta = {
                 "commit": commit,
@@ -364,7 +396,9 @@ class NamedGraphStore:
         reading BACK the freshly written files (cheap: they are still in
         page cache), so the metric can never disagree with the data; commit
         latencies live in the manifest's ``timings``."""
-        written = self.spark.read.parquet(os.path.join(self.path, data_dir))
+        written = self.spark.read.schema(TRIPLE_SCHEMA + ", bucket bigint").parquet(
+            os.path.join(self.path, data_dir)
+        )
         m = written.groupBy("bucket").agg(
             F.count("*").alias("n_rows"),
             F.countDistinct("graph").alias("n_graphs"),

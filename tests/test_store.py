@@ -185,3 +185,40 @@ def test_per_partition_metrics_recorded(spark, tmp_path):
     store.merge(make(spark, [t("g7", "s", "p", "NEW")]))
     m1 = store.metrics().where(F.col("commit") == 1)
     assert 0 < m1.count() <= 2  # ≤ buckets touched by one graph
+
+
+def test_graph_point_lookup_prunes_buckets(spark, tmp_path):
+    """graphs() reads only the buckets the requested graphs hash to and
+    returns exactly their content (getNamedModel read-side analog)."""
+    store = NamedGraphStore(spark, str(tmp_path / "pl"), n_buckets=16)
+    store.merge(make(spark, [t(f"g{i}", "s", "p", f"o{i}") for i in range(200)]))
+
+    got = {(r.graph, r.object) for r in store.graphs(["g7", "g42"]).collect()}
+    assert got == {("g7", "o7"), ("g42", "o42")}
+    # empty request / missing graph
+    assert store.graphs(["nope"]).count() == 0
+    # pruning: the lookup's scan touches fewer distinct files than a full read
+    lookup_files = {
+        r[0] for r in store.graphs(["g7"])
+        .select(F.input_file_name()).distinct().collect()
+    }
+    all_files = {
+        r[0] for r in store.triples()
+        .select(F.input_file_name()).distinct().collect()
+    }
+    assert 0 < len(lookup_files) < len(all_files)
+
+
+def test_snapshot_isolation_for_concurrent_reader(spark, tmp_path):
+    """Copy-on-write: a reader holding a snapshot keeps seeing it while a
+    writer lands the next commit (old segments are never modified until
+    expire_snapshots)."""
+    store = NamedGraphStore(spark, str(tmp_path / "iso"), n_buckets=8)
+    store.merge(make(spark, [t("g1", "s", "p", "v1"), t("g2", "s", "p", "x")]))
+    reader = store.triples(commit=0)  # snapshot pinned BEFORE the update
+    store.merge(make(spark, [t("g1", "s", "p", "v2")]))
+    # the pinned snapshot still reads the old value after the new commit
+    assert {r.object for r in reader.where(F.col("graph") == "g1").collect()} == {"v1"}
+    assert {
+        r.object for r in store.triples().where(F.col("graph") == "g1").collect()
+    } == {"v2"}
