@@ -967,6 +967,14 @@ def q_cur_statistics(spark, sf_dir):
     return R.resolve("statistics", _kg_triples_df(spark, sf_dir))
 
 
+def q_kg_jsonld_compact(spark, sf_dir):
+    # context-compacted JSON-LD: CURIE'd terms + embedded @context — the
+    # reference's public JSON-LD shape (variation.clj:814-923)
+    from genegraph_spark.functions import serialize as SER
+
+    return SER.jsonld_compact_docs(_kg_triples_df(spark, sf_dir))
+
+
 def q_kg_jsonld_docs(spark, sf_dir):
     # per-graph JSON-LD-style serialization (query.clj:87-100,
     # sink/event.clj:78-98 produce step)
@@ -1164,6 +1172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_disease_subtree": q_cur_disease_subtree,
         "alg_describe": q_alg_describe,
         "cur_statistics": q_cur_statistics,
+        "kg_jsonld_compact": q_kg_jsonld_compact,
         # training-data ops (unverified in round 2 — run first)
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_index": q_sim_ivf_index,
@@ -1433,6 +1442,20 @@ _CUR_ACTS_SELECT = """SELECT g.gene,
 FROM genes g LEFT JOIN tagged USING (gene) GROUP BY g.gene"""
 
 
+
+
+def _curie_case_sql(col: str) -> str:
+    """SQL mirror of functions.iri.compact_iri: the same chained-CASE
+    construction order (longest prefix innermost), so nesting semantics
+    are identical even if prefixes ever overlap."""
+    q = fixtures._sql_quote
+    expr = col
+    for p, ns in sorted(I.PREFIXES, key=lambda kv: -len(kv[1])):
+        expr = (
+            f"CASE WHEN starts_with({col}, {q(ns)}) "
+            f"THEN {q(p + ':')} || substr({col}, {len(ns) + 1}) ELSE ({expr}) END"
+        )
+    return expr
 
 
 def _text_scrub_sql() -> str:
@@ -2008,6 +2031,24 @@ v AS (SELECT url, version, list_sort(list_filter([
     CASE WHEN version IS NULL OR NOT (version >= 1 AND version <= 3) THEN 'version:range' END
   ], x -> x IS NOT NULL)) AS vio FROM pert)
 SELECT url, version, array_to_string(vio, ',') AS reasons FROM v WHERE len(vio) > 0""",
+        "kg_jsonld_compact": f"""
+WITH t AS ({_TRIPLES_SQL}),
+c AS (SELECT graph,
+        {_curie_case_sql("subject")} AS subject,
+        {_curie_case_sql("predicate")} AS predicate,
+        CASE WHEN object_is_iri THEN {_curie_case_sql("object")} ELSE object END AS object,
+        object_is_iri,
+        coalesce({_curie_case_sql("object_datatype")}, '') AS object_datatype
+      FROM t),
+g AS (SELECT graph,
+        list_sort(list(struct_pack(subject := subject, predicate := predicate,
+          object := object, object_is_iri := object_is_iri,
+          object_datatype := object_datatype))) AS triples
+      FROM c GROUP BY graph)
+SELECT graph, {fixtures._sql_quote('{"@context":' + __import__("json").dumps(dict(I._PREFIX_MAP), sort_keys=True, separators=(",", ":")) + ',"@id":"')}
+  || graph || {fixtures._sql_quote('","triples":')}
+  || CAST(to_json(triples) AS VARCHAR) || '}}' AS doc
+FROM g""",
         "kg_jsonld_docs": f"""
 WITH t AS ({_TRIPLES_SQL}),
 g AS (SELECT graph,

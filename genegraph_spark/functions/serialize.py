@@ -198,3 +198,45 @@ def parse_documents(docs: DataFrame, doc_col: str = "doc") -> DataFrame:
         .otherwise(F.col("t.object_datatype"))
         .alias("object_datatype"),
     )
+
+
+def jsonld_compact_docs(triples: DataFrame) -> DataFrame:
+    """(graph, doc): context-COMPACTED JSON-LD per named graph — terms
+    CURIE'd by the shared prefix table and the ``@context`` embedded, the
+    reference's public JSON-LD shape (``database/query.clj:87-100`` +
+    the @context docs of ``transform/clinvar/variation.clj:814-923``).
+
+    Same plan shape as :func:`graph_documents` (one groupBy(graph),
+    sorted collect for byte determinism); compaction is the chained
+    longest-prefix CASE of :func:`genegraph_spark.functions.iri.compact_iri`
+    — pure column expressions, applied before the collect so the shuffle
+    carries the SHORTER strings."""
+    import json as _json
+
+    from . import iri as I
+
+    ctx = _json.dumps(I._PREFIX_MAP, sort_keys=True, separators=(",", ":"))
+    t = F.struct(
+        I.compact_iri(F.col("subject")).alias("subject"),
+        I.compact_iri(F.col("predicate")).alias("predicate"),
+        F.when(F.col("object_is_iri"), I.compact_iri(F.col("object")))
+        .otherwise(F.col("object"))
+        .alias("object"),
+        F.col("object_is_iri"),
+        F.coalesce(
+            I.compact_iri(F.col("object_datatype")), F.lit("")
+        ).alias("object_datatype"),
+    )
+    per_graph = triples.groupBy("graph").agg(
+        F.sort_array(F.collect_list(t)).alias("triples")
+    )
+    return per_graph.select(
+        "graph",
+        F.concat(
+            F.lit('{"@context":' + ctx + ',"@id":"'),
+            F.col("graph"),
+            F.lit('","triples":'),
+            F.to_json(F.col("triples")),
+            F.lit("}"),
+        ).alias("doc"),
+    )
