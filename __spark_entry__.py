@@ -645,7 +645,7 @@ def q_src_url_filter(spark, sf_dir):
     # filter a Common-Crawl pipeline applies before fetching/extracting.
     # Portable regex domain parse (no parse_url: DuckDB lacks it).
     pages = fixtures.pages_df(spark, sf_dir)
-    domain = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
+    domain = F.regexp_extract(F.col("url"), r"^https?://([^/]+)", 1)
     per_url = pages.select("url", domain.alias("domain")).distinct()
     return (
         per_url.groupBy("domain")
@@ -1470,7 +1470,9 @@ def _text_scrub_sql() -> str:
     for name, pat in PII_PATTERNS:
         # priority-aware counts: pattern i counted on text with patterns
         # <i already masked (mirrors textstats.pii_counts)
-        count_exprs.append(f"len(regexp_extract_all({scrub}, {q(pat)})) AS n_{name}")
+        count_exprs.append(
+            f"coalesce(len(regexp_extract_all({scrub}, {q(pat)})), 0) AS n_{name}"
+        )
         scrub = f"regexp_replace({scrub}, {q(pat)}, {q('<' + name.upper() + '>')}, 'g')"
     counts = ", ".join(count_exprs)
     return f"""
@@ -1942,7 +1944,7 @@ FROM j""",
         "text_scrub": _text_scrub_sql(),
         "src_url_filter": f"""
 WITH {_PAGES},
-d AS (SELECT DISTINCT url, regexp_extract(url, '^https?://([^/]+)/', 1) AS domain FROM pages)
+d AS (SELECT DISTINCT url, regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM pages)
 SELECT domain, count(DISTINCT url) AS n_urls,
        domain IN ('ex3.example.org') AS blocked
 FROM d GROUP BY domain""",
@@ -2045,8 +2047,8 @@ g AS (SELECT graph,
           object := object, object_is_iri := object_is_iri,
           object_datatype := object_datatype))) AS triples
       FROM c GROUP BY graph)
-SELECT graph, {fixtures._sql_quote('{"@context":' + __import__("json").dumps(dict(I._PREFIX_MAP), sort_keys=True, separators=(",", ":")) + ',"@id":"')}
-  || graph || {fixtures._sql_quote('","triples":')}
+SELECT graph, {fixtures._sql_quote('{"@context":' + __import__("json").dumps(__import__("genegraph_spark.functions.serialize", fromlist=["jsonld_context"]).jsonld_context(), sort_keys=True, separators=(",", ":")) + ',"@id":"')}
+  || replace(replace(graph, '\\', '\\\\'), '"', '\\"') || {fixtures._sql_quote('","triples":')}
   || CAST(to_json(triples) AS VARCHAR) || '}}' AS doc
 FROM g""",
         "kg_jsonld_docs": f"""

@@ -215,7 +215,14 @@ def jsonld_compact_docs(triples: DataFrame) -> DataFrame:
 
     from . import iri as I
 
-    ctx = _json.dumps(I._PREFIX_MAP, sort_keys=True, separators=(",", ":"))
+    ctx = _json.dumps(jsonld_context(), sort_keys=True, separators=(",", ":"))
+    # JSON-escape the spliced graph IRI (quotes/backslashes are legal in
+    # IRIs; control characters are not, so these two suffice)
+    graph_esc = F.replace(
+        F.replace(F.col("graph"), F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'),
+        F.lit('\\"'),
+    )
     t = F.struct(
         I.compact_iri(F.col("subject")).alias("subject"),
         I.compact_iri(F.col("predicate")).alias("predicate"),
@@ -234,7 +241,7 @@ def jsonld_compact_docs(triples: DataFrame) -> DataFrame:
         "graph",
         F.concat(
             F.lit('{"@context":' + ctx + ',"@id":"'),
-            F.col("graph"),
+            graph_esc,
             F.lit('","triples":'),
             F.to_json(F.col("triples")),
             F.lit("}"),

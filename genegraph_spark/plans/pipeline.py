@@ -262,7 +262,9 @@ def run_to_store(
     if dry_run:
         summary = {
             "dry_run": True,
-            "would_commit": (store.last_commit() or -1) + 1,
+            "would_commit": (
+                lc + 1 if (lc := store.last_commit()) is not None else 0
+            ),
             "n_triples": res.triples.count(),
             "n_graphs": res.triples.select("graph").distinct().count(),
             "n_deleted_graphs": res.deleted_graphs.count(),

@@ -35,10 +35,11 @@ def main() -> None:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--sf-dir", required=True, help="input tables directory")
     p.add_argument("--store", required=True, help="named-graph store path")
-    p.add_argument("--resume", action="store_true",
-                   help="restart-of-same-input: skip already-processed urls")
-    p.add_argument("--incremental", action="store_true",
-                   help="version-watermarked feed: process only new/updated urls")
+    mode = p.add_mutually_exclusive_group()
+    mode.add_argument("--resume", action="store_true",
+                      help="restart-of-same-input: skip already-processed urls")
+    mode.add_argument("--incremental", action="store_true",
+                      help="version-watermarked feed: process only new/updated urls")
     p.add_argument("--dry-run", action="store_true",
                    help="build the plan, print the would-be commit, write nothing")
     p.add_argument("--compact", action="store_true",
