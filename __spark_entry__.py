@@ -347,6 +347,12 @@ def q_ver_event_asof(spark, sf_dir):
     )
 
 
+def q_ver_sessionize(spark, sf_dir):
+    # gap-based sessionization (30-min gap): two windows over one
+    # user_id shuffle, integer-microsecond gap math
+    return V.sessionize(_read(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def q_ver_event_chain(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1173,6 +1179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alg_describe": q_alg_describe,
         "cur_statistics": q_cur_statistics,
         "kg_jsonld_compact": q_kg_jsonld_compact,
+        "ver_sessionize": q_ver_sessionize,
         # training-data ops (unverified in round 2 — run first)
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_index": q_sim_ivf_index,
@@ -2126,6 +2133,20 @@ GROUP BY 1, 2""",
         "cur_activities": f"""
 WITH t AS ({_TRIPLES_SQL}), {_CUR_TAGGED}
 {_CUR_ACTS_SELECT}""",
+        "ver_sessionize": """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+n AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM g)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM n GROUP BY user_id, session_no""",
         "cur_statistics": f"""
 WITH t AS ({_TRIPLES_SQL})
 SELECT count(*) AS n_triples,

@@ -116,3 +116,40 @@ def version_chain(df: DataFrame, key: str, version: str, id_col: str) -> DataFra
         F.lag(id_col).over(w).alias("replaces"),
         F.lead(id_col).over(w).alias("is_replaced_by"),
     )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds ``gap_minutes`` — the event-stream grouping
+    the reference's offset-ordered consumers imply but never materialize
+    (stream.clj processes per-event; analytics needs the session rollup).
+
+    Two windows over ONE shuffle on ``user_col``: lag to find gap starts,
+    running sum to number sessions; then the per-session aggregate reuses
+    the same partitioning. Timestamp math in integer MICROSECONDS
+    (``unix_micros``) so the cross-engine oracle is exact — no float
+    epoch seconds. Ties order deterministically on ``id_col``.
+
+    Returns (user, session_no, n_events, session_start, session_end).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # cast for unix_micros: the fixture tables carry TIMESTAMP_NTZ and the
+    # session is pinned to UTC, so the cast is value-preserving
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    starts = F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1).otherwise(0)
+    numbered = events.withColumn(
+        "session_no",
+        F.sum(starts).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy(user_col, "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )

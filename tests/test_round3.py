@@ -809,3 +809,28 @@ class TestPlanShapes:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestSessionize:
+    def test_gap_splits_and_ties(self, spark):
+        from genegraph_spark.operators import versioned as V
+
+        rows = [
+            # user 1: two events 5 min apart, then a 45-min gap
+            (1, 1, "2024-01-01 10:00:00"),
+            (1, 2, "2024-01-01 10:05:00"),
+            (1, 3, "2024-01-01 10:50:00"),
+            # user 2: single event
+            (2, 4, "2024-01-01 09:00:00"),
+            # user 1: exactly 30-min gap is NOT a new session (> only)
+            (1, 5, "2024-01-01 11:20:00"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = {
+            (r.user_id, r.session_no): r.n_events
+            for r in V.sessionize(ev, gap_minutes=30).collect()
+        }
+        # user1: session1={e1,e2}; session2={e3,e5} (10:50→11:20 is exactly 30min)
+        assert got == {(1, 1): 2, (1, 2): 2, (2, 1): 1}
