@@ -646,6 +646,19 @@ def q_text_corpus_filter(spark, sf_dir):
     return TS.corpus_filter(docs.unionByName(dupes))
 
 
+def q_text_split(spark, sf_dir):
+    # reproducible train/val/test assignment: md5(id||salt) buckets —
+    # stable across runs/engines/partitionings; per-split doc counts
+    # verify the 90/5/5 targets hold
+    docs = _read(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id", TS.split_assign(F.col("doc_id")).alias("split")
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
 def q_src_url_filter(spark, sf_dir):
     # C4-style URL hygiene: per-domain rollup + blocklist flag — the
     # filter a Common-Crawl pipeline applies before fetching/extracting.
@@ -1201,6 +1214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_corpus_filter": q_text_corpus_filter,
         "text_scrub": q_text_scrub,
         "src_url_filter": q_src_url_filter,
+        "text_split": q_text_split,
         "text_fingerprints": q_text_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         # streaming (foreachBatch → batch-dir table; SQL-oracled)
@@ -1949,6 +1963,14 @@ SELECT doc_id, n_tokens, quality, top_bigram_frac, dup_trigram_frac, lang_guess,
   coalesce(len(reasons), 0) = 0 AS keep
 FROM j""",
         "text_scrub": _text_scrub_sql(),
+        "text_split": """
+WITH b AS (SELECT doc_id,
+  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'split-v1'), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents),
+a AS (SELECT doc_id,
+  CASE WHEN bucket < 90 THEN 'train' WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+  FROM b)
+SELECT split, count(*) AS n_docs, min(doc_id) AS min_doc FROM a GROUP BY split""",
         "src_url_filter": f"""
 WITH {_PAGES},
 d AS (SELECT DISTINCT url, regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM pages)

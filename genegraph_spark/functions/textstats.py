@@ -255,3 +255,29 @@ def pii_counts(text: Column) -> Column:
         counts.append(F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0)).alias(name))
         cur = F.regexp_replace(cur, pat, f"<{name.upper()}>")
     return F.struct(*counts)
+
+
+def split_assign(
+    id_col: Column,
+    salt: str = "split-v1",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> Column:
+    """Deterministic train/val/test assignment: md5(id||salt) → bucket in
+    [0,100) → split label. The standard reproducible dataset-split
+    discipline — assignment is a pure function of the id and a versioned
+    salt, so it is stable across runs/engines/partitionings, documents
+    never migrate between splits when the corpus grows, and changing the
+    salt re-rolls every assignment at once. No sampling RNG anywhere
+    (Spark's sample() is partitioning-dependent — useless as an oracle
+    or an audit trail)."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.lit(100),
+    )
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
