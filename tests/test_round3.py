@@ -834,3 +834,28 @@ class TestSessionize:
         }
         # user1: session1={e1,e2}; session2={e3,e5} (10:50→11:20 is exactly 30min)
         assert got == {(1, 1): 2, (1, 2): 2, (2, 1): 1}
+
+
+class TestResolverEdges:
+    def test_entity_card_missing_entity_empty(self, spark, sf_dir):
+        from genegraph_spark.plans import resolvers as R
+        from genegraph_spark.plans.pipeline import construct_kg
+
+        t = construct_kg(spark, sf_dir, use_golden_text=True).triples
+        assert R.resolve("entity", t, iri="https://example.org/kg/entity/NOPE").count() == 0
+
+    def test_split_assignment_deterministic_and_exhaustive(self, spark):
+        from genegraph_spark.functions import textstats as TS
+
+        ids = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+        a = ids.select("doc_id", TS.split_assign(F.col("doc_id")).alias("s"))
+        b = ids.select("doc_id", TS.split_assign(F.col("doc_id")).alias("s"))
+        # pure function of id: two independent evaluations agree exactly
+        assert a.exceptAll(b).count() == 0
+        counts = {r.s: r["count"] for r in a.groupBy("s").count().collect()}
+        assert set(counts) == {"train", "val", "test"}
+        # ~90/5/5 within generous tolerance on 2000 ids
+        assert 0.85 <= counts["train"] / 2000 <= 0.95
+        # different salt re-rolls assignments
+        c = ids.select("doc_id", TS.split_assign(F.col("doc_id"), salt="v2").alias("s"))
+        assert a.exceptAll(c).count() > 0

@@ -222,3 +222,15 @@ def test_snapshot_isolation_for_concurrent_reader(spark, tmp_path):
     assert {
         r.object for r in store.triples().where(F.col("graph") == "g1").collect()
     } == {"v2"}
+
+
+def test_expire_keep_more_than_commits_is_noop(spark, tmp_path):
+    store = NamedGraphStore(spark, str(tmp_path / "nk"), n_buckets=4)
+    store.merge(make(spark, [t("g1", "s", "p", "o")]))
+    assert store.expire_snapshots(keep_last=5) == []
+    assert store.triples().count() == 1
+
+
+def test_graphs_on_empty_store(spark, tmp_path):
+    store = NamedGraphStore(spark, str(tmp_path / "es"), n_buckets=4)
+    assert store.graphs(["g1"]).count() == 0
