@@ -347,6 +347,18 @@ def q_ver_event_asof(spark, sf_dir):
     )
 
 
+def q_agg_percentiles(spark, sf_dir):
+    # exact interpolated percentiles per group (median + p90 of value per
+    # event_type) — Spark `percentile` ≡ DuckDB `quantile_cont`; rounded
+    # for cross-engine float compare
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_ver_sessionize(spark, sf_dir):
     # gap-based sessionization (30-min gap): two windows over one
     # user_id shuffle, integer-microsecond gap math
@@ -1193,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_statistics": q_cur_statistics,
         "kg_jsonld_compact": q_kg_jsonld_compact,
         "ver_sessionize": q_ver_sessionize,
+        "agg_percentiles": q_agg_percentiles,
         # training-data ops (unverified in round 2 — run first)
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_index": q_sim_ivf_index,
@@ -2155,6 +2168,12 @@ GROUP BY 1, 2""",
         "cur_activities": f"""
 WITH t AS ({_TRIPLES_SQL}), {_CUR_TAGGED}
 {_CUR_ACTS_SELECT}""",
+        "agg_percentiles": """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       count(*) AS n
+FROM events GROUP BY event_type""",
         "ver_sessionize": """
 WITH g AS (
   SELECT user_id, event_id, ts,

@@ -859,3 +859,27 @@ class TestResolverEdges:
         # different salt re-rolls assignments
         c = ids.select("doc_id", TS.split_assign(F.col("doc_id"), salt="v2").alias("s"))
         assert a.exceptAll(c).count() > 0
+
+
+class TestStreamDedupRestart:
+    def test_dedup_state_survives_checkpoint_restart(self, spark, sf_dir, tmp_path):
+        """A SECOND availableNow run over the same checkpoint must
+        recognize replayed event_ids from the persisted dedup state and
+        emit nothing new — exactly-once across job restarts, not just
+        within one run."""
+        from genegraph_spark.streaming import stream as S
+
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+
+        first = S.stream_dedup_events(spark, src, ckpt)
+        n_distinct = ev.count()
+        assert first.count() == n_distinct
+
+        # a replay file lands AFTER the first run stopped (offset-replay
+        # delivery); rerun with the same checkpoint
+        ev.where(F.col("event_id") % 10 == 0).coalesce(1).write.mode("append").parquet(src)
+        second = S.stream_dedup_events(spark, src, ckpt)
+        assert second.count() == n_distinct  # replay produced ZERO new emissions
