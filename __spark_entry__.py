@@ -347,6 +347,44 @@ def q_ver_event_asof(spark, sf_dir):
     )
 
 
+def q_agg_rollup(spark, sf_dir):
+    # multi-level subtotals: (event_type, day) + per-type + grand total
+    # in one pass — Spark rollup() ≡ SQL GROUP BY ROLLUP
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn("day", F.to_date("ts"))
+        .rollup("event_type", "day")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+    )
+
+
+def q_agg_pivot_wide(spark, sf_dir):
+    # wide per-user event-type counts (groupBy().pivot(); the oracle
+    # spells it as conditional aggregation — same result, both exact)
+    ev = _read(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    out = ev.groupBy("user_id").pivot("event_type", types).count()
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0).cast("long")).alias(f"n_{t}") for t in types],
+    )
+
+
+def q_win_ntile(spark, sf_dir):
+    # decile assignment + percent_rank over customer balances — the
+    # remaining ranking-window family members. A GLOBAL rank is
+    # single-partition by construction; right for dimension-scale tables
+    # (customers). For corpus-scale ranking use the salted two-pass
+    # top-k in operators/skew.py instead.
+    c = _read(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
 def q_agg_percentiles(spark, sf_dir):
     # exact interpolated percentiles per group (median + p90 of value per
     # event_type) — Spark `percentile` ≡ DuckDB `quantile_cont`; rounded
@@ -1206,6 +1244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_jsonld_compact": q_kg_jsonld_compact,
         "ver_sessionize": q_ver_sessionize,
         "agg_percentiles": q_agg_percentiles,
+        "agg_rollup": q_agg_rollup,
+        "agg_pivot_wide": q_agg_pivot_wide,
+        "win_ntile": q_win_ntile,
         # training-data ops (unverified in round 2 — run first)
         "sim_ivf_topk": q_sim_ivf_topk,
         "sim_ivf_index": q_sim_ivf_index,
@@ -2168,6 +2209,23 @@ GROUP BY 1, 2""",
         "cur_activities": f"""
 WITH t AS ({_TRIPLES_SQL}), {_CUR_TAGGED}
 {_CUR_ACTS_SELECT}""",
+        "agg_rollup": """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       count(*) AS n, round(sum(value), 4) AS total
+FROM events GROUP BY ROLLUP (event_type, day)""",
+        "agg_pivot_wide": """
+SELECT user_id,
+  coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS n_click,
+  coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS n_view,
+  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase,
+  coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS n_signup,
+  coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS n_error
+FROM events GROUP BY user_id""",
+        "win_ntile": """
+SELECT c_custkey,
+       ntile(10) OVER w AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank
+FROM customer WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey ASC)""",
         "agg_percentiles": """
 SELECT event_type,
        round(quantile_cont(value, 0.5), 6) AS p50,
