@@ -457,6 +457,29 @@ class IvfIndex:
             json.dump({"id_col": id_col, "vec_col": vec_col}, f)
         return IvfIndex(spark, path)
 
+
+    def upsert(self, new_vectors: DataFrame) -> None:
+        """Append-assign new vectors into the existing index: assign
+        against the STORED centroids (never refit — queries stay
+        consistent with the original coarse quantizer) and append to the
+        partitioned corpus. Existing files are untouched (parquet append
+        writes new files into the bucket dirs), so concurrent readers
+        keep a consistent view mid-append and the write cost is
+        proportional to the NEW vectors only.
+
+        Centroid drift note (documented trade): heavy appends degrade
+        partition balance/recall over time — rebuild with :meth:`build`
+        when imbalance crosses a threshold (the ANN analog of store
+        compaction)."""
+        import os
+
+        assigned = ivf_assign(
+            new_vectors, self.centroids, self.meta["id_col"], self.meta["vec_col"]
+        )
+        assigned.write.mode("append").partitionBy("centroid_id").parquet(
+            os.path.join(self.path, "corpus")
+        )
+
     def topk(
         self,
         queries: DataFrame,
@@ -496,3 +519,4 @@ class IvfIndex:
         )
         w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
         return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+

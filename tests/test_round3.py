@@ -883,3 +883,34 @@ class TestStreamDedupRestart:
         ev.where(F.col("event_id") % 10 == 0).coalesce(1).write.mode("append").parquet(src)
         second = S.stream_dedup_events(spark, src, ckpt)
         assert second.count() == n_distinct  # replay produced ZERO new emissions
+
+
+class TestIvfIndexUpsert:
+    def test_upsert_assigns_against_stored_centroids(self, spark, sf_dir, tmp_path):
+        from genegraph_spark.operators import similarity as SIM
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        base = emb.where("vec_id >= 10")
+        extra = emb.where("vec_id < 10").select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+        )
+        path = str(tmp_path / "ivf_up")
+        idx = SIM.IvfIndex.build(base, path)
+        n_before = spark.read.parquet(path + "/corpus").count()
+
+        idx.upsert(extra)
+        n_after = spark.read.parquet(path + "/corpus").count()
+        assert n_after == n_before + extra.count()
+
+        # new vectors are findable: query WITH one of the new ids' vector
+        q = extra.limit(1).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        hits = idx.topk(q, k=3, n_probe=2)
+        assert hits.count() > 0
+        # centroids unchanged on disk (no refit)
+        reloaded = SIM.IvfIndex(spark, path)
+        key = lambda r: (r["centroid_id"], tuple(r["embedding"]))
+        a = sorted(key(r) for r in idx.centroids.collect())
+        b = sorted(key(r) for r in reloaded.centroids.collect())
+        assert a == b
