@@ -914,3 +914,64 @@ class TestIvfIndexUpsert:
         a = sorted(key(r) for r in idx.centroids.collect())
         b = sorted(key(r) for r in reloaded.centroids.collect())
         assert a == b
+
+
+def test_sessionize_property_matches_python_reference(spark):
+    """Property: for ANY event layout, sessionize() matches a pure-Python
+    reference (per-user sort, new session when gap > threshold) on every
+    output cell. One Spark round over a hypothesis-generated batch of
+    inputs (running Spark inside @given would re-plan per example)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from genegraph_spark.operators import versioned as V
+
+    batches = []
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.integers(1, 3), st.integers(0, 7200)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    def collect(case):
+        batches.append(case)
+
+    collect()
+
+    base = dt.datetime(2024, 1, 1)
+    gap_s = 30 * 60
+    rows, expected = [], {}
+    for bi, case in enumerate(batches):
+        # per-batch distinct users so one Spark job covers all examples
+        offsets: dict[int, int] = {}
+        per_user: dict[int, list] = {}
+        for ei, (u, delta) in enumerate(case):
+            offsets[u] = offsets.get(u, 0) + delta
+            uid = bi * 10 + u
+            eid = bi * 1000 + ei
+            ts = base + dt.timedelta(seconds=offsets[u])
+            rows.append((uid, eid, ts))
+            per_user.setdefault(uid, []).append((ts, eid))
+        for uid, evs in per_user.items():
+            evs.sort()
+            sess, prev = 0, None
+            agg: dict[int, list] = {}
+            for ts, _eid in evs:
+                if prev is None or (ts - prev).total_seconds() > gap_s:
+                    sess += 1
+                agg.setdefault(sess, []).append(ts)
+                prev = ts
+            for s, tss in agg.items():
+                expected[(uid, s)] = (len(tss), min(tss), max(tss))
+
+    ev = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    got = {
+        (r.user_id, r.session_no): (r.n_events, r.session_start, r.session_end)
+        for r in V.sessionize(ev, gap_minutes=30).collect()
+    }
+    assert got == expected
