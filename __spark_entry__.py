@@ -1006,6 +1006,25 @@ def q_cur_activities(spark, sf_dir):
     return CUR.curation_activities(_kg_triples_df(spark, sf_dir))
 
 
+def q_alg_values(spark, sf_dir):
+    # SPARQL VALUES: inline binding table with mixed-arity rows — a
+    # single-var row (NATION_7, any segment) plus a two-var row
+    # (NATION_3 ∧ BUILDING); bag semantics = union of per-row matches
+    t = _geo_triples(spark, sf_dir)
+    b = A.bgp(
+        t,
+        [
+            ("?c", ":in-nation", "?n"),
+            ("?n", ":name", "?nname"),
+            ("?c", ":segment", "?seg"),
+        ],
+    )
+    out = A.values(
+        b, [{"?nname": "NATION_7"}, {"?nname": "NATION_3", "?seg": "BUILDING"}]
+    )
+    return out.groupBy("nname", "seg").agg(F.count("*").alias("n"))
+
+
 def q_alg_describe(spark, sf_dir):
     # DESCRIBE ?page WHERE { ?page :mentions kge:SLOWNESS } — concise
     # bounded description: page triples + their mention bnodes' triples
@@ -1240,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alg_path_bounded": q_alg_path_bounded,
         "cur_disease_subtree": q_cur_disease_subtree,
         "alg_describe": q_alg_describe,
+        "alg_values": q_alg_values,
         "cur_statistics": q_cur_statistics,
         "kg_jsonld_compact": q_kg_jsonld_compact,
         "ver_sessionize": q_ver_sessionize,
@@ -2246,6 +2266,19 @@ n AS (
 SELECT user_id, session_no, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM n GROUP BY user_id, session_no""",
+        "alg_values": f"""
+WITH {_GEO_TRIPLES},
+b AS (
+  SELECT cn.s AS c, cn.o AS n, nm.o AS nname, sg.o AS seg
+  FROM geo cn
+  JOIN geo nm ON nm.s = cn.o AND nm.p = ':name'
+  JOIN geo sg ON sg.s = cn.s AND sg.p = ':segment'
+  WHERE cn.p = ':in-nation'),
+v AS (
+  SELECT * FROM b WHERE nname = 'NATION_7'
+  UNION ALL
+  SELECT * FROM b WHERE nname = 'NATION_3' AND seg = 'BUILDING')
+SELECT nname, seg, count(*) AS n FROM v GROUP BY nname, seg""",
         "cur_statistics": f"""
 WITH t AS ({_TRIPLES_SQL})
 SELECT count(*) AS n_triples,

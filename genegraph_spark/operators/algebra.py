@@ -161,6 +161,36 @@ def bind_params(df: DataFrame, **params) -> DataFrame:
     return df
 
 
+def values(df: DataFrame, rows: list[dict]) -> DataFrame:
+    """SPARQL VALUES: join the solution sequence against an inline
+    binding table (multi-variable, possibly partial rows — a UNDEF value
+    is an absent key and constrains nothing on that row). Differs from
+    :func:`bind_params` (single conjunctive constants): VALUES expresses
+    a DISJUNCTION of binding tuples, compiled to a broadcast inner join
+    — rows with UNDEF columns join on their defined columns only, so the
+    result is the union of per-row matches, bag-semantics preserved."""
+    assert rows, "VALUES needs at least one binding row"
+    spark = df.sparkSession
+    out = None
+    # group rows by their defined-variable signature: each group is one
+    # broadcast semi-structured join; signatures are few (usually 1)
+    by_sig: dict[tuple, list[dict]] = {}
+    for r in rows:
+        sig = tuple(sorted(k.lstrip("?") for k in r))
+        by_sig.setdefault(sig, []).append({k.lstrip("?"): v for k, v in r.items()})
+    for sig, grp in by_sig.items():
+        if not sig:  # fully-UNDEF row: matches everything
+            part = df
+        else:
+            tbl = spark.createDataFrame(
+                [tuple(r[c] for c in sig) for r in grp],
+                ", ".join(f"{c} string" for c in sig),
+            ).distinct()
+            part = df.join(F.broadcast(tbl), list(sig), "inner")
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def construct(bindings: DataFrame, templates: list[tuple], graph: Term = None) -> DataFrame:
     """CONSTRUCT: instantiate triple templates from bindings
     (resource.clj:153-161; the 40 .sparql CONSTRUCT files). Each template

@@ -113,3 +113,19 @@ def test_text_search(triples):
     assert {r["node"] for r in got.collect()} == {"gene1"}
     assert A.text_search(triples, "cancer", predicate="label").count() == 1
     assert A.text_search(triples, "gene1").count() == 0  # IRIs excluded
+
+
+def test_values_inline_bindings(spark):
+    """VALUES semantics: disjunction of binding tuples, UNDEF columns
+    unconstrained, bag union across rows."""
+    from genegraph_spark.operators import algebra as A
+
+    b = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("b", "x"), ("c", "z")], "p string, q string"
+    )
+    out = A.values(b, [{"?p": "a"}, {"?p": "b", "?q": "x"}])
+    got = sorted((r.p, r.q) for r in out.collect())
+    assert got == [("a", "x"), ("a", "y"), ("b", "x")]
+    # overlapping rows duplicate solutions (SPARQL bag semantics)
+    dup = A.values(b, [{"?p": "a"}, {"?p": "a", "?q": "x"}])
+    assert dup.count() == 3  # (a,x)+(a,y) from row1, (a,x) again from row2
