@@ -1245,12 +1245,43 @@ def q_stream_stateful_totals(spark, sf_dir):
     )
 
 
+# The driver verifies the first ~50 queries() entries per round. Round-4
+# window (VERDICT r3 next-steps #3): the two r3 hash-fails (oracles now
+# BIGINT-pinned) first, then everything whose last verdict is round 2 (the
+# driver covered the 50 r3 additions last round), then the NEW round-4
+# queries, keeping every verdict <=2 rounds old. Names not listed keep
+# their dict order after these.
+_R4_CHECK_FIRST = [
+    # fixed this round — need a fresh verdict
+    "ver_sessionize",
+    "agg_pivot_wide",
+    # last verified in round 2 (stalest 42)
+    "agg_collect_pivot", "agg_extract_sum", "agg_score_cap",
+    "agg_single_member_groups", "alg_ask_count", "alg_bgp_join",
+    "alg_construct", "alg_diff", "alg_distinct_project", "alg_exists",
+    "alg_minus", "alg_optional", "alg_property_path",
+    "alg_property_path_alt", "alg_slice_order", "alg_text_search",
+    "alg_transitive_closure", "alg_union", "cur_gene_disease_pairs",
+    "cur_suggest_labels", "cur_top_entities", "fn_cnv_parse",
+    "fn_curie_roundtrip", "fn_date_fixup", "join_affiliation_precedence",
+    "join_asof_descriptor", "join_broadcast_dim", "kg_jsonld_docs",
+    "kg_latest_as_of", "kg_replaces_superseded", "kg_replaces_triples",
+    "kg_validation_report", "kg_version_chain", "snap_latest_asof",
+    "src_event_archive", "src_json_nested", "tpch_q1", "tpch_q3_revenue",
+    "ver_event_asof", "ver_event_chain", "ver_latest_event_per_user",
+    "win_running_total",
+    # new in round 4 (never verified — fill the remaining window slots)
+    "alg_sparql_select",
+    "alg_sparql_construct",
+    "cur_affiliations",
+    "cur_genetic_conditions",
+    "kg_nested_shapes",
+    "kg_rdfxml_docs",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE on ordering: a time-budgeted driver run verifies entries in dict
-    # order; round 2 stopped after the first 50, leaving the training-data
-    # and streaming queries without a verdict. Those previously-unverified
-    # entries therefore come FIRST.
-    return {
+    base = {
         # round-3 additions (no driver verdict yet — run first)
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "sim_pq_topk": q_sim_pq_topk,
@@ -1353,6 +1384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_broadcast_dim": q_join_broadcast_dim,
         "win_running_total": q_win_running_total,
     }
+    head = [n for n in _R4_CHECK_FIRST if n in base]
+    rest = [n for n in base if n not in set(head)]
+    return {n: base[n] for n in (*head, *rest)}
 
 
 # ===========================================================================
@@ -1861,7 +1895,7 @@ comp AS (SELECT n, min(c) AS cluster FROM walk GROUP BY n),
 members AS (SELECT v.doc_id, co.cluster, v.text FROM vdocs v
             JOIN comp co ON CAST(v.doc_id AS VARCHAR) = co.n),
 ranked AS (SELECT doc_id, cluster, row_number() OVER (
-             PARTITION BY cluster ORDER BY strlen(text) DESC, doc_id ASC) AS rn
+             PARTITION BY cluster ORDER BY length(text) DESC, doc_id ASC) AS rn
            FROM members),
 reps AS (SELECT cluster, doc_id AS rep_id FROM ranked WHERE rn = 1)
 SELECT m.doc_id, m.cluster, r.rep_id, m.doc_id = r.rep_id AS keep
@@ -2235,11 +2269,11 @@ SELECT event_type, CAST(ts AS DATE) AS day,
 FROM events GROUP BY ROLLUP (event_type, day)""",
         "agg_pivot_wide": """
 SELECT user_id,
-  coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS n_click,
-  coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS n_view,
-  coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS n_purchase,
-  coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS n_signup,
-  coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS n_error
+  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS n_click,
+  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS n_view,
+  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS n_purchase,
+  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS n_signup,
+  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS n_error
 FROM events GROUP BY user_id""",
         "win_ntile": """
 SELECT c_custkey,
@@ -2259,9 +2293,9 @@ WITH g AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 n AS (
   SELECT user_id, ts,
-         sum(CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
+         CAST(sum(CASE WHEN gap IS NULL OR gap > 30 * 60 * 1000000 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
   FROM g)
 SELECT user_id, session_no, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end

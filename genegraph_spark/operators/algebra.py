@@ -179,13 +179,21 @@ def values(df: DataFrame, rows: list[dict]) -> DataFrame:
         sig = tuple(sorted(k.lstrip("?") for k in r))
         by_sig.setdefault(sig, []).append({k.lstrip("?"): v for k, v in r.items()})
     for sig, grp in by_sig.items():
-        if not sig:  # fully-UNDEF row: matches everything
+        if not sig:
+            # fully-UNDEF row matches everything; N such rows multiply
+            # solutions N times (bag semantics)
             part = df
+            for _ in grp[1:]:
+                part = part.unionByName(df)
         else:
+            # duplicate identical binding rows are kept: the inner join
+            # then multiplies matching solutions, as SPARQL bag-union
+            # VALUES semantics require (a .distinct() here would silently
+            # collapse them — ADVICE r3)
             tbl = spark.createDataFrame(
                 [tuple(r[c] for c in sig) for r in grp],
                 ", ".join(f"{c} string" for c in sig),
-            ).distinct()
+            )
             part = df.join(F.broadcast(tbl), list(sig), "inner")
         out = part if out is None else out.unionByName(part)
     return out

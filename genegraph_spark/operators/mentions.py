@@ -177,10 +177,15 @@ def assert_gazetteer_scale(alias: DataFrame) -> int:
     and raises if it exceeds broadcast scale, directing callers to the
     join-based detect_mentions/link_entities path (identical results,
     tested). Returns the row count."""
+    # octet_length, not length: the cap protects the JVM heap in BYTES, and
+    # F.length counts characters — multi-byte UTF-8 labels (CJK etc.) would
+    # under-count up to 4x against the byte budget (ADVICE r3)
     row = alias.agg(
         F.count("*").alias("n"),
         F.sum(
-            F.length("label") + F.length("iri") + F.length("label_kind")
+            F.octet_length("label")
+            + F.octet_length("iri")
+            + F.octet_length("label_kind")
         ).alias("b"),
     ).collect()[0]
     n, nbytes = row[0], row[1] or 0

@@ -38,6 +38,11 @@ class PipelineResult:
     canonical_map: DataFrame
     triples: DataFrame
     deleted_graphs: DataFrame
+    #: (url, version): max version per url among rows that PASSED shape
+    #: validation — the incremental-ingest watermark. Derived from accepted
+    #: rows, not raw input: a feed carrying v1 (valid) + v2 (quarantined)
+    #: must record watermark 1 so a corrected redelivery of v2 reprocesses.
+    accepted_versions: DataFrame | None = None
     extras: dict = field(default_factory=dict)
 
 
@@ -118,6 +123,10 @@ def construct_kg(
     )
     validated = validate.page_shape_registry().dispatch(typed)
     quarantine = validated.where(F.size("violations") > 0)
+    accepted = validated.where(F.size("violations") == 0)
+    accepted_versions = accepted.groupBy("url").agg(
+        F.max("version").alias("version")
+    )
     heads = versioned.latest_version(
         validated.where(F.size("violations") == 0).drop("violations", "root_type"),
         key="url",
@@ -196,6 +205,7 @@ def construct_kg(
         canonical_map=canon,
         triples=all_triples,
         deleted_graphs=deleted_graphs,
+        accepted_versions=accepted_versions,
     )
 
 
@@ -270,8 +280,14 @@ def run_to_store(
             "n_deleted_graphs": res.deleted_graphs.count(),
         }
         return res, store, summary
-    versions = pages.groupBy(F.col("url").alias("graph")).agg(
-        F.max("version").alias("version")
+    # Watermark from ACCEPTED rows, not raw input: recording the raw max
+    # would let a feed with v1-valid + v2-quarantined stamp watermark 2
+    # while the store holds v1 content, silently skipping a later corrected
+    # redelivery of v2 in incremental mode. Costs a second pass over the
+    # extraction stage only in this store-merge path (the bench hot path
+    # calls construct_kg directly and never evaluates this frame).
+    versions = res.accepted_versions.select(
+        F.col("url").alias("graph"), "version"
     )
     commit = store.merge(
         res.triples, delete_graphs=res.deleted_graphs, graph_versions=versions

@@ -189,31 +189,59 @@ class NamedGraphStore:
         manifest write makes exactly one outcome visible. On a cluster
         store the same role is played by an O_EXCL/conditional-put
         manifest create on shared storage."""
+        import fcntl
+
         lock = os.path.join(self.path, f"commit-{commit:08d}.lock")
         os.makedirs(self.path, exist_ok=True)
+        # Reclaiming a dead writer's lock must itself be exclusive: two live
+        # writers that both observe a dead pid must not BOTH rewrite the lock
+        # and proceed (that reopens the interleaved-data corruption the lock
+        # exists to prevent), and a naive remove-then-recreate lets writer B
+        # unlink the lock writer A just created. So every mutation of the
+        # lock PATH (O_EXCL create, liveness check, stale unlink) runs under
+        # a kernel flock() on a per-store mutex file — held only for the
+        # acquisition instant, auto-released if the reclaimer itself dies.
+        # The pid-stamped lock file remains the real lock for the duration
+        # of the merge (it survives across processes and is what crash
+        # replay inspects); the flock only serializes acquire/reclaim.
+        mutex_fd = os.open(
+            os.path.join(self.path, "writer-mutex.lock"),
+            os.O_CREAT | os.O_WRONLY,
+        )
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, str(os.getpid()).encode())
-            os.close(fd)
-        except FileExistsError:
+            fcntl.flock(mutex_fd, fcntl.LOCK_EX)
             try:
-                holder = int(open(lock).read().strip() or "0")
-            except (OSError, ValueError):
-                holder = 0
-            alive = False
-            if holder > 0:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+            except FileExistsError:
                 try:
-                    os.kill(holder, 0)
-                    alive = True
-                except OSError:
-                    alive = False
-            if alive:
-                raise RuntimeError(
-                    f"concurrent writer (pid {holder}) detected for commit "
-                    f"{commit} (lock {lock}); the store is single-writer"
-                ) from None
-            with open(lock, "w") as f:  # stale lock from a dead writer
-                f.write(str(os.getpid()))
+                    holder = int(open(lock).read().strip() or "0")
+                except (OSError, ValueError):
+                    holder = 0
+                alive = False
+                if holder > 0:
+                    try:
+                        os.kill(holder, 0)
+                        alive = True
+                    except OSError:
+                        alive = False
+                if alive:
+                    raise RuntimeError(
+                        f"concurrent writer (pid {holder}) detected for commit "
+                        f"{commit} (lock {lock}); the store is single-writer"
+                    ) from None
+                # stale lock from a dead writer: safe to replace, we hold
+                # the acquisition mutex so no other reclaimer can interleave
+                os.remove(lock)
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+        finally:
+            try:
+                fcntl.flock(mutex_fd, fcntl.LOCK_UN)
+            finally:
+                os.close(mutex_fd)
         try:
             yield
         finally:

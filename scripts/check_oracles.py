@@ -21,6 +21,18 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def canon_cell(v):
+    """Canonicalize one cell the way the DRIVER does, typing drift included.
+
+    Round-3 lesson (VERDICT r3 "What's wrong" #1/#4): the driver renders a
+    DuckDB HUGEINT sum as a float ("3.0"), so an oracle `sum(CASE ...)` that
+    isn't pinned with CAST(... AS BIGINT) hash-mismatches a Spark long even
+    when values agree. The old replica coerced integral floats to int strings
+    and MASKED that class of bug twice (agg_pivot_wide, ver_sessionize).
+    Rules now: floats stay floats (repr-style, no int coercion); ints stay
+    ints. Oracle rows must be fetched via .arrow() (see main) so DuckDB's
+    HUGEINT -> double conversion happens exactly as at the driver, while
+    DATE / nullable-BIGINT keep their types (a pandas fetch would not).
+    """
     import datetime
     import decimal
     import math
@@ -34,9 +46,7 @@ def canon_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        return str(v)  # shortest-roundtrip repr: 3.0 -> "3.0", never "3"
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     return str(v)
@@ -84,9 +94,18 @@ def main():
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # Fetch via .arrow(), not fetchall(): the Arrow export turns
+            # DuckDB HUGEINT into double exactly as the driver sees it
+            # (fetchall() returns Python ints and hides the typing drift —
+            # that masking is how the r3 agg_pivot_wide / ver_sessionize
+            # oracle bugs shipped), while DATE stays date and nullable
+            # BIGINT stays int (a pandas fetch would midnight-ify dates and
+            # float-ify nullable ints, which the driver demonstrably does
+            # NOT do — those five queries are driver-green).
+            otab = con.execute(oracles[name]).arrow()
+            ocols = list(otab.column_names)
+            ocells = [col.to_pylist() for col in otab.columns]
+            orows = list(zip(*ocells)) if ocells else []
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
             n_fail += 1
