@@ -1025,6 +1025,46 @@ def q_alg_values(spark, sf_dir):
     return out.groupBy("nname", "seg").agg(F.count("*").alias("n"))
 
 
+def q_alg_sparql_select(spark, sf_dir):
+    # SPARQL *text* front-end (operators/sparql.py; create-query on
+    # strings, resource.clj:223-239): a SELECT with a sequence property
+    # path, OPTIONAL+inner FILTER, and BIND(IF(BOUND(...))) — parsed and
+    # compiled onto the algebra combinators, then run over the geo triple
+    # view. Same plan shape as the programmatic q_alg_* equivalents.
+    from genegraph_spark.operators.sparql import sparql
+
+    t = _geo_triples(spark, sf_dir)
+    out = sparql(
+        t,
+        """SELECT DISTINCT ?c ?rname ?flag WHERE {
+             ?c :in-nation/:in-region ?r .
+             ?r :name ?rname .
+             OPTIONAL { ?c :segment ?seg . FILTER(?seg = "BUILDING") }
+             BIND(IF(BOUND(?seg), true, false) AS ?flag)
+           }""",
+    )
+    return out.select(
+        F.col("c").alias("customer"),
+        F.col("rname").alias("region_name"),
+        (F.col("flag") == "true").alias("is_building"),
+    )
+
+
+def q_alg_sparql_construct(spark, sf_dir):
+    # CONSTRUCT from query text: template instantiation with a path-join
+    # WHERE clause; emits the repo triple schema (the .sparql-file
+    # execution path, gene_validity_refactor/*.sparql).
+    from genegraph_spark.operators.sparql import sparql
+
+    t = _geo_triples(spark, sf_dir)
+    out = sparql(
+        t,
+        """CONSTRUCT { ?c :region-name ?rname . ?c a :Customer }
+           WHERE { ?c :in-nation/:in-region ?r . ?r :name ?rname }""",
+    )
+    return out.select("subject", "predicate", "object", "object_is_iri")
+
+
 def q_alg_describe(spark, sf_dir):
     # DESCRIBE ?page WHERE { ?page :mentions kge:SLOWNESS } — concise
     # bounded description: page triples + their mention bnodes' triples
@@ -1282,6 +1322,9 @@ _R4_CHECK_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        # round-4 additions
+        "alg_sparql_select": q_alg_sparql_select,
+        "alg_sparql_construct": q_alg_sparql_construct,
         # round-3 additions (no driver verdict yet — run first)
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "sim_pq_topk": q_sim_pq_topk,
@@ -2300,6 +2343,27 @@ n AS (
 SELECT user_id, session_no, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM n GROUP BY user_id, session_no""",
+        "alg_sparql_select": f"""
+WITH {_GEO_TRIPLES},
+cn AS (SELECT s AS c, o AS n FROM geo WHERE p = ':in-nation'),
+nr AS (SELECT s AS n, o AS r FROM geo WHERE p = ':in-region'),
+rn AS (SELECT s AS r, o AS rname FROM geo WHERE p = ':name'),
+seg AS (SELECT s AS c FROM geo WHERE p = ':segment' AND o = 'BUILDING')
+SELECT DISTINCT cn.c AS customer, rn.rname AS region_name,
+       seg.c IS NOT NULL AS is_building
+FROM cn JOIN nr USING (n) JOIN rn ON rn.r = nr.r
+LEFT JOIN seg ON seg.c = cn.c""",
+        "alg_sparql_construct": f"""
+WITH {_GEO_TRIPLES},
+cr AS (
+  SELECT DISTINCT cn.s AS c, rn.o AS rname
+  FROM geo cn JOIN geo nr ON nr.s = cn.o AND nr.p = ':in-region'
+  JOIN geo rn ON rn.s = nr.o AND rn.p = ':name'
+  WHERE cn.p = ':in-nation')
+SELECT c AS subject, ':region-name' AS predicate, rname AS object,
+       false AS object_is_iri FROM cr
+UNION
+SELECT DISTINCT c, 'rdf:type', ':Customer', true FROM cr""",
         "alg_values": f"""
 WITH {_GEO_TRIPLES},
 b AS (

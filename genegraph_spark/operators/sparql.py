@@ -1,0 +1,1141 @@
+"""SPARQL *text* front-end: parse the query-string subset the reference
+actually uses and compile it onto the :mod:`.algebra` combinators.
+
+The reference compiles SPARQL strings at load time — ``create-query`` on
+strings (``src/genegraph/database/query/resource.clj:223-239``) and ~40
+``.sparql`` CONSTRUCT files under
+``src/genegraph/transform/gene_validity_refactor/`` (e.g.
+``construct_proband_score.sparql``, ``construct_articles.sparql``) — and
+executes them against per-event Jena models. This module is the
+text→plan half of that capability for the Spark engine: the programmatic
+algebra (``algebra.py``) already covers the operator menu; here a
+recursive-descent parser turns query text into those combinators, so a
+user's existing ``.sparql`` file runs unmodified over a triples
+DataFrame.
+
+Supported subset (everything observed in the reference's query files):
+SELECT / CONSTRUCT / ASK; PREFIX; basic graph patterns with
+predicate-object lists (``;``), object lists (``,``), ``a``, ``[]``
+anonymous nodes; OPTIONAL; FILTER (comparisons, logical ``&&``/``||``/
+``!``, REGEX, CONTAINS, STRSTARTS/STRENDS, STRLEN, BOUND) and
+FILTER (NOT) EXISTS; BIND with IF / BOUND / COALESCE / CONCAT / IRI /
+STR / STRLEN / SUBSTR / REPLACE / LCASE / UCASE / STRAFTER / STRBEFORE;
+UNION; MINUS; VALUES (incl. UNDEF); property paths ``p/q``, ``^p``,
+``p|q``, ``p?``, ``p*``, ``p+``, ``p{n}``, ``p{n,m}``, ``!(p|q)`` and
+parenthesized combinations (the proband query's
+``^gci:familyIncluded? / ^(gci:families|gci:groups)? / gci:article``);
+ORDER BY / LIMIT / OFFSET / DISTINCT; pre-bound parameters (the
+QuerySolutionMap path, resource.clj:86-92 — ``?pmbase`` in
+construct_articles.sparql arrives this way).
+
+Term model: internally every binding column holds a TAGGED term string —
+``I|<iri>`` for IRIs/bnodes, ``L|<datatype>|<lexical>`` for literals —
+so join keys compare whole RDF terms (a literal ``"x"`` never equals an
+IRI ``x``) and CONSTRUCT can emit ``object_is_iri``/``object_datatype``
+for variable objects without per-variable shadow columns. SELECT output
+decodes to plain strings (the repo-wide untagged convention).
+Prefixed names with a declared prefix expand to full IRIs; names with an
+UNDECLARED prefix (the reference's Jena-keyword forms like
+``:sepio/has-evidence``) are kept verbatim as CURIE-style IRIs — the
+same convention the repo's triple store uses (``functions/iri.py``).
+
+Scale: a parsed query compiles to exactly the plan the programmatic
+combinators would build — pattern constants push to the parquet scan,
+shared variables become shuffled equi-joins under Catalyst/AQE, VALUES
+becomes a broadcast join, ``*``/``+`` paths use the path-doubling
+fixpoint of :func:`.algebra.transitive_closure` (⌈log2 d⌉ rounds). The
+parse itself is driver-side and O(query text), never O(data).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import algebra as A
+
+RDF_TYPE = "rdf:type"
+RDF_TYPE_FULL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+XSD_BOOLEAN = "xsd:boolean"
+_MAXLEN = 1 << 20  # effectively-unbounded substr length
+
+
+# ===========================================================================
+# Tokenizer
+# ===========================================================================
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<WS>\s+|\#[^\n]*)
+    | (?P<IRIREF><[^<>\s]*>)
+    | (?P<STRING>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
+    | (?P<VAR>\?[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<NUMBER>[0-9]+(?:\.[0-9]+)?)
+    # Prefixed names: `gci:foo` (no slash in the local part — '/' there is
+    # always a path separator) and the reference's Jena-keyword CURIEs
+    # `:ns/local-name` (empty prefix; '/'-joined segments, where a segment
+    # never starts with ':' — so `:a/:b` tokenizes as path `:a / :b`).
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*|:[A-Za-z0-9_\-.]+(?:/[A-Za-z0-9_\-.]+)*)
+    | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].;,=<>!^/|?*+\-])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "prefix", "select", "construct", "ask", "where", "optional", "filter",
+    "bind", "values", "union", "minus", "not", "exists", "order", "by",
+    "asc", "desc", "limit", "offset", "distinct", "reduced", "as", "undef",
+}
+
+
+@dataclass
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(text: str) -> list[Tok]:
+    toks, i = [], 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise SparqlSyntaxError(f"unexpected character {text[i]!r} at offset {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        toks.append(Tok(kind, m.group(), m.start()))
+    return toks
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+# ===========================================================================
+# AST
+# ===========================================================================
+# Terms: ('var', name) | ('iri', iri) | ('lit', lexical, datatype|None)
+# Paths: ('pred', iri) | ('seq', a, b) | ('alt', a, b) | ('inv', p)
+#        | ('opt', p) | ('star', p) | ('plus', p) | ('rep', p, n, m)
+#        | ('neg', [iri, ...])
+# Pattern elements: ('bgp', [(s, path, o), ...]) | ('optional', group)
+#        | ('filter', expr) | ('fexists', group, positive)
+#        | ('bind', expr, var) | ('values', [var, ...], [row, ...])
+#        | ('union', [group, ...]) | ('minus', group) | ('group', elements)
+# Exprs: terms | ('op', op, a, b) | ('not', a) | ('call', name, [args])
+
+
+@dataclass
+class Query:
+    form: str  # 'select' | 'construct' | 'ask'
+    pattern: list  # group elements
+    select_vars: list[str] = field(default_factory=list)
+    distinct: bool = False
+    templates: list = field(default_factory=list)  # construct triples
+    order: list = field(default_factory=list)  # [(var, 'asc'|'desc'), ...]
+    limit: int | None = None
+    offset: int = 0
+
+
+class _Parser:
+    def __init__(self, text: str):
+        self.toks = tokenize(text)
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self._bnode_n = 0
+
+    # -- token plumbing ------------------------------------------------------
+    def peek(self, k: int = 0) -> Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise SparqlSyntaxError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "NAME" and t.text.lower() in kws
+
+    def eat_kw(self, kw: str) -> None:
+        if not self.at_kw(kw):
+            t = self.peek()
+            raise SparqlSyntaxError(f"expected {kw.upper()}, got {t.text if t else 'EOF'}")
+        self.next()
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "OP" and t.text in ops
+
+    def eat_op(self, op: str) -> None:
+        if not self.at_op(op):
+            t = self.peek()
+            raise SparqlSyntaxError(f"expected {op!r}, got {t.text if t else 'EOF'}")
+        self.next()
+
+    # -- terms ---------------------------------------------------------------
+    def expand_pname(self, text: str) -> str:
+        pfx, _, local = text.partition(":")
+        if pfx in self.prefixes:
+            return self.prefixes[pfx] + local
+        # undeclared prefix: keep verbatim (the reference's Jena-keyword
+        # CURIEs, matching the repo's CURIE-style store terms)
+        return text
+
+    def term(self, in_expr: bool = False):
+        t = self.next()
+        if t.kind == "VAR":
+            return ("var", t.text[1:])
+        if t.kind == "IRIREF":
+            return ("iri", t.text[1:-1])
+        if t.kind == "PNAME":
+            return ("iri", self.expand_pname(t.text))
+        if t.kind == "STRING":
+            body = t.text[1:-1]
+            body = re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t"}.get(m.group(1), m.group(1)), body)
+            dt = None
+            if self.at_op("^") and self.peek(1) and self.peek(1).kind == "OP" and self.peek(1).text == "^":
+                self.next(); self.next()
+                dt = self.term()[1]
+            return ("lit", body, dt)
+        if t.kind == "NUMBER":
+            dt = "xsd:decimal" if "." in t.text else "xsd:integer"
+            return ("lit", t.text, dt)
+        if t.kind == "NAME" and t.text.lower() in ("true", "false"):
+            return ("lit", t.text.lower(), XSD_BOOLEAN)
+        if t.kind == "NAME" and t.text == "a" and not in_expr:
+            return ("iri", RDF_TYPE)
+        if t.kind == "OP" and t.text == "[":
+            self.eat_op("]")
+            self._bnode_n += 1
+            return ("var", f"_anon_{self._bnode_n}")
+        if t.kind == "OP" and t.text == "-" and self.peek() and self.peek().kind == "NUMBER":
+            n = self.next()
+            dt = "xsd:decimal" if "." in n.text else "xsd:integer"
+            return ("lit", "-" + n.text, dt)
+        raise SparqlSyntaxError(f"unexpected token {t.text!r} at offset {t.pos}")
+
+    # -- query ---------------------------------------------------------------
+    def parse(self) -> Query:
+        while self.at_kw("prefix"):
+            self.next()
+            ns = self.next()
+            if ns.kind != "PNAME" or not ns.text.endswith(":"):
+                raise SparqlSyntaxError(f"bad PREFIX declaration at {ns.text!r}")
+            iri = self.next()
+            if iri.kind != "IRIREF":
+                raise SparqlSyntaxError("PREFIX needs an <iri>")
+            self.prefixes[ns.text[:-1]] = iri.text[1:-1]
+
+        if self.at_kw("select"):
+            return self._select()
+        if self.at_kw("construct"):
+            return self._construct()
+        if self.at_kw("ask"):
+            self.next()
+            if self.at_kw("where"):
+                self.next()
+            return Query("ask", self.group())
+        raise SparqlSyntaxError("expected SELECT, CONSTRUCT or ASK")
+
+    def _select(self) -> Query:
+        self.next()
+        distinct = False
+        if self.at_kw("distinct", "reduced"):
+            distinct = self.at_kw("distinct")
+            self.next()
+        sel: list[str] = []
+        if self.at_op("*"):
+            self.next()
+        else:
+            while self.peek() and self.peek().kind == "VAR":
+                sel.append(self.next().text[1:])
+        if self.at_kw("where"):
+            self.next()
+        q = Query("select", self.group(), select_vars=sel, distinct=distinct)
+        self._modifiers(q)
+        return q
+
+    def _construct(self) -> Query:
+        self.next()
+        templates = self._triples_block(template=True)
+        self.eat_kw("where")
+        q = Query("construct", self.group(), templates=templates)
+        self._modifiers(q)
+        return q
+
+    def _modifiers(self, q: Query) -> None:
+        while True:
+            if self.at_kw("order"):
+                self.next(); self.eat_kw("by")
+                while True:
+                    if self.at_kw("asc", "desc"):
+                        d = self.next().text.lower()
+                        self.eat_op("(")
+                        v = self.next()
+                        self.eat_op(")")
+                        q.order.append((v.text[1:], d))
+                    elif self.peek() and self.peek().kind == "VAR":
+                        q.order.append((self.next().text[1:], "asc"))
+                    else:
+                        break
+            elif self.at_kw("limit"):
+                self.next()
+                q.limit = int(self.next().text)
+            elif self.at_kw("offset"):
+                self.next()
+                q.offset = int(self.next().text)
+            else:
+                break
+
+    # -- group graph pattern -------------------------------------------------
+    def group(self) -> list:
+        self.eat_op("{")
+        elements: list = []
+        while not self.at_op("}"):
+            if self.at_op("."):
+                self.next()
+                continue
+            if self.at_kw("optional"):
+                self.next()
+                elements.append(("optional", self.group()))
+            elif self.at_kw("filter"):
+                self.next()
+                if self.at_kw("not"):
+                    self.next(); self.eat_kw("exists")
+                    elements.append(("fexists", self.group(), False))
+                elif self.at_kw("exists"):
+                    self.next()
+                    elements.append(("fexists", self.group(), True))
+                else:
+                    # FILTER (expr) or FILTER regex(...): both are a
+                    # BrackettedExpression-or-BuiltInCall per the grammar
+                    elements.append(("filter", self.expr_primary_or_paren()))
+            elif self.at_kw("bind"):
+                self.next()
+                self.eat_op("(")
+                e = self.expr()
+                self.eat_kw("as")
+                v = self.next()
+                self.eat_op(")")
+                elements.append(("bind", e, v.text[1:]))
+            elif self.at_kw("values"):
+                self.next()
+                elements.append(self._values())
+            elif self.at_kw("minus"):
+                self.next()
+                elements.append(("minus", self.group()))
+            elif self.at_op("{"):
+                alts = [self.group()]
+                while self.at_kw("union"):
+                    self.next()
+                    alts.append(self.group())
+                elements.append(("union", alts) if len(alts) > 1 else ("group", alts[0]))
+            else:
+                elements.append(("bgp", self._triples_block()))
+        self.eat_op("}")
+        return elements
+
+    def _values(self):
+        if self.at_op("("):
+            self.next()
+            vs = []
+            while self.peek() and self.peek().kind == "VAR":
+                vs.append(self.next().text[1:])
+            self.eat_op(")")
+            self.eat_op("{")
+            rows = []
+            while self.at_op("("):
+                self.next()
+                row = []
+                while not self.at_op(")"):
+                    if self.at_kw("undef"):
+                        self.next()
+                        row.append(None)
+                    else:
+                        row.append(self.term())
+                self.eat_op(")")
+                rows.append(row)
+            self.eat_op("}")
+        else:
+            v = self.next()
+            vs = [v.text[1:]]
+            self.eat_op("{")
+            rows = []
+            while not self.at_op("}"):
+                if self.at_kw("undef"):
+                    self.next()
+                    rows.append([None])
+                else:
+                    rows.append([self.term()])
+            self.eat_op("}")
+        return ("values", vs, rows)
+
+    def _triples_block(self, template: bool = False) -> list:
+        if template:
+            self.eat_op("{")
+        patterns: list = []
+        while True:
+            t = self.peek()
+            if t is None or (t.kind == "OP" and t.text == "}"):
+                break
+            if t.kind == "OP" and t.text == ".":
+                self.next()
+                continue
+            # stop at the next non-triples element
+            if t.kind == "NAME" and t.text.lower() in _KEYWORDS and t.text.lower() not in ("a",):
+                break
+            if t.kind == "OP" and t.text == "{":
+                break
+            subj = self.term()
+            patterns.extend(self._property_list(subj, template))
+            if self.at_op("."):
+                self.next()
+            else:
+                break
+        if template:
+            self.eat_op("}")
+        return patterns
+
+    def _property_list(self, subj, template: bool) -> list:
+        out = []
+        while True:
+            path = self.path() if not template else self._simple_verb()
+            while True:
+                obj = self.term()
+                out.append((subj, path, obj))
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+            if self.at_op(";"):
+                self.next()
+                # dangling ';' before '.', '}' or a following clause
+                # (OPTIONAL/FILTER/...) is legal — Jena tolerates it and
+                # the reference files use it (construct_alleles.sparql:16)
+                t = self.peek()
+                if t is None or (t.kind == "OP" and t.text in (".", "}")):
+                    break
+                if t.kind == "NAME" and t.text.lower() in _KEYWORDS:
+                    break
+                continue
+            break
+        return out
+
+    def _simple_verb(self):
+        t = self.next()
+        if t.kind == "NAME" and t.text == "a":
+            return ("pred", RDF_TYPE)
+        if t.kind == "IRIREF":
+            return ("pred", t.text[1:-1])
+        if t.kind == "PNAME":
+            return ("pred", self.expand_pname(t.text))
+        if t.kind == "VAR":
+            # the unlink_* "copy all except" templates: CONSTRUCT {?s ?p ?o}
+            return ("pvar", t.text[1:])
+        raise SparqlSyntaxError(f"expected predicate in template, got {t.text!r}")
+
+    # -- property paths ------------------------------------------------------
+    def path(self):
+        return self._path_alt()
+
+    def _path_alt(self):
+        p = self._path_seq()
+        while self.at_op("|"):
+            self.next()
+            p = ("alt", p, self._path_seq())
+        return p
+
+    def _path_seq(self):
+        p = self._path_elt_or_inverse()
+        while self.at_op("/"):
+            self.next()
+            p = ("seq", p, self._path_elt_or_inverse())
+        return p
+
+    def _path_elt_or_inverse(self):
+        if self.at_op("^"):
+            self.next()
+            return ("inv", self._path_elt())
+        return self._path_elt()
+
+    def _path_elt(self):
+        p = self._path_primary()
+        if self.at_op("?"):
+            self.next()
+            return ("opt", p)
+        if self.at_op("*"):
+            self.next()
+            return ("star", p)
+        if self.at_op("+"):
+            self.next()
+            return ("plus", p)
+        if self.at_op("{"):
+            self.next()
+            lo = int(self.next().text)
+            hi = lo
+            if self.at_op(","):
+                self.next()
+                hi = int(self.next().text) if self.peek().kind == "NUMBER" else None
+            self.eat_op("}")
+            if hi is None:
+                raise SparqlSyntaxError("unbounded {n,} repetition is not supported; use p+ with a prefix")
+            return ("rep", p, lo, hi)
+        return p
+
+    def _path_primary(self):
+        if self.at_op("("):
+            self.next()
+            p = self.path()
+            self.eat_op(")")
+            return p
+        if self.at_op("!"):
+            self.next()
+            self.eat_op("(")
+            preds = []
+            while True:
+                t = self.next()
+                if t.kind == "IRIREF":
+                    preds.append(t.text[1:-1])
+                elif t.kind == "PNAME":
+                    preds.append(self.expand_pname(t.text))
+                elif t.kind == "NAME" and t.text == "a":
+                    preds.append(RDF_TYPE)
+                else:
+                    raise SparqlSyntaxError("negated property set takes plain IRIs")
+                if self.at_op("|"):
+                    self.next()
+                    continue
+                break
+            self.eat_op(")")
+            return ("neg", preds)
+        t = self.next()
+        if t.kind == "NAME" and t.text == "a":
+            return ("pred", RDF_TYPE)
+        if t.kind == "IRIREF":
+            return ("pred", t.text[1:-1])
+        if t.kind == "PNAME":
+            return ("pred", self.expand_pname(t.text))
+        if t.kind == "VAR":
+            return ("pvar", t.text[1:])
+        raise SparqlSyntaxError(f"unexpected token {t.text!r} in property path")
+
+    # -- expressions ---------------------------------------------------------
+    def expr_primary_or_paren(self):
+        if self.at_op("("):
+            self.next()
+            e = self.expr()
+            self.eat_op(")")
+            return e
+        return self._expr_primary()
+
+    def expr(self):
+        return self._expr_or()
+
+    def _expr_or(self):
+        e = self._expr_and()
+        while self.at_op("||"):
+            self.next()
+            e = ("op", "||", e, self._expr_and())
+        return e
+
+    def _expr_and(self):
+        e = self._expr_cmp()
+        while self.at_op("&&"):
+            self.next()
+            e = ("op", "&&", e, self._expr_cmp())
+        return e
+
+    def _expr_cmp(self):
+        e = self._expr_add()
+        if self.at_op("=", "!=", "<", ">", "<=", ">="):
+            op = self.next().text
+            e = ("op", op, e, self._expr_add())
+        return e
+
+    def _expr_add(self):
+        e = self._expr_mul()
+        while self.at_op("+", "-"):
+            op = self.next().text
+            e = ("op", op, e, self._expr_mul())
+        return e
+
+    def _expr_mul(self):
+        e = self._expr_unary()
+        while self.at_op("*", "/"):
+            op = self.next().text
+            e = ("op", op, e, self._expr_unary())
+        return e
+
+    def _expr_unary(self):
+        if self.at_op("!"):
+            self.next()
+            return ("not", self._expr_unary())
+        return self._expr_primary()
+
+    _FUNCS = {
+        "bound", "coalesce", "if", "concat", "iri", "uri", "str", "strlen",
+        "substr", "replace", "regex", "contains", "strstarts", "strends",
+        "lcase", "ucase", "strafter", "strbefore",
+    }
+
+    def _expr_primary(self):
+        if self.at_op("("):
+            self.next()
+            e = self.expr()
+            self.eat_op(")")
+            return e
+        t = self.peek()
+        if t.kind == "NAME" and t.text.lower() in self._FUNCS:
+            name = self.next().text.lower()
+            self.eat_op("(")
+            args = []
+            if not self.at_op(")"):
+                args.append(self.expr())
+                while self.at_op(","):
+                    self.next()
+                    args.append(self.expr())
+            self.eat_op(")")
+            return ("call", name, args)
+        return self.term(in_expr=True)
+
+
+def parse_sparql(text: str) -> Query:
+    p = _Parser(text)
+    q = p.parse()
+    if p.peek() is not None:
+        raise SparqlSyntaxError(f"trailing tokens from {p.peek().text!r}")
+    return q
+
+
+# ===========================================================================
+# Term encoding (tagged strings)
+# ===========================================================================
+
+def _tag_const(term) -> str:
+    """Encode a constant AST term as a tagged string."""
+    if term[0] == "iri":
+        return "I|" + term[1]
+    if term[0] == "lit":
+        return "L|" + (term[2] or "") + "|" + term[1]
+    raise ValueError(f"not a constant term: {term}")
+
+
+def _enc_subject() -> Column:
+    return F.concat(F.lit("I|"), F.col("subject"))
+
+
+def _enc_object() -> Column:
+    return F.when(
+        F.col("object_is_iri"), F.concat(F.lit("I|"), F.col("object"))
+    ).otherwise(
+        F.concat(
+            F.lit("L|"),
+            F.coalesce(F.col("object_datatype"), F.lit("")),
+            F.lit("|"),
+            F.col("object"),
+        )
+    )
+
+
+def term_value(c: Column) -> Column:
+    """Decode a tagged term to its value/lexical form (SPARQL STR)."""
+    return F.when(
+        c.startswith("I|"), c.substr(F.lit(3), F.lit(_MAXLEN))
+    ).otherwise(c.substr(F.locate("|", c, 3) + 1, F.lit(_MAXLEN)))
+
+
+def term_is_iri(c: Column) -> Column:
+    return c.startswith("I|")
+
+
+def term_datatype(c: Column) -> Column:
+    p = F.locate("|", c, 3)
+    return F.when(c.startswith("I|"), F.lit(None).cast("string")).otherwise(
+        F.nullif(c.substr(F.lit(3), p - 3), F.lit(""))
+    )
+
+
+# ===========================================================================
+# Compiler
+# ===========================================================================
+
+
+class _Compiler:
+    def __init__(self, triples: DataFrame):
+        self.triples = triples
+        self.spark = triples.sparkSession
+
+    # -- patterns ------------------------------------------------------------
+    def _unit(self) -> DataFrame:
+        return self.spark.range(1).select(F.lit(1).alias("_unit"))
+
+    @staticmethod
+    def _pred_filter(p: str) -> Column:
+        """`a` is semantically rdf:type whichever lexical convention the
+        store uses (CURIE "rdf:type" or the full IRI) — match both. Still
+        a pushable IN-filter on the scan."""
+        if p in (RDF_TYPE, RDF_TYPE_FULL):
+            return F.col("predicate").isin([RDF_TYPE, RDF_TYPE_FULL])
+        return F.col("predicate") == p
+
+    def scan(self, s, path, o) -> DataFrame:
+        """One triple pattern → tagged bindings. Simple predicates filter
+        the raw columns (parquet pushdown, algebra.scan:41-58); complex
+        paths go through :meth:`path_pairs`."""
+        if path[0] == "pred":
+            df = self.triples.where(self._pred_filter(path[1]))
+            return self._bind_endpoints(df, s, o)
+        if path[0] == "pvar":
+            df = self.triples
+            out = self._bind_endpoints(df, s, o)
+            # predicate var: re-derive alongside (predicates are IRIs)
+            sel = [F.col(c) for c in out.columns]
+            # recompute via a fresh projection that carries the predicate
+            cols, filters = self._endpoint_exprs(s, o)
+            cols.append(F.concat(F.lit("I|"), F.col("predicate")).alias(path[1]))
+            for f in filters:
+                df = df.where(f)
+            return df.select(*cols)
+        pairs = self.path_pairs(path)
+        out_cols: list[Column] = []
+        df = pairs
+        for term, col in ((s, "node"), (o, "next")):
+            if term[0] == "var":
+                out_cols.append(F.col(col).alias(term[1]))
+            else:
+                df = df.where(F.col(col) == _tag_const(term))
+        return df.select(*out_cols) if out_cols else df.select(F.lit(1).alias("_unit"))
+
+    def _endpoint_exprs(self, s, o):
+        cols: list[Column] = []
+        filters: list[Column] = []
+        if s[0] == "var":
+            cols.append(_enc_subject().alias(s[1]))
+        else:
+            filters.append(F.col("subject") == s[1])
+        if o[0] == "var":
+            cols.append(_enc_object().alias(o[1]))
+        elif o[0] == "iri":
+            filters.append(F.col("object_is_iri") & (F.col("object") == o[1]))
+        else:  # literal: lenient datatype (plain vs xsd:string vs absent)
+            filters.append(~F.col("object_is_iri") & (F.col("object") == o[1]))
+        return cols, filters
+
+    def _bind_endpoints(self, df: DataFrame, s, o) -> DataFrame:
+        cols, filters = self._endpoint_exprs(s, o)
+        for f in filters:
+            df = df.where(f)
+        if s[0] == "var" and o[0] == "var" and s[1] == o[1]:
+            # same var both ends: self-equality
+            df = df.where(_enc_subject() == _enc_object())
+            cols = [_enc_subject().alias(s[1])]
+        return df.select(*cols) if cols else df.select(F.lit(1).alias("_unit"))
+
+    # -- property paths ------------------------------------------------------
+    def path_pairs(self, p) -> DataFrame:
+        """(node, next) tagged endpoint pairs for a path expression.
+        seq/alt keep bag semantics; ?/*/+/{n,m} are distinct per SPARQL
+        1.1 §9.3. Each base step is a predicate-filtered scan (pushdown);
+        * / + use the path-doubling fixpoint of
+        :func:`.algebra.transitive_closure` (⌈log2 d⌉ shuffle rounds)."""
+        kind = p[0]
+        if kind == "pred":
+            return (
+                self.triples.where(self._pred_filter(p[1]))
+                .select(_enc_subject().alias("node"), _enc_object().alias("next"))
+            )
+        if kind == "neg":
+            return (
+                self.triples.where(~F.col("predicate").isin(list(p[1])))
+                .select(_enc_subject().alias("node"), _enc_object().alias("next"))
+            )
+        if kind == "inv":
+            q = self.path_pairs(p[1])
+            return q.select(F.col("next").alias("node"), F.col("node").alias("next"))
+        if kind == "seq":
+            a, b = self.path_pairs(p[1]).alias("l"), self.path_pairs(p[2]).alias("r")
+            return a.join(b, F.col("l.next") == F.col("r.node")).select(
+                F.col("l.node").alias("node"), F.col("r.next").alias("next")
+            )
+        if kind == "alt":
+            return self.path_pairs(p[1]).unionByName(self.path_pairs(p[2]))
+        if kind == "opt":
+            return self._identity().unionByName(self.path_pairs(p[1])).distinct()
+        if kind in ("star", "plus"):
+            closure = self._closure(self.path_pairs(p[1]))
+            if kind == "star":
+                closure = closure.unionByName(self._identity()).distinct()
+            return closure
+        if kind == "rep":
+            _, sub, lo, hi = p
+            base = self.path_pairs(sub)
+            cur = self._identity() if lo == 0 else base
+            for _ in range(max(lo - 1, 0)):
+                cur = self._seq_pairs(cur, base)
+            out = cur
+            for _ in range(hi - lo):
+                cur = self._seq_pairs(cur, base)
+                out = out.unionByName(cur)
+            return out.distinct()
+        raise ValueError(f"unknown path node {p!r}")
+
+    def _seq_pairs(self, a: DataFrame, b: DataFrame) -> DataFrame:
+        a, b = a.alias("l"), b.alias("r")
+        return a.join(b, F.col("l.next") == F.col("r.node")).select(
+            F.col("l.node").alias("node"), F.col("r.next").alias("next")
+        )
+
+    def _identity(self) -> DataFrame:
+        nodes = self.triples.select(_enc_subject().alias("node")).unionByName(
+            self.triples.select(_enc_object().alias("node"))
+        ).distinct()
+        return nodes.select("node", F.col("node").alias("next"))
+
+    def _closure(self, edges: DataFrame, max_iter: int = 20) -> DataFrame:
+        """Path-doubling closure over a pairs frame — the generalized form
+        of :func:`.algebra.transitive_closure` (same convergence guard)."""
+        closure = edges.distinct().localCheckpoint(eager=True)
+        prev = closure.count()
+        for _ in range(max_iter):
+            l, r = closure.alias("l"), closure.alias("r")
+            doubled = l.join(r, F.col("l.next") == F.col("r.node")).select(
+                F.col("l.node").alias("node"), F.col("r.next").alias("next")
+            )
+            closure = closure.union(doubled).distinct().localCheckpoint(eager=True)
+            n = closure.count()
+            if n == prev:
+                return closure
+            prev = n
+        raise RuntimeError(f"path closure did not converge in {max_iter} rounds")
+
+    # -- groups --------------------------------------------------------------
+    def group(self, elements: list) -> DataFrame:
+        cur: DataFrame | None = None
+        filters: list = []
+        exists_clauses: list = []
+
+        def merge(right: DataFrame) -> DataFrame:
+            return right if cur is None else A.join(cur, right)
+
+        for el in elements:
+            kind = el[0]
+            if kind == "bgp":
+                for s, path, o in el[1]:
+                    cur = merge(self.scan(s, path, o))
+            elif kind == "optional":
+                right = self.group(el[1])
+                cur = right if cur is None else A.optional(cur, right)
+            elif kind == "filter":
+                filters.append(el[1])
+            elif kind == "fexists":
+                exists_clauses.append((el[1], el[2]))
+            elif kind == "bind":
+                base = cur if cur is not None else self._unit()
+                cur = base.withColumn(el[2], self.term_expr(el[1], base))
+            elif kind == "values":
+                vs, rows = el[1], el[2]
+                tbl_rows = [
+                    {v: _tag_const(t) for v, t in zip(vs, row) if t is not None}
+                    for row in rows
+                ]
+                if cur is None:
+                    cur = self.spark.createDataFrame(
+                        [tuple(r.get(v) for v in vs) for r in tbl_rows],
+                        ", ".join(f"{v} string" for v in vs),
+                    )
+                else:
+                    cur = A.values(cur, tbl_rows)
+            elif kind == "union":
+                u = reduce(A.union, (self.group(g) for g in el[1]))
+                cur = merge(u)
+            elif kind == "minus":
+                if cur is not None:
+                    cur = A.minus(cur, self.group(el[1]))
+            elif kind == "group":
+                cur = merge(self.group(el[1]))
+            else:
+                raise ValueError(f"unknown group element {kind!r}")
+        if cur is None:
+            cur = self._unit()
+        for e in filters:
+            cur = cur.where(self.bool_expr(e, cur))
+        for grp, positive in exists_clauses:
+            sub = self.group(grp)
+            shared = sorted(set(cur.columns) & set(sub.columns))
+            if shared:
+                cur = cur.join(sub, shared, "left_semi" if positive else "left_anti")
+            else:
+                # disjoint EXISTS: a constant guard — keep all rows iff the
+                # sub-pattern has (no) solutions
+                probe = sub.limit(1)
+                cur = cur.join(
+                    probe, F.lit(True), "left_semi" if positive else "left_anti"
+                )
+        return cur
+
+    # -- expressions ---------------------------------------------------------
+    @staticmethod
+    def _ast_kind(e) -> str:
+        if isinstance(e, tuple):
+            if e[0] == "op":
+                return "bool" if e[1] in ("=", "!=", "<", ">", "<=", ">=", "&&", "||") else "num"
+            if e[0] == "not":
+                return "bool"
+            if e[0] == "call":
+                n = e[1]
+                if n in ("bound", "regex", "contains", "strstarts", "strends"):
+                    return "bool"
+                if n == "strlen":
+                    return "num"
+                if n in ("iri", "uri"):
+                    return "iri"
+                if n in ("if", "coalesce"):
+                    return "term"
+                return "str"
+            if e[0] == "lit":
+                return "const"
+            if e[0] in ("var", "iri"):
+                return "term"
+        return "term"
+
+    @staticmethod
+    def _numeric_ast(e) -> bool:
+        return (
+            isinstance(e, tuple)
+            and (
+                (e[0] == "lit" and e[2] in ("xsd:integer", "xsd:decimal"))
+                or (e[0] == "op" and e[1] in ("+", "-", "*", "/"))
+                or (e[0] == "call" and e[1] == "strlen")
+            )
+        )
+
+    def value_expr(self, e, df: DataFrame) -> Column:
+        """Value mode: plain Spark value (string/number/boolean)."""
+        if e[0] == "var":
+            if e[1] not in df.columns:
+                return F.lit(None).cast("string")
+            return term_value(F.col(e[1]))
+        if e[0] == "iri":
+            return F.lit(e[1])
+        if e[0] == "lit":
+            if e[2] in ("xsd:integer", "xsd:decimal"):
+                return F.lit(float(e[1]) if "." in e[1] else int(e[1]))
+            if e[2] == XSD_BOOLEAN:
+                return F.lit(e[1] == "true")
+            return F.lit(e[1])
+        if e[0] == "not":
+            return ~self.bool_expr(e[1], df)
+        if e[0] == "op":
+            op, a, b = e[1], e[2], e[3]
+            if op in ("&&", "||"):
+                ca, cb = self.bool_expr(a, df), self.bool_expr(b, df)
+                return ca & cb if op == "&&" else ca | cb
+            ca, cb = self.value_expr(a, df), self.value_expr(b, df)
+            if op in ("=", "!=", "<", ">", "<=", ">=") and (
+                self._numeric_ast(a) or self._numeric_ast(b)
+            ):
+                ca, cb = ca.cast("double"), cb.cast("double")
+            if op in ("+", "-", "*", "/"):
+                ca, cb = ca.cast("double"), cb.cast("double")
+            return {
+                "=": ca == cb, "!=": ca != cb, "<": ca < cb, ">": ca > cb,
+                "<=": ca <= cb, ">=": ca >= cb, "+": ca + cb, "-": ca - cb,
+                "*": ca * cb, "/": ca / cb,
+            }[op]
+        if e[0] == "call":
+            return self._call(e[1], e[2], df)
+        raise ValueError(f"unsupported expression {e!r}")
+
+    def bool_expr(self, e, df: DataFrame) -> Column:
+        c = self.value_expr(e, df)
+        return c if self._ast_kind(e) in ("bool",) else c.cast("boolean")
+
+    def _lit_arg(self, e) -> str:
+        assert e[0] == "lit", f"expected a literal argument, got {e!r}"
+        return e[1]
+
+    def _call(self, name: str, args: list, df: DataFrame) -> Column:
+        v = lambda i: self.value_expr(args[i], df)  # noqa: E731
+        if name == "bound":
+            assert args[0][0] == "var"
+            if args[0][1] not in df.columns:
+                return F.lit(False)
+            return F.col(args[0][1]).isNotNull()
+        if name == "coalesce":
+            return F.coalesce(*[self.value_expr(a, df) for a in args])
+        if name == "if":
+            return F.when(self.bool_expr(args[0], df), v(1)).otherwise(v(2))
+        if name == "concat":
+            return F.concat(*[self.value_expr(a, df).cast("string") for a in args])
+        if name in ("iri", "uri", "str"):
+            return v(0)
+        if name == "strlen":
+            return F.length(v(0))
+        if name == "substr":
+            ln = v(2) if len(args) > 2 else F.lit(_MAXLEN)
+            return v(0).substr(v(1).cast("int"), ln.cast("int"))
+        if name == "replace":
+            return F.regexp_replace(v(0), self._lit_arg(args[1]), self._lit_arg(args[2]))
+        if name == "regex":
+            pat = self._lit_arg(args[1])
+            if len(args) > 2 and "i" in self._lit_arg(args[2]):
+                pat = "(?i)" + pat
+            return v(0).rlike(pat)
+        if name == "contains":
+            return v(0).contains(v(1))
+        if name == "strstarts":
+            return v(0).startswith(v(1))
+        if name == "strends":
+            return v(0).endswith(v(1))
+        if name == "lcase":
+            return F.lower(v(0))
+        if name == "ucase":
+            return F.upper(v(0))
+        if name == "strafter":
+            x = self._lit_arg(args[1])
+            p = F.instr(v(0), x)
+            return F.when(p > 0, v(0).substr(p + len(x), F.lit(_MAXLEN))).otherwise(F.lit(""))
+        if name == "strbefore":
+            x = self._lit_arg(args[1])
+            p = F.instr(v(0), x)
+            return F.when(p > 0, v(0).substr(F.lit(1), p - 1)).otherwise(F.lit(""))
+        raise ValueError(f"unsupported function {name!r}")
+
+    def term_expr(self, e, df: DataFrame) -> Column:
+        """Term mode: tagged term string (for BIND / CONSTRUCT)."""
+        if e[0] == "var":
+            return F.col(e[1]) if e[1] in df.columns else F.lit(None).cast("string")
+        if e[0] in ("iri", "lit"):
+            return F.lit(_tag_const(e))
+        if e[0] == "call" and e[1] == "if":
+            return F.when(
+                self.bool_expr(e[2][0], df), self.term_expr(e[2][1], df)
+            ).otherwise(self.term_expr(e[2][2], df))
+        if e[0] == "call" and e[1] == "coalesce":
+            return F.coalesce(*[self.term_expr(a, df) for a in e[2]])
+        if e[0] == "call" and e[1] in ("iri", "uri"):
+            return F.concat(F.lit("I|"), self.value_expr(e[2][0], df))
+        kind = self._ast_kind(e)
+        val = self.value_expr(e, df)
+        if kind == "bool":
+            return F.concat(
+                F.lit("L|" + XSD_BOOLEAN + "|"),
+                F.when(val, F.lit("true")).otherwise(F.lit("false")),
+            )
+        if kind == "num":
+            return F.concat(F.lit("L|xsd:integer|"), val.cast("long").cast("string"))
+        return F.when(
+            val.isNull(), F.lit(None).cast("string")
+        ).otherwise(F.concat(F.lit("L||"), val.cast("string")))
+
+
+# ===========================================================================
+# Public API
+# ===========================================================================
+
+
+def _subst(node, mapping: dict):
+    """Substitute pre-bound variables with constant terms, recursively."""
+    if isinstance(node, tuple):
+        if node[0] == "var" and node[1] in mapping:
+            return mapping[node[1]]
+        return tuple(_subst(x, mapping) for x in node)
+    if isinstance(node, list):
+        return [_subst(x, mapping) for x in node]
+    return node
+
+
+class PreparedQuery:
+    """A parsed SPARQL query, executable against any triples DataFrame
+    with the repo schema (graph, subject, predicate, object,
+    object_is_iri, object_datatype) — the create-query analog
+    (resource.clj:223-239)."""
+
+    def __init__(self, text: str):
+        self.text = text
+        self.ast = parse_sparql(text)
+
+    def run(self, triples: DataFrame, **params):
+        """Execute. ``params`` pre-bind variables (QuerySolutionMap,
+        resource.clj:86-92): a plain string binds a literal; an
+        ``('iri', value)`` tuple binds an IRI. Returns a DataFrame for
+        SELECT (decoded value columns) and CONSTRUCT (repo triple
+        schema), a bool for ASK."""
+        q = self.ast
+        mapping = {
+            k: (("iri", v[1]) if isinstance(v, tuple) else ("lit", str(v), None))
+            for k, v in params.items()
+        }
+        pattern = _subst(q.pattern, mapping) if mapping else q.pattern
+        templates = _subst(q.templates, mapping) if mapping else q.templates
+        c = _Compiler(triples)
+        bindings = c.group(pattern)
+        if q.form == "ask":
+            return A.ask(bindings)
+        if q.form == "construct":
+            outs = []
+            for s, path, o in templates:
+                assert path[0] in ("pred", "pvar"), "CONSTRUCT templates take simple predicates"
+                pred = (
+                    F.lit(path[1])
+                    if path[0] == "pred"
+                    else term_value(F.col(path[1]))
+                )
+                subj = (
+                    term_value(F.col(s[1])) if s[0] == "var" else F.lit(s[1])
+                )
+                if o[0] == "var":
+                    oc = F.col(o[1]) if o[1] in bindings.columns else F.lit(None).cast("string")
+                    obj, is_iri, dt = term_value(oc), term_is_iri(oc), term_datatype(oc)
+                elif o[0] == "iri":
+                    obj, is_iri, dt = F.lit(o[1]), F.lit(True), F.lit(None).cast("string")
+                else:
+                    obj, is_iri, dt = F.lit(o[1]), F.lit(False), F.lit(o[2]).cast("string")
+                sc = subj if s[0] != "var" or s[1] in bindings.columns else F.lit(None)
+                outs.append(
+                    bindings.select(
+                        F.lit(None).cast("string").alias("graph"),
+                        sc.cast("string").alias("subject"),
+                        pred.cast("string").alias("predicate"),
+                        obj.cast("string").alias("object"),
+                        is_iri.alias("object_is_iri"),
+                        dt.alias("object_datatype"),
+                    ).where(
+                        F.col("subject").isNotNull() & F.col("object").isNotNull()
+                    )
+                )
+            return reduce(lambda a, b: a.unionByName(b), outs).dropDuplicates()
+        # SELECT
+        cols = q.select_vars or [
+            col for col in bindings.columns if not col.startswith("_")
+        ]
+        out = bindings.select(
+            *[
+                term_value(F.col(v)).alias(v) if v in bindings.columns
+                else F.lit(None).cast("string").alias(v)
+                for v in cols
+            ]
+        )
+        if q.distinct:
+            out = out.dropDuplicates()
+        if q.order or q.limit is not None or q.offset:
+            out = A.slice(out, limit=q.limit, offset=q.offset, order=q.order or None) \
+                if (q.offset or q.limit is not None) else A.order_by(out, *q.order)
+        return out
+
+
+def sparql(triples: DataFrame, text: str, **params):
+    """Parse + run in one call (create-query + execute,
+    resource.clj:201-239)."""
+    return PreparedQuery(text).run(triples, **params)

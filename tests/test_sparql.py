@@ -1,0 +1,407 @@
+"""SPARQL text front-end: parser + compiler semantics, and the round-4
+acceptance bar — reference ``.sparql`` files executing unmodified
+(``/root/reference/src/genegraph/transform/gene_validity_refactor/``)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from genegraph_spark.operators import sparql as S
+
+REF_DIR = "/root/reference/src/genegraph/transform/gene_validity_refactor"
+
+TRIPLE_SCHEMA = (
+    "graph string, subject string, predicate string, object string, "
+    "object_is_iri boolean, object_datatype string"
+)
+
+
+def T(spark, rows):
+    return spark.createDataFrame(
+        [("g", s, p, o, iri, dt) for s, p, o, iri, dt in rows], TRIPLE_SCHEMA
+    )
+
+
+def iri(s, p, o):
+    return (s, p, o, True, None)
+
+
+def lit(s, p, o, dt=None):
+    return (s, p, o, False, dt)
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    """Small org graph exercising every operator family."""
+    return T(
+        spark,
+        [
+            iri("urn:a", ":knows", "urn:b"),
+            iri("urn:b", ":knows", "urn:c"),
+            iri("urn:c", ":knows", "urn:d"),
+            iri("urn:b", ":likes", "urn:a"),
+            lit("urn:a", ":name", "alice"),
+            lit("urn:b", ":name", "bob"),
+            lit("urn:c", ":name", "carol"),
+            lit("urn:a", ":age", "42", "xsd:integer"),
+            lit("urn:b", ":age", "7", "xsd:integer"),
+            iri("urn:a", "rdf:type", ":Person"),
+            iri("urn:b", "rdf:type", ":Person"),
+            iri("urn:d", "rdf:type", ":Robot"),
+            # literal that lexically equals an IRI term: must never join
+            lit("urn:d", ":note", "urn:b"),
+        ],
+    )
+
+
+class TestParser:
+    def test_keyword_curies_and_path_slash_disambiguation(self):
+        toks = [t.text for t in S.tokenize(":a/:b :sepio/has-evidence gci:x/rdf:first")]
+        assert toks == [":a", "/", ":b", ":sepio/has-evidence", "gci:x", "/", "rdf:first"]
+
+    def test_comments_and_strings(self):
+        q = S.parse_sparql('SELECT ?x WHERE { ?x :p "a # not comment" . # real\n }')
+        assert q.form == "select"
+        (el,) = q.pattern
+        assert el[1][0][2] == ("lit", "a # not comment", None)
+
+    def test_path_grammar(self):
+        q = S.parse_sparql(
+            "SELECT ?x WHERE { ?x ^:a?/^(:b|:c)?/:d/!(:e|:f)/:g{1,2}/:h* ?y }"
+        )
+        (el,) = q.pattern
+        path = el[1][0][1]
+        assert path[0] == "seq"  # left-nested sequence tree
+
+    def test_values_undef_and_multirow(self):
+        q = S.parse_sparql(
+            'SELECT ?x WHERE { VALUES (?a ?b) { ("x" UNDEF) (UNDEF "y") } }'
+        )
+        (el,) = q.pattern
+        assert el[0] == "values"
+        assert el[2][0][1] is None and el[2][1][0] is None
+
+    def test_prefix_expansion_and_verbatim_keywords(self):
+        q = S.parse_sparql(
+            "prefix gci: <http://x/> CONSTRUCT { ?s :cg/kept gci:v } WHERE { ?s a gci:t }"
+        )
+        (s, p, o) = q.templates[0]
+        assert o == ("iri", "http://x/v") and p == ("pred", ":cg/kept")
+        assert q.pattern[0][1][0][2] == ("iri", "http://x/t")
+
+    def test_reference_files_all_parse(self):
+        """Every .sparql file in the reference tree parses."""
+        if not os.path.isdir(REF_DIR):
+            pytest.skip("reference tree not present")
+        failed = []
+        for fn in sorted(os.listdir(REF_DIR)):
+            if not fn.endswith(".sparql"):
+                continue
+            try:
+                S.parse_sparql(open(os.path.join(REF_DIR, fn)).read())
+            except Exception as e:  # noqa: BLE001
+                failed.append((fn, str(e)[:100]))
+        assert not failed, failed
+
+
+class TestCompiler:
+    def test_bgp_join_and_literal_iri_distinction(self, spark, graph):
+        # ?x :knows ?y joined with names; the literal "urn:b" in :note
+        # must not join as a node
+        out = S.sparql(
+            graph,
+            "SELECT ?xn ?yn WHERE { ?x :knows ?y . ?x :name ?xn . ?y :name ?yn } ORDER BY ?xn",
+        ).collect()
+        assert [(r.xn, r.yn) for r in out] == [("alice", "bob"), ("bob", "carol")]
+        # :note's object is a LITERAL "urn:b" — a pattern on it as subject
+        # must not return b's edges through term confusion
+        n = S.sparql(
+            graph, "SELECT ?z WHERE { ?d :note ?v . ?v :knows ?z }"
+        ).count()
+        assert n == 0
+
+    def test_optional_bind_bound(self, spark, graph):
+        rows = {
+            r.n: r.has_age
+            for r in S.sparql(
+                graph,
+                """SELECT ?n ?has_age WHERE {
+                     ?x rdf:type :Person . ?x :name ?n .
+                     OPTIONAL { ?x :age ?a }
+                     BIND(IF(BOUND(?a), true, false) AS ?has_age) }""",
+            ).collect()
+        }
+        assert rows == {"alice": "true", "bob": "true"}
+
+    def test_filter_numeric_and_string(self, spark, graph):
+        out = S.sparql(
+            graph,
+            'SELECT ?n WHERE { ?x :age ?a . ?x :name ?n . FILTER(?a > 10) }',
+        ).collect()
+        assert [r.n for r in out] == ["alice"]
+        out = S.sparql(
+            graph,
+            'SELECT ?n WHERE { ?x :name ?n . FILTER(STRSTARTS(?n, "a") || CONTAINS(?n, "aro")) } ORDER BY ?n',
+        ).collect()
+        assert [r.n for r in out] == ["alice", "carol"]
+
+    def test_union_minus(self, spark, graph):
+        out = S.sparql(
+            graph,
+            """SELECT DISTINCT ?x WHERE {
+                 { ?x rdf:type :Person } UNION { ?x rdf:type :Robot }
+                 MINUS { ?x :age "7" } } ORDER BY ?x""",
+        ).collect()
+        assert [r.x for r in out] == ["urn:a", "urn:d"]
+
+    def test_not_exists_disjoint_guard(self, spark, graph):
+        # sub-pattern has solutions → every row filtered (SPARQL semantics)
+        assert (
+            S.sparql(
+                graph,
+                "SELECT ?n WHERE { ?x :name ?n . FILTER NOT EXISTS { [] rdf:type :Robot } }",
+            ).count()
+            == 0
+        )
+        # no solutions → all rows kept
+        assert (
+            S.sparql(
+                graph,
+                "SELECT ?n WHERE { ?x :name ?n . FILTER NOT EXISTS { [] rdf:type :Unicorn } }",
+            ).count()
+            == 3
+        )
+
+    def test_exists_shared_var(self, spark, graph):
+        out = S.sparql(
+            graph,
+            "SELECT ?n WHERE { ?x :name ?n . FILTER EXISTS { ?x :knows ?y } } ORDER BY ?n",
+        ).collect()
+        assert [r.n for r in out] == ["alice", "bob", "carol"]
+
+    def test_paths(self, spark, graph):
+        # seq + inverse
+        out = S.sparql(
+            graph, "SELECT ?z WHERE { ?a :name \"alice\" . ?a :knows/:knows ?z }"
+        ).collect()
+        assert [r.z for r in out] == ["urn:c"]
+        # star includes zero hops
+        out = S.sparql(
+            graph,
+            'SELECT DISTINCT ?z WHERE { ?a :name "bob" . ?a :knows* ?z }',
+        ).collect()
+        assert sorted(r.z for r in out) == ["urn:b", "urn:c", "urn:d"]
+        # plus excludes zero hops
+        out = S.sparql(
+            graph,
+            'SELECT DISTINCT ?z WHERE { ?a :name "bob" . ?a :knows+ ?z }',
+        ).collect()
+        assert sorted(r.z for r in out) == ["urn:c", "urn:d"]
+        # bounded repetition {1,2}
+        out = S.sparql(
+            graph,
+            'SELECT DISTINCT ?z WHERE { ?a :name "alice" . ?a :knows{1,2} ?z }',
+        ).collect()
+        assert sorted(r.z for r in out) == ["urn:b", "urn:c"]
+        # negated property set
+        out = S.sparql(
+            graph,
+            "SELECT ?z WHERE { ?b :likes ?a . ?b !(:knows|:name|rdf:type|:age) ?z }",
+        ).collect()
+        assert [r.z for r in out] == ["urn:a"]
+        # zero-or-one
+        out = S.sparql(
+            graph,
+            'SELECT DISTINCT ?z WHERE { ?a :name "carol" . ?a :knows? ?z }',
+        ).collect()
+        assert sorted(r.z for r in out) == ["urn:c", "urn:d"]
+
+    def test_values_bag_semantics(self, spark, graph):
+        # duplicate VALUES row duplicates solutions
+        out = S.sparql(
+            graph,
+            'SELECT ?x WHERE { ?x :name ?n . VALUES ?n { "bob" "bob" } }',
+        ).collect()
+        assert [r.x for r in out] == ["urn:b", "urn:b"]
+
+    def test_construct_omits_unbound_optional_triples(self, spark, graph):
+        df = S.sparql(
+            graph,
+            """CONSTRUCT { ?x :out-name ?n . ?x :out-age ?a }
+               WHERE { ?x :name ?n . OPTIONAL { ?x :age ?a . FILTER(?a > 10) } }""",
+        )
+        preds = (
+            df.groupBy("predicate").count().orderBy("predicate").collect()
+        )
+        assert [(r.predicate, r["count"]) for r in preds] == [
+            (":out-age", 1),
+            (":out-name", 3),
+        ]
+        # datatype survives decode
+        age = df.where(F.col("predicate") == ":out-age").collect()[0]
+        assert age.object == "42" and age.object_datatype == "xsd:integer"
+        assert not age.object_is_iri
+
+    def test_ask_and_modifiers(self, spark, graph):
+        assert S.sparql(graph, 'ASK { ?x :name "bob" }') is True
+        assert S.sparql(graph, 'ASK { ?x :name "nope" }') is False
+        out = S.sparql(
+            graph,
+            "SELECT ?n WHERE { ?x :name ?n } ORDER BY DESC(?n) LIMIT 2 OFFSET 1",
+        ).collect()
+        assert [r.n for r in out] == ["bob", "alice"]
+
+    def test_prebound_params(self, spark, graph):
+        out = S.sparql(
+            graph,
+            "SELECT ?x WHERE { ?x :name ?who }",
+            who="carol",
+        ).collect()
+        assert [r.x for r in out] == ["urn:c"]
+
+
+# ---------------------------------------------------------------------------
+# Reference .sparql files executed unmodified
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gci_graph(spark):
+    """A miniature GCI-shaped event graph matching the vocabulary of the
+    reference's gene_validity_refactor queries (full gci:/gcixform: IRIs,
+    rdf list structure for authors)."""
+    GCI = "http://dataexchange.clinicalgenome.org/gci/"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [
+        # article 1: two authors, with abstract
+        iri("urn:art1", RDF + "type", GCI + "article"),
+        lit("urn:art1", GCI + "title", "BRCA1 in families"),
+        lit("urn:art1", GCI + "date", "2019-04-01T00:00:00"),
+        lit("urn:art1", GCI + "pmid", "31001"),
+        iri("urn:art1", GCI + "authors", "_:l1"),
+        lit("_:l1", RDF + "first", "Kim J"),
+        iri("_:l1", RDF + "rest", "_:l2"),
+        lit("_:l2", RDF + "first", "Okafor N"),
+        lit("urn:art1", GCI + "abstract", "We studied families."),
+        # article 2: single author, no abstract
+        iri("urn:art2", RDF + "type", GCI + "article"),
+        lit("urn:art2", GCI + "title", "A case report"),
+        lit("urn:art2", GCI + "date", "2021-11-20T00:00:00"),
+        lit("urn:art2", GCI + "pmid", "42002"),
+        iri("urn:art2", GCI + "authors", "_:l3"),
+        lit("_:l3", RDF + "first", "Solo R"),
+        # assertion for add_legacy_website_id
+        iri("urn:assert1", RDF + "type", ":sepio/GeneValidityEvidenceLevelAssertion"),
+    ]
+    return T(spark, rows)
+
+
+class TestReferenceQueries:
+    @pytest.fixture(autouse=True)
+    def _need_ref(self):
+        if not os.path.isdir(REF_DIR):
+            pytest.skip("reference tree not present")
+
+    def test_add_legacy_website_id(self, spark, gci_graph):
+        q = S.PreparedQuery(open(os.path.join(REF_DIR, "add_legacy_website_id.sparql")).read())
+        df = q.run(gci_graph, legacy_id="10023")
+        rows = df.collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r.subject == "urn:assert1"
+        assert r.predicate == ":cg/website-legacy-id"
+        assert r.object == "10023" and not r.object_is_iri
+
+    def test_construct_articles(self, spark, gci_graph):
+        q = S.PreparedQuery(open(os.path.join(REF_DIR, "construct_articles.sparql")).read())
+        df = q.run(gci_graph, pmbase="https://pubmed.ncbi.nlm.nih.gov/")
+        rows = df.collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r.subject, {})[r.predicate] = r.object
+        a1 = by["https://pubmed.ncbi.nlm.nih.gov/31001"]
+        a2 = by["https://pubmed.ncbi.nlm.nih.gov/42002"]
+        assert a1[":dc/title"] == "BRCA1 in families"
+        assert a1[":dc/creator"] == "Kim J"
+        assert a1[":dc/date"] == "2019"
+        assert a1[":dc/abstract"] == "We studied families."
+        assert a1[":sepio/multiple-authors"] == "true"
+        assert a2[":sepio/multiple-authors"] == "false"
+        assert ":dc/abstract" not in a2  # unbound optional → triple omitted
+        # typed IRI object from the template constant
+        t1 = [r for r in rows if r.predicate.endswith("type")]
+        assert all(r.object_is_iri for r in t1)
+
+    def test_construct_proband_score_runs(self, spark, gci_graph):
+        """The largest reference query (150 lines: NOT EXISTS guard,
+        nested OPTIONALs, rdf:rest{n} indexing, ^p?/^(a|b)?/c paths,
+        IF/BOUND/COALESCE binds) parses, compiles and executes."""
+        GCI = "http://dataexchange.clinicalgenome.org/gci/"
+        XFORM = "http://dataexchange.clinicalgenome.org/gcixform/"
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        rows = [
+            iri("urn:el1", RDF + "type", GCI + "evidenceScore"),
+            lit("urn:el1", GCI + "scoreStatus", "Score"),
+            lit("urn:el1", GCI + "date_created", "2020-01-01"),
+            iri("urn:el1", GCI + "affiliation", "urn:aff1"),
+            lit("urn:el1", GCI + "calculatedScore", "1.5", "xsd:decimal"),
+            lit("urn:el1", GCI + "scoreExplanation", "solid proband"),
+            iri("urn:ind1", GCI + "scores", "urn:el1"),
+            iri("urn:ind1", GCI + "variants", "urn:var1"),
+            lit("urn:ind1", GCI + "label", "proband 1"),
+            lit("urn:ind1", GCI + "proband", "true", "xsd:boolean"),
+            lit("urn:ind1", GCI + "sex", "F"),
+            lit("urn:ind1", GCI + "denovo", "Yes"),
+            iri("urn:ind1", GCI + "method", "urn:m1"),
+            iri("urn:m1", GCI + "genotypingMethods", "_:gm1"),
+            lit("_:gm1", RDF + "first", "exome sequencing"),
+            iri("_:gm1", RDF + "rest", "_:gm2"),
+            lit("_:gm2", RDF + "first", "sanger"),
+            iri("urn:ann1", GCI + "individuals", "urn:ind1"),
+            iri("urn:ann1", GCI + "article", "urn:pub1"),
+            lit("urn:pub1", GCI + "pmid", "31001"),
+        ]
+        g = T(spark, rows)
+        q = S.PreparedQuery(
+            open(os.path.join(REF_DIR, "construct_proband_score.sparql")).read()
+        )
+        df = q.run(g, pmbase="https://pubmed.ncbi.nlm.nih.gov/")
+        by = {}
+        for r in df.collect():
+            by.setdefault(r.subject, {})[r.predicate] = r.object
+        line = by["urn:el1_proband_score_evidence_line"]
+        # COALESCE(?adjustedScore, ?calculatedScore): no gci:score → 1.5
+        assert line[":sepio/evidence-line-strength-score"] == "1.5"
+        assert line[":sepio/has-evidence"] == "urn:ind1"
+        assert line[":dc/description"] == "solid proband"
+        ind = by["urn:ind1"]
+        assert ind[":sepio/has-sex"] == "F"
+        # denovo "Yes" → DeNovoAlleleOrigin on the evidence item
+        item = by["urn:el1_variant_evidence_item"]
+        assert item[":geno/allele-origin"] == ":geno/DeNovoAlleleOrigin"
+        # rdf:rest{0}/rdf:first and rdf:rest{1}/rdf:first list indexing
+        assert ind[":sepio/first-testing-method"] == "exome sequencing"
+        assert ind[":sepio/second-testing-method"] == "sanger"
+        # article IRI composed from the prebound base + pmid
+        assert item[":dc/source"] == "https://pubmed.ncbi.nlm.nih.gov/31001"
+
+    def test_proband_not_exists_guard(self, spark):
+        """The SOP8 guard: presence of any gci:variantScore empties the
+        whole result."""
+        GCI = "http://dataexchange.clinicalgenome.org/gci/"
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        g = T(
+            spark,
+            [
+                iri("urn:el1", RDF + "type", GCI + "evidenceScore"),
+                lit("urn:el1", GCI + "scoreStatus", "Score"),
+                iri("urn:vs1", RDF + "type", GCI + "variantScore"),
+            ],
+        )
+        q = S.PreparedQuery(
+            open(os.path.join(REF_DIR, "construct_proband_score.sparql")).read()
+        )
+        assert q.run(g, pmbase="x").count() == 0
