@@ -998,6 +998,15 @@ def q_kg_turtle_docs(spark, sf_dir):
     return SER.turtle_docs(_kg_triples_df(spark, sf_dir))
 
 
+def q_kg_rdfxml_docs(spark, sf_dir):
+    # RDF/XML serialization per named graph (query.clj:87-100 — the
+    # Jena-interop format beside Turtle/JSON-LD); byte-deterministic,
+    # parse_rdfxml round-trip tested
+    from genegraph_spark.functions import serialize as SER
+
+    return SER.rdfxml_docs(_kg_triples_df(spark, sf_dir))
+
+
 def q_cur_activities(spark, sf_dir):
     # per-gene curation-activity flags (curation.clj:33-72: ASK per
     # activity BGP → union + semi-join + boolean pivot in one pass)
@@ -1023,6 +1032,68 @@ def q_alg_values(spark, sf_dir):
         b, [{"?nname": "NATION_7"}, {"?nname": "NATION_3", "?seg": "BUILDING"}]
     )
     return out.groupBy("nname", "seg").agg(F.count("*").alias("n"))
+
+
+def q_kg_nested_shapes(spark, sf_dir):
+    # SHACL node shapes with sh:node nesting over the KG triples
+    # (database/validation.clj:8-19; resources/shapes.edn): MentionShape
+    # (canonicalEntity IRI, position integer <= 9) referenced from
+    # PageShape via hasMention — a page conforma only if every mention it
+    # points at conforms. position > 9 occurs in the fixture, so real
+    # violations propagate through the nested reference.
+    from genegraph_spark.operators.validate import (
+        NodeShape,
+        PropertyShape,
+        validate_graph_shapes,
+    )
+
+    t = _kg_triples_df(spark, sf_dir)
+    shapes = [
+        NodeShape(
+            "MentionShape",
+            I.C_MENTION,
+            (
+                PropertyShape(I.P_CANONICAL, min_count=1, node_kind="iri"),
+                PropertyShape(
+                    I.P_POSITION, min_count=1, datatype=I.XSD_INTEGER, max_inclusive=9
+                ),
+            ),
+        ),
+        NodeShape(
+            "PageShape",
+            I.C_WEBPAGE,
+            (
+                PropertyShape(I.P_LANG, min_count=1, datatype=I.XSD_STRING),
+                PropertyShape(I.P_HAS_MENTION, node="MentionShape"),
+            ),
+        ),
+    ]
+    out = validate_graph_shapes(t, shapes)
+    return out.select(
+        "focus",
+        "shape",
+        F.concat_ws(",", "violations").alias("violations"),
+        "conforms",
+    )
+
+
+def q_cur_affiliations(spark, sf_dir):
+    # affiliation list + per-affiliation curation rollups
+    # (affiliation.clj:16-37): the reference's N per-affiliation point
+    # queries collapsed into one grouped pass
+    from genegraph_spark.plans import curation as CUR
+
+    a = CUR.curation_assertions(_read(spark, sf_dir, "events"))
+    return CUR.affiliations(a)
+
+
+def q_cur_genetic_conditions(spark, sf_dir):
+    # (gene, disease, moi) genetic-condition composition with rollups +
+    # winning assertion (genetic_condition.clj; curation.clj composition)
+    from genegraph_spark.plans import curation as CUR
+
+    a = CUR.curation_assertions(_read(spark, sf_dir, "events"))
+    return CUR.genetic_conditions(a)
 
 
 def q_alg_sparql_select(spark, sf_dir):
@@ -1325,6 +1396,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions
         "alg_sparql_select": q_alg_sparql_select,
         "alg_sparql_construct": q_alg_sparql_construct,
+        "cur_affiliations": q_cur_affiliations,
+        "cur_genetic_conditions": q_cur_genetic_conditions,
+        "kg_nested_shapes": q_kg_nested_shapes,
+        "kg_rdfxml_docs": q_kg_rdfxml_docs,
         # round-3 additions (no driver verdict yet — run first)
         "sim_ivf_kmeans": q_sim_ivf_kmeans,
         "sim_pq_topk": q_sim_pq_topk,
@@ -1583,6 +1658,29 @@ geo AS (
   SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR), ':balance', CAST(c_acctbal AS VARCHAR) FROM customer
   UNION ALL
   SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR), ':segment', c_mktsegment FROM customer
+)"""
+
+def _XESC(expr: str) -> str:
+    """XML-escape a SQL expression — mirrors serialize._xml_escape
+    (same replace order: & < > \" CR LF)."""
+    return (
+        f"replace(replace(replace(replace(replace(replace({expr}, '&', '&amp;'), "
+        "'<', '&lt;'), '>', '&gt;'), '\"', '&quot;'), "
+        "chr(13), '&#13;'), chr(10), '&#10;')"
+    )
+
+
+# curation-assertion view shared by cur_affiliations / cur_genetic_conditions
+# (mirrors plans/curation.py curation_assertions)
+_CUR_ASSERTIONS = """
+cura AS (
+  SELECT 'urn:curation:' || CAST(event_id AS VARCHAR) AS assertion,
+         'urn:gene:' || CAST(user_id % 20 AS VARCHAR) AS gene,
+         'urn:disease:' || CAST(user_id % 7 AS VARCHAR) AS disease,
+         event_type AS moi,
+         'urn:aff:' || CAST(user_id % 10 AS VARCHAR) AS affiliation,
+         ts, event_id
+  FROM events
 )"""
 
 _ORDER_TRIPLES = """
@@ -2343,6 +2441,109 @@ n AS (
 SELECT user_id, session_no, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM n GROUP BY user_id, session_no""",
+        "kg_rdfxml_docs": f"""
+WITH t AS ({_TRIPLES_SQL}),
+e AS (SELECT graph, subject, object, object_is_iri, object_datatype,
+        regexp_extract(predicate, '([^/#]+)$', 1) AS loc,
+        substring(predicate, 1, length(predicate) -
+          length(regexp_extract(predicate, '([^/#]+)$', 1))) AS ns
+      FROM t),
+x AS (SELECT graph, subject,
+        '    <p:' || loc || ' xmlns:p="' || {_XESC('ns')} || '"' ||
+        CASE WHEN object_is_iri THEN
+          (CASE WHEN object LIKE '!_:%' ESCAPE '!'
+                THEN ' rdf:nodeID="' || {_XESC("substring(object, 3)")} || '"'
+                ELSE ' rdf:resource="' || {_XESC('object')} || '"' END) || '/>'
+        ELSE
+          (CASE WHEN object_datatype IS NOT NULL
+                THEN ' rdf:datatype="' || {_XESC('object_datatype')} || '"'
+                ELSE '' END)
+          || '>' || {_XESC('object')} || '</p:' || loc || '>'
+        END AS prop
+      FROM e),
+blocks AS (SELECT graph, subject,
+        '  <rdf:Description ' ||
+        (CASE WHEN subject LIKE '!_:%' ESCAPE '!'
+              THEN 'rdf:nodeID="' || {_XESC("substring(subject, 3)")} || '"'
+              ELSE 'rdf:about="' || {_XESC('subject')} || '"' END)
+        || '>' || chr(10) || string_agg(prop, chr(10) ORDER BY prop)
+        || chr(10) || '  </rdf:Description>' AS block
+      FROM x GROUP BY graph, subject)
+SELECT graph,
+       '<?xml version="1.0" encoding="utf-8"?>' || chr(10) ||
+       '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">' || chr(10) ||
+       string_agg(block, chr(10) ORDER BY block) || chr(10) || '</rdf:RDF>' AS rdfxml
+FROM blocks GROUP BY graph""",
+        "kg_nested_shapes": f"""
+WITH t AS ({_TRIPLES_SQL}),
+mfocus AS (SELECT DISTINCT subject AS focus FROM t
+           WHERE predicate = '{I.RDF_TYPE}' AND object = '{I.C_MENTION}'),
+mcanon AS (SELECT subject AS focus, count(*) AS n,
+                  sum(CASE WHEN NOT object_is_iri THEN 1 ELSE 0 END) AS badkind
+           FROM t WHERE predicate = '{I.P_CANONICAL}' GROUP BY 1),
+mpos AS (SELECT subject AS focus, count(*) AS n,
+                sum(CASE WHEN object_is_iri OR coalesce(object_datatype, '') <> '{I.XSD_INTEGER}'
+                    THEN 1 ELSE 0 END) AS baddt,
+                sum(CASE WHEN CAST(object AS DOUBLE) > 9 THEN 1 ELSE 0 END) AS badmax
+         FROM t WHERE predicate = '{I.P_POSITION}' GROUP BY 1),
+mviol AS (
+  SELECT f.focus,
+         list_sort(list_filter([
+           CASE WHEN coalesce(c.n, 0) < 1 THEN '{I.P_CANONICAL}:minCount' END,
+           CASE WHEN coalesce(c.badkind, 0) > 0 THEN '{I.P_CANONICAL}:nodeKind' END,
+           CASE WHEN coalesce(p.n, 0) < 1 THEN '{I.P_POSITION}:minCount' END,
+           CASE WHEN coalesce(p.baddt, 0) > 0 THEN '{I.P_POSITION}:datatype' END,
+           CASE WHEN coalesce(p.badmax, 0) > 0 THEN '{I.P_POSITION}:maxInclusive' END
+         ], x -> x IS NOT NULL)) AS violations
+  FROM mfocus f LEFT JOIN mcanon c USING (focus) LEFT JOIN mpos p USING (focus)),
+mok AS (SELECT focus FROM mviol WHERE len(violations) = 0),
+pfocus AS (SELECT DISTINCT subject AS focus FROM t
+           WHERE predicate = '{I.RDF_TYPE}' AND object = '{I.C_WEBPAGE}'),
+plang AS (SELECT subject AS focus, count(*) AS n,
+                 sum(CASE WHEN object_is_iri OR coalesce(object_datatype, '') <> '{I.XSD_STRING}'
+                     THEN 1 ELSE 0 END) AS baddt
+          FROM t WHERE predicate = '{I.P_LANG}' GROUP BY 1),
+phm AS (SELECT h.subject AS focus,
+               sum(CASE WHEN mok.focus IS NULL THEN 1 ELSE 0 END) AS badnode
+        FROM t h LEFT JOIN mok ON mok.focus = h.object
+        WHERE h.predicate = '{I.P_HAS_MENTION}' GROUP BY 1),
+pviol AS (
+  SELECT f.focus,
+         list_sort(list_filter([
+           CASE WHEN coalesce(l.n, 0) < 1 THEN '{I.P_LANG}:minCount' END,
+           CASE WHEN coalesce(l.baddt, 0) > 0 THEN '{I.P_LANG}:datatype' END,
+           CASE WHEN coalesce(h.badnode, 0) > 0 THEN '{I.P_HAS_MENTION}:node' END
+         ], x -> x IS NOT NULL)) AS violations
+  FROM pfocus f LEFT JOIN plang l USING (focus) LEFT JOIN phm h USING (focus))
+SELECT focus, 'MentionShape' AS shape,
+       coalesce(array_to_string(violations, ','), '') AS violations,
+       len(violations) = 0 AS conforms
+FROM mviol
+UNION ALL
+SELECT focus, 'PageShape',
+       coalesce(array_to_string(violations, ','), ''), len(violations) = 0
+FROM pviol""",
+        "cur_affiliations": f"""
+WITH {_CUR_ASSERTIONS}
+SELECT affiliation, count(*) AS n_assertions,
+       count(DISTINCT gene) AS n_genes,
+       count(DISTINCT disease) AS n_diseases,
+       count(DISTINCT gene || '|' || disease || '|' || moi) AS n_conditions
+FROM cura GROUP BY affiliation""",
+        "cur_genetic_conditions": f"""
+WITH {_CUR_ASSERTIONS},
+ranked AS (
+  SELECT gene, disease, moi, assertion,
+         row_number() OVER (PARTITION BY gene, disease, moi
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM cura),
+c AS (
+  SELECT gene, disease, moi, count(*) AS n_assertions,
+         count(DISTINCT affiliation) AS n_affiliations
+  FROM cura GROUP BY 1, 2, 3)
+SELECT c.gene, c.disease, c.moi, c.n_assertions, c.n_affiliations,
+       r.assertion AS latest_assertion
+FROM c JOIN ranked r USING (gene, disease, moi) WHERE r.rn = 1""",
         "alg_sparql_select": f"""
 WITH {_GEO_TRIPLES},
 cn AS (SELECT s AS c, o AS n FROM geo WHERE p = ':in-nation'),

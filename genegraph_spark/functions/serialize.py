@@ -247,3 +247,161 @@ def jsonld_compact_docs(triples: DataFrame) -> DataFrame:
             F.lit("}"),
         ).alias("doc"),
     )
+
+
+# -- RDF/XML ------------------------------------------------------------------
+
+def _xml_escape(col):
+    """XML escape for both element text and attribute values: the three
+    mandatory entities plus quote (harmless in text, required in
+    attributes — one function keeps the serializer and its SQL oracle
+    mirror identical). CR/LF become character references so every
+    property element stays on one physical line (the document is
+    line-sorted for byte determinism and line-parsed by
+    :func:`parse_rdfxml`)."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    out = F.replace(out, F.lit('"'), F.lit("&quot;"))
+    out = F.replace(out, F.lit("\r"), F.lit("&#13;"))
+    return F.replace(out, F.lit("\n"), F.lit("&#10;"))
+
+
+def rdfxml_docs(triples: DataFrame) -> DataFrame:
+    """(graph, rdfxml): one deterministic RDF/XML document per named
+    graph — the reference's third serialization beside Turtle and
+    JSON-LD (``database/query.clj:87-100`` writes Turtle, JSON-LD,
+    RDF-XML and binary Thrift from the same model; RDF-XML is the Jena
+    interop format).
+
+    Jena-style shape: one ``rdf:Description`` per subject (bnodes via
+    ``rdf:nodeID``), one property element per triple with the predicate
+    split into (namespace, local-name) at the last ``#``/``/`` and the
+    namespace declared inline (``xmlns:p=...`` — per-element
+    declarations are valid XML and keep the document independent of any
+    namespace table). Property elements sorted within a Description,
+    Descriptions sorted by subject — byte-deterministic regardless of
+    partitioning.
+
+    Plan: two grouped aggregations — (graph, subject) then (graph) — the
+    second reuses the first's hash partitioning modulo key prefix (AQE
+    coalesces); everything is column expressions, no UDFs."""
+    local = F.regexp_extract(F.col("predicate"), r"([^/#]+)$", 1)
+    ns = F.expr("substring(predicate, 1, length(predicate) - length(regexp_extract(predicate, '([^/#]+)$', 1)))")
+    is_bnode_obj = F.col("object_is_iri") & F.col("object").startswith("_:")
+    obj_attr = F.when(
+        is_bnode_obj,
+        F.concat(F.lit(' rdf:nodeID="'), _xml_escape(F.expr("substring(object, 3)")), F.lit('"')),
+    ).otherwise(
+        F.concat(F.lit(' rdf:resource="'), _xml_escape(F.col("object")), F.lit('"'))
+    )
+    open_tag = F.concat(
+        F.lit("    <p:"), local, F.lit(' xmlns:p="'), _xml_escape(ns), F.lit('"')
+    )
+    prop = F.when(
+        F.col("object_is_iri"), F.concat(open_tag, obj_attr, F.lit("/>"))
+    ).otherwise(
+        F.concat(
+            open_tag,
+            F.when(
+                F.col("object_datatype").isNotNull(),
+                F.concat(F.lit(' rdf:datatype="'), _xml_escape(F.col("object_datatype")), F.lit('"')),
+            ).otherwise(F.lit("")),
+            F.lit(">"),
+            _xml_escape(F.col("object")),
+            F.lit("</p:"),
+            local,
+            F.lit(">"),
+        )
+    )
+    subj_attr = F.when(
+        F.col("subject").startswith("_:"),
+        F.concat(F.lit('rdf:nodeID="'), _xml_escape(F.expr("substring(subject, 3)")), F.lit('"')),
+    ).otherwise(
+        F.concat(F.lit('rdf:about="'), _xml_escape(F.col("subject")), F.lit('"'))
+    )
+    per_subject = triples.groupBy("graph", "subject").agg(
+        F.concat(
+            F.lit("  <rdf:Description "),
+            F.first(subj_attr),
+            F.lit(">\n"),
+            F.array_join(F.sort_array(F.collect_list(prop)), "\n"),
+            F.lit("\n  </rdf:Description>"),
+        ).alias("block")
+    )
+    header = (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">\n'
+    )
+    return per_subject.groupBy("graph").agg(
+        F.concat(
+            F.lit(header),
+            F.array_join(F.sort_array(F.collect_list("block")), "\n"),
+            F.lit("\n</rdf:RDF>"),
+        ).alias("rdfxml")
+    )
+
+
+_XML_DESC_RE = r'^  <rdf:Description (rdf:about|rdf:nodeID)="([^"]*)">$'
+_XML_PROP_RE = (
+    r'^    <p:([^ ]+) xmlns:p="([^"]*)"'
+    r'(?: rdf:(resource|nodeID|datatype)="([^"]*)")?(/>|>)(?:(.*)</p:[^>]+>)?$'
+)
+
+
+def _xml_unescape(col):
+    out = F.replace(col, F.lit("&#10;"), F.lit("\n"))
+    out = F.replace(out, F.lit("&#13;"), F.lit("\r"))
+    out = F.replace(out, F.lit("&quot;"), F.lit('"'))
+    out = F.replace(out, F.lit("&gt;"), F.lit(">"))
+    out = F.replace(out, F.lit("&lt;"), F.lit("<"))
+    return F.replace(out, F.lit("&amp;"), F.lit("&"))
+
+
+def parse_rdfxml(docs: DataFrame, xml_col: str = "rdfxml") -> DataFrame:
+    """Inverse of :func:`rdfxml_docs` for the documents it emits
+    (round-trip tested) — line-oriented like :func:`parse_turtle`; the
+    reference parses RDF-XML via Jena (transform/core.clj:37-58), this
+    covers the repo's own deterministic emission."""
+    from pyspark.sql import Window
+
+    lines = docs.select(
+        "graph",
+        F.posexplode(F.split(F.col(xml_col), "\n")).alias("pos", "line"),
+    )
+    desc = F.regexp_extract("line", _XML_DESC_RE, 2)
+    desc_kind = F.regexp_extract("line", _XML_DESC_RE, 1)
+    w = Window.partitionBy("graph").orderBy("pos")
+    tagged = lines.withColumn(
+        "subject",
+        F.last(
+            F.when(
+                desc != "",
+                F.when(desc_kind == "rdf:nodeID", F.concat(F.lit("_:"), desc)).otherwise(
+                    _xml_unescape(desc)
+                ),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    props = tagged.where(F.col("line").startswith("    <p:"))
+    local = F.regexp_extract("line", _XML_PROP_RE, 1)
+    ns = _xml_unescape(F.regexp_extract("line", _XML_PROP_RE, 2))
+    attr_kind = F.regexp_extract("line", _XML_PROP_RE, 3)
+    attr_val = F.regexp_extract("line", _XML_PROP_RE, 4)
+    text = F.regexp_extract("line", _XML_PROP_RE, 6)
+    is_res = attr_kind == "resource"
+    is_node = attr_kind == "nodeID"
+    return props.select(
+        "graph",
+        "subject",
+        F.concat(ns, local).alias("predicate"),
+        F.when(is_res, _xml_unescape(attr_val))
+        .when(is_node, F.concat(F.lit("_:"), attr_val))
+        .otherwise(_xml_unescape(text))
+        .alias("object"),
+        (is_res | is_node).alias("object_is_iri"),
+        F.when(attr_kind == "datatype", _xml_unescape(attr_val)).alias(
+            "object_datatype"
+        ),
+    )

@@ -250,3 +250,75 @@ def suggest_labels(triples: DataFrame, prefix: str, limit: int = 10) -> DataFram
     return hits.orderBy(
         F.asc("kind_rank"), F.length("label").asc(), F.asc("label"), F.asc("entity")
     ).limit(limit)
+
+
+# ---------------------------------------------------------------------------
+# Assertion-backed resolvers (affiliations / genetic conditions)
+# ---------------------------------------------------------------------------
+
+def curation_assertions(events: DataFrame) -> DataFrame:
+    """The GDM-assertion view: one row per curation assertion with its
+    (gene, disease, moi) proposition and owning affiliation — the
+    deterministic event→curation derivation every ``kg_replaces_*`` /
+    ``join_affiliation_precedence`` query shares (the reference's
+    gene-validity assertion model, ``transform/gene_validity_refactor.clj``
+    propositions + ``affiliation.clj`` ownership)."""
+    return events.select(
+        F.concat(F.lit("urn:curation:"), F.col("event_id").cast("string")).alias(
+            "assertion"
+        ),
+        F.concat(F.lit("urn:gene:"), (F.col("user_id") % 20).cast("string")).alias(
+            "gene"
+        ),
+        F.concat(F.lit("urn:disease:"), (F.col("user_id") % 7).cast("string")).alias(
+            "disease"
+        ),
+        F.col("event_type").alias("moi"),
+        F.concat(F.lit("urn:aff:"), (F.col("user_id") % 10).cast("string")).alias(
+            "affiliation"
+        ),
+        "ts",
+        "event_id",
+    )
+
+
+def affiliations(assertions: DataFrame) -> DataFrame:
+    """Affiliation list with per-affiliation curation rollups — the
+    ``affiliations`` resolver + its per-affiliation ``curated-genes`` /
+    ``curated-diseases`` / ``gene-validity-assertions`` field resolvers
+    (``source/graphql/affiliation.clj:16-37``) collapsed into ONE grouped
+    pass: the reference answers those as separate per-affiliation
+    queries; here a single shuffle on ``affiliation`` (dimension-scale
+    cardinality) computes every field for every affiliation at once."""
+    return assertions.groupBy("affiliation").agg(
+        F.count("*").alias("n_assertions"),
+        F.countDistinct("gene").alias("n_genes"),
+        F.countDistinct("disease").alias("n_diseases"),
+        F.countDistinct("gene", "disease", "moi").alias("n_conditions"),
+    )
+
+
+def genetic_conditions(assertions: DataFrame) -> DataFrame:
+    """Genetic-condition composition: the (gene, disease,
+    mode-of-inheritance) triples the reference materializes as
+    GeneticCondition values (``source/graphql/genetic_condition.clj``,
+    composed in ``curation.clj`` genetic-conditions), with assertion
+    rollups and the winning (newest) assertion per condition.
+
+    One shuffle on the condition key: the row_number window and the
+    grouped counts share the (gene, disease, moi) partitioning, and the
+    final join is co-partitioned — no second wide exchange at scale."""
+    key = ["gene", "disease", "moi"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key).orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = (
+        assertions.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(*key, F.col("assertion").alias("latest_assertion"))
+    )
+    counts = assertions.groupBy(*key).agg(
+        F.count("*").alias("n_assertions"),
+        F.countDistinct("affiliation").alias("n_affiliations"),
+    )
+    return counts.join(latest, key)

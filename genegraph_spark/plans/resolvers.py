@@ -94,6 +94,10 @@ def statistics(triples: DataFrame) -> DataFrame:
 RESOLVERS = {
     "entity": entity_card,
     "entities": entity_list,
+    # assertion-backed resolvers (take the curation_assertions frame,
+    # not triples — affiliation.clj / genetic_condition.clj analogs)
+    "affiliations": CUR.affiliations,
+    "genetic_conditions": CUR.genetic_conditions,
     "gene_disease_pairs": CUR.gene_disease_pairs,
     "entity_page_counts": CUR.entity_page_counts,
     "activities": CUR.curation_activities,

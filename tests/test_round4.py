@@ -1,0 +1,302 @@
+"""Round-4 additions: atomic stale-lock reclaim, cluster-reps plan shape,
+nested SHACL node shapes, RDF/XML round trip, assertion-backed resolvers."""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Single-writer lock: concurrent reclaim of a dead writer's lock
+# ---------------------------------------------------------------------------
+
+
+def _reclaim_worker(store_path, barrier, hold, results, idx):
+    """Try to acquire commit 0's lock (left by a 'dead' writer); winner
+    holds until told to release so losers must observe a LIVE holder."""
+    from genegraph_spark.sinks.named_graph import NamedGraphStore
+
+    store = NamedGraphStore.__new__(NamedGraphStore)
+    store.path = store_path
+    barrier.wait()
+    try:
+        with store._commit_lock(0):
+            results[idx] = "won"
+            hold.wait()
+    except RuntimeError:
+        results[idx] = "lost"
+
+
+class TestLockReclaimRace:
+    def test_exactly_one_reclaimer_wins(self, tmp_path):
+        """Two live writers racing to reclaim a dead-pid lock: exactly one
+        must win; the loser must see the winner's LIVE lock and raise
+        (the pre-r4 remove-then-rewrite let both proceed)."""
+        store_path = str(tmp_path / "store")
+        os.makedirs(store_path)
+        with open(os.path.join(store_path, "commit-00000000.lock"), "w") as f:
+            f.write("999999999")  # dead pid
+        ctx = mp.get_context("fork")
+        n = 4
+        barrier = ctx.Barrier(n)
+        hold = ctx.Event()
+        results = ctx.Manager().dict()
+        procs = [
+            ctx.Process(
+                target=_reclaim_worker, args=(store_path, barrier, hold, results, i)
+            )
+            for i in range(n)
+        ]
+        for p in procs:
+            p.start()
+        # wait until every process reports a result (winner reports while
+        # still holding the lock)
+        import time
+
+        deadline = time.time() + 30
+        while len(results) < n and time.time() < deadline:
+            time.sleep(0.05)
+        hold.set()
+        for p in procs:
+            p.join(timeout=30)
+        outcomes = sorted(results.values())
+        assert outcomes == ["lost", "lost", "lost", "won"], outcomes
+        # winner released: lock gone
+        assert not os.path.exists(os.path.join(store_path, "commit-00000000.lock"))
+
+
+# ---------------------------------------------------------------------------
+# cluster_representatives: no broadcast of the per-cluster reps frame
+# ---------------------------------------------------------------------------
+
+
+class TestClusterRepsPlan:
+    def test_no_broadcast_exchange(self, spark):
+        """The reps side is corpus-scale (one row per near-dup cluster);
+        the r3 plan broadcast it (VERDICT r3 #3). The r4 plan computes
+        rep_id with F.first over the cluster window — assert the physical
+        plan has no BroadcastExchange at all and exactly one window."""
+        from genegraph_spark.operators.dedup import cluster_representatives
+
+        docs = spark.createDataFrame(
+            [(i, "text" + "x" * (i % 5)) for i in range(20)], "doc_id long, text string"
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(0, 18, 2)], "id_a long, id_b long"
+        )
+        out = cluster_representatives(docs, pairs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastExchange") == 0, plan
+        # the reps join is gone entirely: rep_id comes from ONE window
+        assert plan.count("Window [") == 1, plan
+        assert "first(doc_id" in plan
+        # correctness: one kept representative per cluster, longest text wins
+        rows = out.collect()
+        clusters = {}
+        for r in rows:
+            clusters.setdefault(r.cluster, []).append(r)
+        for cl, members in clusters.items():
+            keeps = [m for m in members if m.keep]
+            assert len(keeps) == 1
+            assert all(m.rep_id == keeps[0].doc_id for m in members)
+
+
+# ---------------------------------------------------------------------------
+# Nested node shapes (sh:node)
+# ---------------------------------------------------------------------------
+
+TRIPLE_SCHEMA = (
+    "graph string, subject string, predicate string, object string, "
+    "object_is_iri boolean, object_datatype string"
+)
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class TestNestedShapes:
+    def _shapes(self):
+        from genegraph_spark.operators.validate import NodeShape, PropertyShape
+
+        return [
+            NodeShape(
+                "Leaf",
+                ":LeafType",
+                (PropertyShape(":val", min_count=1, datatype="xsd:integer"),),
+            ),
+            NodeShape(
+                "Root",
+                ":RootType",
+                (PropertyShape(":child", min_count=1, node="Leaf"),),
+            ),
+        ]
+
+    def test_violation_propagates_through_node_reference(self, spark):
+        from genegraph_spark.operators.validate import validate_graph_shapes
+
+        rows = [
+            # good: root1 -> leaf1 (valid)
+            ("g", "urn:root1", RDF_TYPE, ":RootType", True, None),
+            ("g", "urn:root1", ":child", "urn:leaf1", True, None),
+            ("g", "urn:leaf1", RDF_TYPE, ":LeafType", True, None),
+            ("g", "urn:leaf1", ":val", "5", False, "xsd:integer"),
+            # bad: root2 -> leaf2 (leaf2 missing :val → root2 fails sh:node)
+            ("g", "urn:root2", RDF_TYPE, ":RootType", True, None),
+            ("g", "urn:root2", ":child", "urn:leaf2", True, None),
+            ("g", "urn:leaf2", RDF_TYPE, ":LeafType", True, None),
+            # bad: root3 has no :child at all (minCount)
+            ("g", "urn:root3", RDF_TYPE, ":RootType", True, None),
+        ]
+        t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+        out = {
+            (r.focus, r.shape): (r.conforms, list(r.violations))
+            for r in validate_graph_shapes(t, self._shapes()).collect()
+        }
+        assert out[("urn:leaf1", "Leaf")] == (True, [])
+        assert out[("urn:leaf2", "Leaf")] == (False, [":val:minCount"])
+        assert out[("urn:root1", "Root")] == (True, [])
+        assert out[("urn:root2", "Root")] == (False, [":child:node"])
+        assert out[("urn:root3", "Root")] == (False, [":child:minCount"])
+
+    def test_cycle_detection(self, spark):
+        from genegraph_spark.operators.validate import (
+            NodeShape,
+            PropertyShape,
+            validate_graph_shapes,
+        )
+
+        t = spark.createDataFrame([], TRIPLE_SCHEMA)
+        cyc = [
+            NodeShape("A", ":A", (PropertyShape(":p", node="B"),)),
+            NodeShape("B", ":B", (PropertyShape(":q", node="A"),)),
+        ]
+        with pytest.raises(ValueError, match="cycle"):
+            validate_graph_shapes(t, cyc)
+
+    def test_unknown_reference(self, spark):
+        from genegraph_spark.operators.validate import (
+            NodeShape,
+            PropertyShape,
+            validate_graph_shapes,
+        )
+
+        t = spark.createDataFrame([], TRIPLE_SCHEMA)
+        with pytest.raises(ValueError, match="unknown shape"):
+            validate_graph_shapes(
+                t, [NodeShape("A", ":A", (PropertyShape(":p", node="Nope"),))]
+            )
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML
+# ---------------------------------------------------------------------------
+
+
+class TestRdfXml:
+    def test_round_trip_with_special_characters(self, spark):
+        from genegraph_spark.functions import serialize as SER
+
+        rows = [
+            ("g1", "urn:s", "https://ex/p/title", 'a "<b>&c\nd\re', False, None),
+            ("g1", "urn:s", "https://ex/p/n", "7", False, "xsd:integer"),
+            ("g1", "urn:s", "https://ex/p/link", "urn:o&<>", True, None),
+            ("g1", "urn:s", "https://ex/p/anon", "_:b1", True, None),
+            ("g1", "_:b1", "https://ex/p#frag", "leaf", False, None),
+            ("g2", "urn:z", "https://ex/p/only", "urn:s", True, None),
+        ]
+        t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+        docs = SER.rdfxml_docs(t)
+        assert docs.count() == 2
+        back = SER.parse_rdfxml(docs)
+        orig = {tuple(r) for r in t.collect()}
+        got = {tuple(r) for r in back.select(*t.columns).collect()}
+        assert got == orig
+
+    def test_byte_determinism_across_partitionings(self, spark):
+        from genegraph_spark.functions import serialize as SER
+
+        rows = [
+            ("g", f"urn:s{i % 3}", "https://ex/p/v", str(i), False, None)
+            for i in range(30)
+        ]
+        a = spark.createDataFrame(rows, TRIPLE_SCHEMA).repartition(8)
+        b = spark.createDataFrame(list(reversed(rows)), TRIPLE_SCHEMA).repartition(2)
+        da = SER.rdfxml_docs(a).collect()[0].rdfxml
+        db = SER.rdfxml_docs(b).collect()[0].rdfxml
+        assert da == db
+
+
+# ---------------------------------------------------------------------------
+# Assertion-backed resolvers
+# ---------------------------------------------------------------------------
+
+
+class TestAssertionResolvers:
+    def test_affiliation_rollups_consistent(self, spark, sf_dir):
+        from genegraph_spark.plans import curation as CUR
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        a = CUR.curation_assertions(ev)
+        aff = CUR.affiliations(a)
+        # every assertion counted exactly once across affiliations
+        total = aff.agg(F.sum("n_assertions")).collect()[0][0]
+        assert total == ev.count()
+        gc = CUR.genetic_conditions(a)
+        row = gc.agg(
+            F.sum("n_assertions").alias("n"),
+            F.max("n_affiliations").alias("maxaff"),
+        ).collect()[0]
+        assert row.n == ev.count()
+        assert row.maxaff <= 10
+        # latest_assertion is a member of the condition's assertion set
+        j = gc.join(
+            a.select("gene", "disease", "moi", F.col("assertion").alias("latest_assertion")),
+            ["gene", "disease", "moi", "latest_assertion"],
+            "left_semi",
+        )
+        assert j.count() == gc.count()
+
+    def test_resolver_registry_dispatch(self, spark, sf_dir):
+        from genegraph_spark.plans import curation as CUR
+        from genegraph_spark.plans.resolvers import resolve
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        a = CUR.curation_assertions(ev)
+        assert resolve("affiliations", a).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# IVF index drift telemetry
+# ---------------------------------------------------------------------------
+
+
+class TestIvfDriftTelemetry:
+    def test_counts_and_imbalance_track_build_and_upsert(self, spark, sf_dir, tmp_path):
+        import json
+
+        from genegraph_spark.operators import similarity as SIM
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        base = emb.where("vec_id >= 10")
+        path = str(tmp_path / "ivf_tel")
+        idx = SIM.IvfIndex.build(base, path)
+        counts = idx.meta["centroid_counts"]
+        assert sum(counts.values()) == base.count()
+        imb0 = idx.imbalance()
+        assert imb0 >= 1.0
+
+        # skewed upsert: every new vector pushed through assignment; the
+        # stat must change and persist to meta.json
+        extra = emb.where("vec_id < 10").select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+        )
+        idx.upsert(extra)
+        assert sum(idx.meta["centroid_counts"].values()) == base.count() + extra.count()
+        on_disk = json.load(open(os.path.join(path, "meta.json")))
+        assert on_disk["centroid_counts"] == idx.meta["centroid_counts"]
+        # a reloaded index sees the same telemetry without scanning corpus
+        reloaded = SIM.IvfIndex(spark, path)
+        assert reloaded.imbalance() == reloaded.imbalance()
+        assert sum(reloaded.meta["centroid_counts"].values()) == base.count() + extra.count()
