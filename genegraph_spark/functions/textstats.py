@@ -281,3 +281,81 @@ def split_assign(
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    token ``n``-gram with a held-out benchmark set — the standard
+    n-gram-overlap decontamination pass a training-data pipeline runs
+    before a corpus ships (the published GPT-3 / PaLM recipe: 8-13 gram
+    collision against eval sets).
+
+    Returns every ``docs`` row as (id, n_hits, contaminated): ``n_hits``
+    = number of distinct benchmark n-grams found in the document.
+
+    Scale: the benchmark side is FIXED-size (eval suites, not corpus) —
+    its distinct n-gram set broadcasts; the corpus side is one
+    explode + broadcast join + groupBy(id), so cost is one pass over the
+    corpus regardless of corpus size. No UDFs, md5-free, deterministic.
+    """
+    from ..operators.dedup import shingles
+
+    bench_grams = (
+        shingles(benchmark, id_col=id_col, text_col=text_col, k=n)
+        .select("shingle")
+        .distinct()
+    )
+    doc_grams = shingles(docs, id_col=id_col, text_col=text_col, k=n)
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left_outer")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def domain_mix_sample(
+    docs: DataFrame,
+    rates: dict,
+    default_rate: float = 0.0,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic per-domain downsampling to a target mixture: keep a
+    document iff its md5(id‖salt) bucket falls under its domain's rate —
+    the domain-reweighting step that turns a raw crawl into a training
+    mixture (per-source sampling weights).
+
+    Hash-based like :func:`train_val_test_split`: stable under corpus
+    growth (a document's keep/drop never changes when other documents
+    arrive), no RNG, engine-reproducible (md5 integer math, no float
+    division). The rate table is a literal CASE chain — no join, fully
+    codegen'd; one filter pass over the corpus."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    rate_expr = None
+    for dom, rate in sorted(rates.items()):
+        thr = F.lit(int(rate * 4294967296))
+        cond = F.col(domain_col) == dom
+        rate_expr = F.when(cond, thr) if rate_expr is None else rate_expr.when(cond, thr)
+    thr_default = F.lit(int(default_rate * 4294967296))
+    rate_expr = thr_default if rate_expr is None else rate_expr.otherwise(thr_default)
+    return docs.where(bucket < rate_expr)

@@ -300,3 +300,69 @@ class TestIvfDriftTelemetry:
         reloaded = SIM.IvfIndex(spark, path)
         assert reloaded.imbalance() == reloaded.imbalance()
         assert sum(reloaded.meta["centroid_counts"].values()) == base.count() + extra.count()
+
+
+# ---------------------------------------------------------------------------
+# Store-diff-driven cache invalidation
+# ---------------------------------------------------------------------------
+
+
+class TestCacheInvalidation:
+    @pytest.fixture()
+    def store2(self, spark, tmp_path):
+        """A store with two commits: commit 1 rewrites graph g1 (entity
+        urn:e1 dropped, urn:e3 added) and leaves g2 untouched."""
+        from genegraph_spark.sinks.named_graph import TRIPLE_SCHEMA, NamedGraphStore
+
+        store = NamedGraphStore(spark, str(tmp_path / "store"), n_buckets=4)
+        v1 = spark.createDataFrame(
+            [
+                ("g1", "urn:s1", ":mentions", "urn:e1", True, None),
+                ("g1", "urn:s1", ":lang", "en", False, None),
+                ("g2", "urn:s2", ":mentions", "urn:e2", True, None),
+            ],
+            TRIPLE_SCHEMA,
+        )
+        store.merge(v1)
+        v2_g1 = spark.createDataFrame(
+            [("g1", "urn:s1", ":mentions", "urn:e3", True, None)], TRIPLE_SCHEMA
+        )
+        store.merge(v2_g1)
+        return store
+
+    def test_changed_resources_is_diff_scoped(self, spark, store2):
+        from genegraph_spark.plans.invalidation import changed_resources
+
+        got = {r.resource for r in changed_resources(store2, 0, 1).collect()}
+        # g1's resources across both versions; nothing from untouched g2
+        assert got == {"g1", "urn:s1", "urn:e1", "urn:e3"}
+
+    def test_resolver_cache_modes(self, spark, store2):
+        from genegraph_spark.plans.invalidation import ResolverCache
+
+        c = ResolverCache()
+        c.register("statistics", mode="always")
+        c.register("entity_card", mode="by_entity")
+        c.register("prefix_table", mode="never")
+        c.put("statistics", "_", {"n": 3})
+        c.put("entity_card", "urn:e1", {"label": "E1"})
+        c.put("entity_card", "urn:e2", {"label": "E2"})
+        c.put("prefix_table", "_", {"kgp": "..."})
+        out = c.expire_for_commit(store2, 0, 1)
+        assert out["dropped"] == 2  # statistics + urn:e1 card
+        assert c.get("statistics", "_") is None
+        assert c.get("entity_card", "urn:e1") is None
+        assert c.get("entity_card", "urn:e2") == {"label": "E2"}  # untouched
+        assert c.get("prefix_table", "_") == {"kgp": "..."}
+        with pytest.raises(KeyError):
+            c.get("unregistered", "x")
+
+    def test_response_cache_clears_on_new_commit(self):
+        from genegraph_spark.plans.invalidation import ResponseCache
+
+        rc = ResponseCache()
+        rc.put("query A", "resp@0", current_commit=0)
+        assert rc.get("query A", current_commit=0) == "resp@0"
+        assert rc.get("query A", current_commit=1) is None  # cleared
+        rc.put("query A", "resp@1", current_commit=1)
+        assert rc.get("query A", current_commit=1) == "resp@1"
