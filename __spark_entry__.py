@@ -709,6 +709,15 @@ def q_text_split(spark, sf_dir):
     )
 
 
+def q_dedup_spans(spark, sf_dir):
+    # substring-level exact-dup spans (suffix-array-style dedup,
+    # re-expressed as k-gram count + gap-and-island merge): maximal token
+    # runs whose 10-gram occurs >1x corpus-wide
+    from genegraph_spark.operators.dedup import duplicate_spans
+
+    return duplicate_spans(_read(spark, sf_dir, "documents"), k=10)
+
+
 def q_text_decontaminate(spark, sf_dir):
     # benchmark decontamination: docs sharing any 8-token n-gram with the
     # held-out set (doc_id % 97 == 0) are flagged; benchmark side
@@ -1156,6 +1165,25 @@ def q_alg_sparql_construct(spark, sf_dir):
     return out.select("subject", "predicate", "object", "object_is_iri")
 
 
+def q_alg_sparql_agg(spark, sf_dir):
+    # SPARQL aggregates from query text: GROUP BY + HAVING + COUNT/
+    # MIN/MAX (numeric-aware ordering, lexical-form output) over the geo
+    # triple view — the :count/:group execution modes of create-query
+    # (resource.clj:201-239) as SPARQL 1.1 text
+    from genegraph_spark.operators.sparql import sparql
+
+    t = _geo_triples(spark, sf_dir)
+    return sparql(
+        t,
+        """SELECT ?rname (COUNT(*) AS ?n_customers)
+                  (MIN(?bal) AS ?min_bal) (MAX(?bal) AS ?max_bal)
+           WHERE { ?c :in-nation/:in-region ?r .
+                   ?r :name ?rname .
+                   ?c :balance ?bal }
+           GROUP BY ?rname HAVING (COUNT(*) > 10)""",
+    )
+
+
 def q_alg_describe(spark, sf_dir):
     # DESCRIBE ?page WHERE { ?page :mentions kge:SLOWNESS } — concise
     # bounded description: page triples + their mention bnodes' triples
@@ -1413,6 +1441,8 @@ _R4_CHECK_FIRST = [
     # rotate in next round
     "text_decontaminate",
     "text_domain_mix",
+    "dedup_spans",
+    "alg_sparql_agg",
 ]
 
 
@@ -1423,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alg_sparql_construct": q_alg_sparql_construct,
         "cur_affiliations": q_cur_affiliations,
         "cur_genetic_conditions": q_cur_genetic_conditions,
+        "alg_sparql_agg": q_alg_sparql_agg,
         "kg_nested_shapes": q_kg_nested_shapes,
         "kg_rdfxml_docs": q_kg_rdfxml_docs,
         # round-3 additions (no driver verdict yet — run first)
@@ -1465,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split": q_text_split,
         "text_decontaminate": q_text_decontaminate,
         "text_domain_mix": q_text_domain_mix,
+        "dedup_spans": q_dedup_spans,
         "text_fingerprints": q_text_fingerprints,
         "multimodal_decode": q_multimodal_decode,
         # streaming (foreachBatch → batch-dir table; SQL-oracled)
@@ -2239,6 +2271,26 @@ SELECT doc_id, n_tokens, quality, top_bigram_frac, dup_trigram_frac, lang_guess,
   coalesce(len(reasons), 0) = 0 AS keep
 FROM j""",
         "text_scrub": _text_scrub_sql(),
+        "dedup_spans": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+pg0 AS (SELECT doc_id, unnest(list_transform(range(greatest(len(t)-9, 1)),
+          i -> {'pos': i, 'gram': array_to_string(list_slice(t, i+1, i+10), ' ')})) AS u
+        FROM d),
+pg AS (SELECT doc_id, u['pos'] AS pos, u['gram'] AS gram FROM pg0
+       WHERE len(u['gram']) > 0),
+dup AS (SELECT gram FROM pg GROUP BY gram HAVING count(*) > 1),
+fl AS (SELECT doc_id, pos FROM pg WHERE gram IN (SELECT gram FROM dup)),
+nf AS (SELECT doc_id, pos,
+         CASE WHEN pos - coalesce(lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), -2) > 1
+              THEN 1 ELSE 0 END AS newflag
+       FROM fl),
+isl AS (SELECT doc_id, pos,
+          sum(newflag) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM nf)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 9 AS span_end,
+       max(pos) + 10 - min(pos) AS n_tokens
+FROM isl GROUP BY doc_id, isl""",
         "text_decontaminate": """
 WITH bench AS (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id % 97 = 0),
 bg0 AS (SELECT unnest(list_transform(range(greatest(len(t)-7, 1)),
@@ -2594,6 +2646,17 @@ c AS (
 SELECT c.gene, c.disease, c.moi, c.n_assertions, c.n_affiliations,
        r.assertion AS latest_assertion
 FROM c JOIN ranked r USING (gene, disease, moi) WHERE r.rn = 1""",
+        "alg_sparql_agg": f"""
+WITH {_GEO_TRIPLES},
+cn AS (SELECT s AS c, o AS n FROM geo WHERE p = ':in-nation'),
+nr AS (SELECT s AS n, o AS r FROM geo WHERE p = ':in-region'),
+rn AS (SELECT s AS r, o AS rname FROM geo WHERE p = ':name'),
+bal AS (SELECT s AS c, o AS bal FROM geo WHERE p = ':balance')
+SELECT rn.rname AS rname, count(*) AS n_customers,
+       arg_min(bal.bal, CAST(bal.bal AS DOUBLE)) AS min_bal,
+       arg_max(bal.bal, CAST(bal.bal AS DOUBLE)) AS max_bal
+FROM cn JOIN nr USING (n) JOIN rn ON rn.r = nr.r JOIN bal ON bal.c = cn.c
+GROUP BY 1 HAVING count(*) > 10""",
         "alg_sparql_select": f"""
 WITH {_GEO_TRIPLES},
 cn AS (SELECT s AS c, o AS n FROM geo WHERE p = ':in-nation'),

@@ -430,3 +430,60 @@ def cluster_representatives(
         "cluster",
         F.first(id_col).over(w).alias("rep_id"),
     ).withColumn("keep", F.col(id_col) == F.col("rep_id"))
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level exact-duplicate spans: maximal runs of token
+    positions whose ``k``-gram occurs more than once in the corpus — the
+    suffix-array-style "remove repeated substrings" pass of training-data
+    dedup (doc-level dedup misses boilerplate shared across otherwise
+    distinct documents; this finds the shared SUBSTRINGS).
+
+    Returns (id, span_start, span_end, n_tokens): token-index spans
+    (inclusive, 0-based) covering every duplicated k-gram occurrence;
+    adjacent/overlapping duplicated grams merge into one maximal span
+    (span_end covers the last gram's k tokens).
+
+    Scale shape (the suffix-array build the paper uses is single-node):
+    one explode to positional k-grams, one groupBy(gram) count with
+    map-side partial agg (boilerplate grams are the skew case — AQE
+    splits them), a semi-join back, then a per-doc gap-and-island window
+    to merge runs. Every stage is corpus-one-pass; no all-pairs, no
+    driver state."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.struct(i.alias("pos"), F.array_join(F.slice(toks, i + 1, k), " ").alias("gram")),
+    )
+    pos_grams = (
+        docs.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+        .where(F.length("gram") > 0)
+    )
+    dup_grams = (
+        pos_grams.groupBy("gram")
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") > 1)
+        .select("gram")
+    )
+    flagged = pos_grams.join(dup_grams, "gram", "left_semi")
+    # gap-and-island: consecutive flagged positions merge into one span
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = flagged.withColumn(
+        "_new", (F.col("pos") - F.coalesce(F.lag("pos").over(w), F.lit(-2)) > 1).cast("int")
+    ).withColumn("_isl", F.sum("_new").over(w))
+    return (
+        islands.groupBy(id_col, "_isl")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("_last"))
+        .select(
+            id_col,
+            "span_start",
+            (F.col("_last") + k - 1).alias("span_end"),
+            (F.col("_last") + k - F.col("span_start")).alias("n_tokens"),
+        )
+    )

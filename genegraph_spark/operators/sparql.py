@@ -24,9 +24,17 @@ UNION; MINUS; VALUES (incl. UNDEF); property paths ``p/q``, ``^p``,
 ``p|q``, ``p?``, ``p*``, ``p+``, ``p{n}``, ``p{n,m}``, ``!(p|q)`` and
 parenthesized combinations (the proband query's
 ``^gci:familyIncluded? / ^(gci:families|gci:groups)? / gci:article``);
-ORDER BY / LIMIT / OFFSET / DISTINCT; pre-bound parameters (the
-QuerySolutionMap path, resource.clj:86-92 — ``?pmbase`` in
-construct_articles.sparql arrives this way).
+ORDER BY / LIMIT / OFFSET / DISTINCT; aggregates — GROUP BY / HAVING
+with COUNT(*) / COUNT(DISTINCT) / SUM / AVG / MIN / MAX / SAMPLE /
+GROUP_CONCAT and computed projections ``(expr AS ?v)`` (the
+``:count``/``:group`` execution modes of create-query as SPARQL 1.1
+text; MIN/MAX order numeric-aware and return the original lexical
+form, SAMPLE is pinned to MIN for determinism, GROUP_CONCAT joins
+sorted values); DESCRIBE (constant IRIs or a WHERE-bound variable —
+delegates to the concise-bounded-description closure of
+:func:`.algebra.describe`); pre-bound parameters (the QuerySolutionMap
+path, resource.clj:86-92 — ``?pmbase`` in construct_articles.sparql
+arrives this way).
 
 Term model: internally every binding column holds a TAGGED term string —
 ``I|<iri>`` for IRIs/bnodes, ``L|<datatype>|<lexical>`` for literals —
@@ -87,9 +95,10 @@ _TOKEN_RE = re.compile(
 )
 
 _KEYWORDS = {
-    "prefix", "select", "construct", "ask", "where", "optional", "filter",
-    "bind", "values", "union", "minus", "not", "exists", "order", "by",
-    "asc", "desc", "limit", "offset", "distinct", "reduced", "as", "undef",
+    "prefix", "select", "construct", "ask", "describe", "where", "optional",
+    "filter", "bind", "values", "union", "minus", "not", "exists", "order",
+    "by", "group", "having", "asc", "desc", "limit", "offset", "distinct",
+    "reduced", "as", "undef",
 }
 
 
@@ -134,14 +143,18 @@ class SparqlSyntaxError(ValueError):
 
 @dataclass
 class Query:
-    form: str  # 'select' | 'construct' | 'ask'
+    form: str  # 'select' | 'construct' | 'ask' | 'describe'
     pattern: list  # group elements
     select_vars: list[str] = field(default_factory=list)
+    select_exprs: list = field(default_factory=list)  # [(expr, alias), ...]
     distinct: bool = False
     templates: list = field(default_factory=list)  # construct triples
     order: list = field(default_factory=list)  # [(var, 'asc'|'desc'), ...]
     limit: int | None = None
     offset: int = 0
+    group_by: list = field(default_factory=list)  # [var, ...]
+    having: list = field(default_factory=list)  # [expr, ...]
+    describe_terms: list = field(default_factory=list)  # terms to describe
 
 
 class _Parser:
@@ -246,7 +259,20 @@ class _Parser:
             if self.at_kw("where"):
                 self.next()
             return Query("ask", self.group())
-        raise SparqlSyntaxError("expected SELECT, CONSTRUCT or ASK")
+        if self.at_kw("describe"):
+            self.next()
+            terms = []
+            while self.peek() and (
+                self.peek().kind in ("VAR", "IRIREF", "PNAME")
+            ):
+                terms.append(self.term())
+            pattern = []
+            if self.at_kw("where") or self.at_op("{"):
+                if self.at_kw("where"):
+                    self.next()
+                pattern = self.group()
+            return Query("describe", pattern, describe_terms=terms)
+        raise SparqlSyntaxError("expected SELECT, CONSTRUCT, ASK or DESCRIBE")
 
     def _select(self) -> Query:
         self.next()
@@ -255,14 +281,33 @@ class _Parser:
             distinct = self.at_kw("distinct")
             self.next()
         sel: list[str] = []
+        sexprs: list = []
         if self.at_op("*"):
             self.next()
         else:
-            while self.peek() and self.peek().kind == "VAR":
-                sel.append(self.next().text[1:])
+            while True:
+                if self.peek() and self.peek().kind == "VAR":
+                    sel.append(self.next().text[1:])
+                elif self.at_op("("):
+                    # (expr AS ?alias) — aggregate or computed projection
+                    self.next()
+                    e = self.expr()
+                    self.eat_kw("as")
+                    v = self.next()
+                    self.eat_op(")")
+                    sexprs.append((e, v.text[1:]))
+                    sel.append(v.text[1:])
+                else:
+                    break
         if self.at_kw("where"):
             self.next()
-        q = Query("select", self.group(), select_vars=sel, distinct=distinct)
+        q = Query(
+            "select",
+            self.group(),
+            select_vars=sel,
+            select_exprs=sexprs,
+            distinct=distinct,
+        )
         self._modifiers(q)
         return q
 
@@ -276,7 +321,15 @@ class _Parser:
 
     def _modifiers(self, q: Query) -> None:
         while True:
-            if self.at_kw("order"):
+            if self.at_kw("group"):
+                self.next()
+                self.eat_kw("by")
+                while self.peek() and self.peek().kind == "VAR":
+                    q.group_by.append(self.next().text[1:])
+            elif self.at_kw("having"):
+                self.next()
+                q.having.append(self.expr_primary_or_paren())
+            elif self.at_kw("order"):
                 self.next(); self.eat_kw("by")
                 while True:
                     if self.at_kw("asc", "desc"):
@@ -589,6 +642,8 @@ class _Parser:
         "lcase", "ucase", "strafter", "strbefore",
     }
 
+    _AGGS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
+
     def _expr_primary(self):
         if self.at_op("("):
             self.next()
@@ -596,6 +651,20 @@ class _Parser:
             self.eat_op(")")
             return e
         t = self.peek()
+        if t.kind == "NAME" and t.text.lower() in self._AGGS:
+            name = self.next().text.lower()
+            self.eat_op("(")
+            distinct = False
+            if self.at_kw("distinct"):
+                self.next()
+                distinct = True
+            if self.at_op("*"):
+                self.next()
+                arg = "*"
+            else:
+                arg = self.expr()
+            self.eat_op(")")
+            return ("agg", name, distinct, arg)
         if t.kind == "NAME" and t.text.lower() in self._FUNCS:
             name = self.next().text.lower()
             self.eat_op("(")
@@ -955,7 +1024,50 @@ class _Compiler:
             }[op]
         if e[0] == "call":
             return self._call(e[1], e[2], df)
+        if e[0] == "rawcol":  # post-aggregation column reference (HAVING)
+            return F.col(e[1])
+        if e[0] == "agg":
+            raise ValueError(
+                "aggregate used outside SELECT projection / HAVING context"
+            )
         raise ValueError(f"unsupported expression {e!r}")
+
+    def agg_expr(self, e, df: DataFrame) -> Column:
+        """One SPARQL aggregate → a Spark aggregate expression over the
+        (tagged) bindings. SUM/AVG decode-and-cast to double; MIN/MAX
+        operate on the decoded string unless the argument is numeric;
+        SAMPLE is pinned to MIN (deterministic pick — SPARQL leaves the
+        choice open); GROUP_CONCAT joins the SORTED values (deterministic
+        ordering, separator fixed to a single space)."""
+        assert e[0] == "agg", e
+        _, fn, distinct, arg = e
+        if fn == "count" and arg == "*":
+            return F.count(F.lit(1))
+        val = self.value_expr(arg, df)
+        if fn == "count":
+            return F.countDistinct(val) if distinct else F.count(val)
+        if distinct:
+            raise ValueError(f"DISTINCT is only supported with COUNT, not {fn}")
+        if fn in ("sum", "avg"):
+            v = val.cast("double")
+            return F.sum(v) if fn == "sum" else F.avg(v)
+        if fn in ("min", "max", "sample"):
+            # numeric-aware ordering with lexical fallback: numbers
+            # compare as numbers (castable values sort before
+            # non-castable), everything else lexically; the ORIGINAL
+            # lexical form is returned (repo-wide untagged convention)
+            dv = val.cast("double")
+            key = F.struct(
+                dv.isNull().cast("int").alias("k1"),
+                F.coalesce(dv, F.lit(0.0)).alias("k2"),
+                val.alias("k3"),
+            )
+            return (
+                F.min_by(val, key) if fn in ("min", "sample") else F.max_by(val, key)
+            )
+        if fn == "group_concat":
+            return F.array_join(F.sort_array(F.collect_list(val)), " ")
+        raise ValueError(f"unknown aggregate {fn!r}")
 
     def bool_expr(self, e, df: DataFrame) -> Column:
         c = self.value_expr(e, df)
@@ -1116,17 +1228,88 @@ class PreparedQuery:
                     )
                 )
             return reduce(lambda a, b: a.unionByName(b), outs).dropDuplicates()
+        if q.form == "describe":
+            if q.describe_terms and q.describe_terms[0][0] == "var" and q.pattern:
+                nodes = bindings.select(
+                    term_value(F.col(q.describe_terms[0][1])).alias("node")
+                ).distinct()
+            else:
+                nodes = triples.sparkSession.createDataFrame(
+                    [(t[1],) for t in q.describe_terms if t[0] == "iri"],
+                    "node string",
+                )
+            return A.describe(triples, nodes)
+
         # SELECT
+        def contains_agg(e) -> bool:
+            if isinstance(e, tuple):
+                return e[0] == "agg" or any(contains_agg(x) for x in e)
+            if isinstance(e, list):
+                return any(contains_agg(x) for x in e)
+            return False
+
+        has_agg = bool(q.group_by) or any(
+            contains_agg(e) for e, _ in q.select_exprs
+        )
         cols = q.select_vars or [
             col for col in bindings.columns if not col.startswith("_")
         ]
-        out = bindings.select(
-            *[
-                term_value(F.col(v)).alias(v) if v in bindings.columns
-                else F.lit(None).cast("string").alias(v)
-                for v in cols
-            ]
-        )
+        if has_agg:
+            # grouped projection: every computed column must be an
+            # aggregate; group keys stay tagged through the groupBy and
+            # decode on the way out. HAVING aggregates become hidden
+            # agg columns, dropped after the filter.
+            aggs = []
+            for e, alias in q.select_exprs:
+                if not contains_agg(e):
+                    raise SparqlSyntaxError(
+                        f"non-aggregate projection ({alias}) in a grouped SELECT"
+                    )
+                aggs.append(c.agg_expr(e, bindings).alias(alias))
+
+            hidden: list = []
+
+            def rewrite(e):
+                if isinstance(e, tuple):
+                    if e[0] == "agg":
+                        name = f"_hav{len(hidden)}"
+                        hidden.append((name, e))
+                        return ("rawcol", name)
+                    return tuple(rewrite(x) for x in e)
+                if isinstance(e, list):
+                    return [rewrite(x) for x in e]
+                return e
+
+            having = [rewrite(h) for h in q.having]
+            for name, e in hidden:
+                aggs.append(c.agg_expr(e, bindings).alias(name))
+            grouped = (
+                bindings.groupBy(*q.group_by).agg(*aggs)
+                if q.group_by
+                else bindings.agg(*aggs)
+            )
+            for h in having:
+                grouped = grouped.where(c.bool_expr(h, grouped))
+            out = grouped.select(
+                *[
+                    term_value(F.col(v)).alias(v) if v in q.group_by else F.col(v)
+                    for v in cols
+                ]
+            )
+        else:
+            computed = {alias: c.value_expr(e, bindings) for e, alias in q.select_exprs}
+            out = bindings.select(
+                *[
+                    computed[v].alias(v)
+                    if v in computed
+                    else (
+                        term_value(F.col(v)).alias(v)
+                        if v in bindings.columns
+                        else F.lit(None).cast("string").alias(v)
+                    )
+                    for v in cols
+                ]
+            )
         if q.distinct:
             out = out.dropDuplicates()
         if q.order or q.limit is not None or q.offset:

@@ -366,3 +366,48 @@ class TestCacheInvalidation:
         assert rc.get("query A", current_commit=1) is None  # cleared
         rc.put("query A", "resp@1", current_commit=1)
         assert rc.get("query A", current_commit=1) == "resp@1"
+
+
+# ---------------------------------------------------------------------------
+# Substring-level duplicate spans
+# ---------------------------------------------------------------------------
+
+
+class TestDuplicateSpans:
+    def test_shared_run_produces_merged_span(self, spark):
+        from genegraph_spark.operators.dedup import duplicate_spans
+
+        shared = "a b c d e f g h i j k l"  # 12 tokens shared verbatim
+        docs = spark.createDataFrame(
+            [
+                (1, "x1 y1 " + shared + " z1 w1"),
+                (2, "x2 " + shared + " z2"),
+                (3, "totally different words here with no repeats at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r for r in duplicate_spans(docs, k=10).collect()}
+        # doc1: shared run starts at token 2, 12 tokens -> 3 grams at
+        # pos 2,3,4 merge into one span [2, 13]
+        assert (out[1].span_start, out[1].span_end, out[1].n_tokens) == (2, 13, 12)
+        assert (out[2].span_start, out[2].span_end, out[2].n_tokens) == (1, 12, 12)
+        assert 3 not in out
+
+    def test_disjoint_runs_stay_separate(self, spark):
+        from genegraph_spark.operators.dedup import duplicate_spans
+
+        run1 = "p q r s t u v w x y"   # 10 tokens
+        run2 = "m n o aa bb cc dd ee ff gg"  # 10 tokens
+        docs = spark.createDataFrame(
+            [
+                (1, run1 + " GAP1 GAP2 GAP3 " + run2),
+                (2, run1 + " other other2 other3 other4 " + run2),
+            ],
+            "doc_id long, text string",
+        )
+        spans = [
+            (r.span_start, r.span_end)
+            for r in duplicate_spans(docs, k=10).where("doc_id = 1").collect()
+        ]
+        # doc1 = run1 (tokens 0-9) + 3 GAP tokens + run2 (tokens 13-22)
+        assert sorted(spans) == [(0, 9), (13, 22)]

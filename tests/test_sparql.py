@@ -405,3 +405,103 @@ class TestReferenceQueries:
             open(os.path.join(REF_DIR, "construct_proband_score.sparql")).read()
         )
         assert q.run(g, pmbase="x").count() == 0
+
+
+class TestAggregatesAndDescribe:
+    def test_group_by_count_and_having(self, spark, graph):
+        out = S.sparql(
+            graph,
+            """SELECT ?x (COUNT(*) AS ?n) WHERE { ?x :knows ?y }
+               GROUP BY ?x HAVING (COUNT(*) >= 1) ORDER BY ?x""",
+        ).collect()
+        assert [(r.x, r.n) for r in out] == [
+            ("urn:a", 1), ("urn:b", 1), ("urn:c", 1),
+        ]
+
+    def test_global_aggregates(self, spark, graph):
+        out = S.sparql(
+            graph,
+            "SELECT (COUNT(*) AS ?n) (SUM(?a) AS ?total) (AVG(?a) AS ?mean) "
+            "(MIN(?a) AS ?lo) (MAX(?a) AS ?hi) WHERE { ?x :age ?a }",
+        ).collect()[0]
+        # MIN/MAX are numeric-aware but return the original lexical form
+        assert (out.n, out.total, out.mean, out.lo, out.hi) == (2, 49.0, 24.5, "7", "42")
+
+    def test_count_distinct_and_group_concat(self, spark, graph):
+        out = S.sparql(
+            graph,
+            "SELECT (COUNT(DISTINCT ?x) AS ?nx) (GROUP_CONCAT(?n) AS ?names) "
+            "WHERE { ?x :name ?n }",
+        ).collect()[0]
+        assert out.nx == 3
+        assert out.names == "alice bob carol"  # sorted, deterministic
+
+    def test_having_filters_groups(self, spark, graph):
+        out = S.sparql(
+            graph,
+            """SELECT ?x (COUNT(*) AS ?n) WHERE { ?x !(:none) ?y }
+               GROUP BY ?x HAVING (COUNT(*) > 2) ORDER BY ?x""",
+        ).collect()
+        # urn:a: knows+name+age+type = 4 edges; urn:b: 5; others <= 2
+        assert [r.x for r in out] == ["urn:a", "urn:b"]
+
+    def test_computed_projection_without_aggregate(self, spark, graph):
+        out = S.sparql(
+            graph,
+            'SELECT ?n (STRLEN(?n) AS ?len) WHERE { ?x :name ?n } ORDER BY ?n',
+        ).collect()
+        assert [(r.n, r.len) for r in out] == [("alice", 5), ("bob", 3), ("carol", 5)]
+
+    def test_describe_iri_and_var(self, spark, graph):
+        df = S.sparql(graph, "DESCRIBE <urn:a>")
+        assert df.where("subject = 'urn:a'").count() == 4
+        df2 = S.sparql(graph, 'DESCRIBE ?x WHERE { ?x :name "bob" }')
+        subs = {r.subject for r in df2.collect()}
+        assert subs == {"urn:b"}
+
+
+class TestClojureEmbeddedQueries:
+    """The reference also embeds SPARQL strings directly in resolver code
+    (q/create-query "select ..." — gene.clj:47, suggesters.clj:19,
+    user.clj, group.clj). Those strings must parse and run too."""
+
+    def test_embedded_strings_parse(self):
+        for q in [
+            "select ?type where {?resource a /  :rdfs/subClassOf * ?type}",
+            "select ?group where { ?group a :foaf/Group }",
+            "select ?user where { ?user :foaf/mbox ?email }",
+            "select ?s where { ?s a :sepio/ActionabilityReport }",
+            "select ?gene where { ?gene :owl/same-as ?hgnc_gene }",
+        ]:
+            S.parse_sparql(q)
+
+    def test_three_way_union_with_order(self, spark):
+        """gene.clj:47-61 most-recent-curation-for-gene: three UNION
+        branches + trailing shared pattern + order by desc."""
+        q = """select ?contribution where {
+        { ?validityproposition :sepio/has-subject ?gene .
+          ?validityassertion :sepio/has-subject ?validityproposition .
+          ?validityassertion :sepio/qualified-contribution ?contribution .  }
+         union
+        { ?dosagereport :iao/is-about ?gene .
+          ?dosagereport a :sepio/GeneDosageReport .
+          ?dosagereport :sepio/qualified-contribution ?contribution . }
+         union
+        { ?actionabilitycondition :sepio/is-about-gene ?gene .
+          ?actionabilityreport :sepio/is-about-condition ?actionabilitycondition .
+          ?actionabilityreport a :sepio/ActionabilityReport .
+          ?actionabilityreport :sepio/qualified-contribution ?contribution . }
+         ?contribution :sepio/activity-date ?activitydate }
+         order by desc(?activitydate)"""
+        rows = [
+            iri("urn:prop", ":sepio/has-subject", "urn:gene1"),
+            iri("urn:assert", ":sepio/has-subject", "urn:prop"),
+            iri("urn:assert", ":sepio/qualified-contribution", "urn:contrib1"),
+            lit("urn:contrib1", ":sepio/activity-date", "2020-01-01"),
+            iri("urn:dosage", ":iao/is-about", "urn:gene1"),
+            iri("urn:dosage", "rdf:type", ":sepio/GeneDosageReport"),
+            iri("urn:dosage", ":sepio/qualified-contribution", "urn:contrib2"),
+            lit("urn:contrib2", ":sepio/activity-date", "2021-06-15"),
+        ]
+        out = S.sparql(T(spark, rows), q).collect()
+        assert [r.contribution for r in out] == ["urn:contrib2", "urn:contrib1"]
