@@ -890,6 +890,26 @@ def q_join_affiliation_precedence(spark, sf_dir):
     )
 
 
+def q_join_salted_topk(spark, sf_dir):
+    # head-heavy entity skew (north-star BRCA1-class hot keys): half of
+    # all events map to ONE hot entity; salted_top_k spreads that key's
+    # sort over n_salts tasks and must be row-identical to the direct
+    # window (the oracle computes the direct window)
+    from genegraph_spark.operators.skew import salted_top_k
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("BRCA1"))
+        .otherwise(F.concat(F.lit("g"), (F.col("user_id") % 50).cast("string")))
+        .alias("entity"),
+        "event_id",
+        F.round("value", 4).alias("value"),
+    )
+    return salted_top_k(
+        ev, key="entity", order_col="value", k=3,
+        salt_by="event_id", tiebreak="event_id",
+    )
+
+
 def q_join_asof_descriptor(spark, sf_dir):
     # two-table as-of equi-join (clinical_assertion.clj:306-348):
     # assertion → latest descriptor version ≤ the assertion's cutoff;
@@ -1443,6 +1463,7 @@ _R4_CHECK_FIRST = [
     "text_domain_mix",
     "dedup_spans",
     "alg_sparql_agg",
+    "join_salted_topk",
 ]
 
 
@@ -1454,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_affiliations": q_cur_affiliations,
         "cur_genetic_conditions": q_cur_genetic_conditions,
         "alg_sparql_agg": q_alg_sparql_agg,
+        "join_salted_topk": q_join_salted_topk,
         "kg_nested_shapes": q_kg_nested_shapes,
         "kg_rdfxml_docs": q_kg_rdfxml_docs,
         # round-3 additions (no driver verdict yet — run first)
@@ -2646,6 +2668,18 @@ c AS (
 SELECT c.gene, c.disease, c.moi, c.n_assertions, c.n_affiliations,
        r.assertion AS latest_assertion
 FROM c JOIN ranked r USING (gene, disease, moi) WHERE r.rn = 1""",
+        "join_salted_topk": """
+WITH ev AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'BRCA1'
+              ELSE 'g' || CAST(user_id % 50 AS VARCHAR) END AS entity,
+         event_id, round(value, 4) AS value
+  FROM events),
+r AS (SELECT entity, event_id, value,
+        row_number() OVER (PARTITION BY entity
+                           ORDER BY value DESC, event_id ASC) AS rank
+      FROM ev)
+SELECT entity, event_id, value, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3""",
         "alg_sparql_agg": f"""
 WITH {_GEO_TRIPLES},
 cn AS (SELECT s AS c, o AS n FROM geo WHERE p = ':in-nation'),

@@ -222,6 +222,13 @@ def validate_graph_shapes(triples: DataFrame, shapes: list[NodeShape]) -> DataFr
     for s in shapes:
         visit(s.name)
 
+    # the triples plan is consumed once per (shape, property) scan — on a
+    # store-backed table those are parquet re-scans (fine, predicate-
+    # pushed), but a pipeline-derived frame would re-run its whole
+    # upstream per scan. Lazy localCheckpoint materializes it once and is
+    # reclaimed by the ContextCleaner (house rule: checkpoint, not
+    # persist, for intra-operator reuse).
+    triples = triples.localCheckpoint(eager=False)
     is_type = F.col("predicate") == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     conforming: dict[str, DataFrame] = {}
     results = []

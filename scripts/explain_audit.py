@@ -21,6 +21,10 @@ DEFAULT = [
     "dedup_minhash_pairs", "dedup_embedding_lsh", "sim_topk", "sim_ivf_topk",
     "tpch_q3_revenue", "join_asof_descriptor", "kg_jsonld_docs",
     "text_corpus_filter", "alg_describe", "cur_disease_subtree",
+    # round 4
+    "alg_sparql_select", "alg_sparql_agg", "kg_nested_shapes",
+    "kg_rdfxml_docs", "dedup_spans", "dedup_cluster_reps",
+    "text_decontaminate",
 ]
 
 MARKERS = [

@@ -505,3 +505,25 @@ class TestClojureEmbeddedQueries:
         ]
         out = S.sparql(T(spark, rows), q).collect()
         assert [r.contribution for r in out] == ["urn:contrib2", "urn:contrib1"]
+
+
+class TestSparqlPlanShape:
+    def test_pattern_constants_push_to_parquet_scan(self, spark, tmp_path):
+        """The text front-end must compile to the same pushdown-friendly
+        scans as the programmatic combinators: each triple pattern's
+        predicate constant appears in the parquet scan's PushedFilters."""
+        d = str(tmp_path / "triples_pq")
+        rows = [
+            ("g", f"urn:s{i}", p, f"o{i}", True, None)
+            for i in range(200)
+            for p in (":a", ":b")
+        ]
+        spark.createDataFrame(rows, TRIPLE_SCHEMA).write.mode("overwrite").parquet(d)
+        t = spark.read.parquet(d)
+        df = S.sparql(t, "SELECT ?x ?y WHERE { ?x :a ?y . ?x :b ?z }")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "EqualTo(predicate,:a)" in plan
+        assert "EqualTo(predicate,:b)" in plan
+        # shared-variable join on ?x: exactly one shuffle exchange pair
+        # (the star-BGP shape Catalyst reuses), no cartesian product
+        assert "CartesianProduct" not in plan
