@@ -1322,3 +1322,60 @@ def sparql(triples: DataFrame, text: str, **params):
     """Parse + run in one call (create-query + execute,
     resource.clj:201-239)."""
     return PreparedQuery(text).run(triples, **params)
+
+
+def transform_chain(
+    model: DataFrame,
+    steps: list,
+    params: dict | None = None,
+) -> DataFrame:
+    """Run a sequence of SPARQL transforms the way the reference's
+    ``transform-gdm`` does (``transform/gene_validity_refactor.clj:414-463``):
+    a union of CONSTRUCT outputs over the SOURCE model, then rewrite /
+    augment passes over the ACCUMULATED model.
+
+    ``steps`` — (kind, query) pairs, ``query`` a string or
+    :class:`PreparedQuery`:
+
+    - ``('construct', q)`` — run against the SOURCE model; output unions
+      into the accumulated model (the 22-query ``q/union`` block).
+    - ``('rewrite', q)`` — run against the ACCUMULATED model and REPLACE
+      it (the ``unlink_*`` copy-all-except queries:
+      ``CONSTRUCT {?s ?p ?o} WHERE { ?s ?p ?o . minus {...} }``).
+    - ``('augment', q)`` — run against the accumulated model; output
+      unions in (``construct-evidence-connections`` /
+      ``add-legacy-website-id`` style).
+
+    ``params`` pre-bind variables for every step (the shared ``params``
+    map: ``:pmbase``, ``:affiliation``, ...).
+
+    Scale: each step is one declarative plan; the accumulated model is
+    lazily localCheckpointed after every rewrite/augment so the ~25-step
+    chain's lineage stays bounded (house rule — checkpoint, not persist)
+    and earlier steps never re-execute. dropDuplicates at the end gives
+    the chain RDF set semantics, matching Jena model union."""
+    params = params or {}
+
+    def run(q, frame):
+        pq = q if isinstance(q, PreparedQuery) else PreparedQuery(q)
+        out = pq.run(frame, **params)
+        if not isinstance(out, DataFrame):
+            raise TypeError("transform_chain steps must be CONSTRUCT queries")
+        return out
+
+    acc: DataFrame | None = None
+    for kind, q in steps:
+        if kind == "construct":
+            out = run(q, model)
+            acc = out if acc is None else acc.unionByName(out)
+        elif kind == "rewrite":
+            assert acc is not None, "rewrite before any construct step"
+            acc = run(q, acc).localCheckpoint(eager=False)
+        elif kind == "augment":
+            assert acc is not None, "augment before any construct step"
+            acc = acc.localCheckpoint(eager=False)
+            acc = acc.unionByName(run(q, acc))
+        else:
+            raise ValueError(f"unknown step kind {kind!r}")
+    assert acc is not None, "transform_chain needs at least one step"
+    return acc.dropDuplicates()

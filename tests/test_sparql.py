@@ -527,3 +527,74 @@ class TestSparqlPlanShape:
         # shared-variable join on ?x: exactly one shuffle exchange pair
         # (the star-BGP shape Catalyst reuses), no cartesian product
         assert "CartesianProduct" not in plan
+
+
+class TestTransformChain:
+    """transform-gdm's shape (gene_validity_refactor.clj:414-463): union
+    of CONSTRUCT outputs over the source, then rewrite/augment passes
+    over the accumulated model — exercised with REAL reference files."""
+
+    @pytest.fixture(autouse=True)
+    def _need_ref(self):
+        if not os.path.isdir(REF_DIR):
+            pytest.skip("reference tree not present")
+
+    def test_chain_with_reference_files(self, spark):
+        GCI = "http://dataexchange.clinicalgenome.org/gci/"
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        src = T(
+            spark,
+            [
+                # article source data (construct_articles input)
+                iri("urn:art1", RDF + "type", GCI + "article"),
+                lit("urn:art1", GCI + "title", "T1"),
+                lit("urn:art1", GCI + "date", "2019-04-01"),
+                lit("urn:art1", GCI + "pmid", "31001"),
+                iri("urn:art1", GCI + "authors", "_:l1"),
+                lit("_:l1", RDF + "first", "Kim J"),
+                # segregation evidence in the reference vocabulary:
+                # seg1 has NO proband/lod → the unlink file must drop it
+                iri("urn:seg1", "rdf:type", ":sepio/FamilyCosegregation"),
+                lit("urn:seg1", ":dc/description", "orphan segregation"),
+                # seg2 HAS a proband → kept
+                iri("urn:seg2", "rdf:type", ":sepio/FamilyCosegregation"),
+                iri("urn:seg2", ":sepio/is-about-proband", "urn:p1"),
+                # an assertion for the final augment step
+                iri("urn:assert1", "rdf:type", ":sepio/GeneValidityEvidenceLevelAssertion"),
+            ],
+        )
+
+        def ref(fn):
+            return open(os.path.join(REF_DIR, fn)).read()
+
+        from genegraph_spark.operators.sparql import transform_chain
+
+        out = transform_chain(
+            src,
+            [
+                # copy the event model in (the q/union of gdm with the
+                # static vocabulary), then the article transform
+                ("construct", "CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }"),
+                ("construct", ref("construct_articles.sparql")),
+                # REAL rewrite file: drops proband-less segregations
+                ("rewrite", ref("unlink_segregations_when_no_proband_and_lod_scores.sparql")),
+                # REAL augment file: stamps the legacy id on assertions
+                ("augment", ref("add_legacy_website_id.sparql")),
+            ],
+            params={"pmbase": "https://pubmed.ncbi.nlm.nih.gov/", "legacy_id": "10023"},
+        )
+        rows = out.collect()
+        subjects = {r.subject for r in rows}
+        by = {}
+        for r in rows:
+            by.setdefault(r.subject, {})[r.predicate] = r.object
+        # rewrite dropped seg1 entirely, kept seg2
+        assert "urn:seg1" not in subjects
+        assert by["urn:seg2"][":sepio/is-about-proband"] == "urn:p1"
+        # construct step output present (article transform ran on SOURCE)
+        art = by["https://pubmed.ncbi.nlm.nih.gov/31001"]
+        assert art[":dc/title"] == "T1"
+        # augment step ran on the ACCUMULATED model
+        assert by["urn:assert1"][":cg/website-legacy-id"] == "10023"
+        # set semantics: no duplicate triples
+        assert len(rows) == len({tuple(r) for r in rows})
