@@ -411,3 +411,52 @@ class TestDuplicateSpans:
         ]
         # doc1 = run1 (tokens 0-9) + 3 GAP tokens + run2 (tokens 13-22)
         assert sorted(spans) == [(0, 9), (13, 22)]
+
+
+# ---------------------------------------------------------------------------
+# Streamed event loop → named-graph store
+# ---------------------------------------------------------------------------
+
+
+class TestStreamToStore:
+    def test_streamed_merges_converge_to_batch_content(self, spark, sf_dir, tmp_path):
+        """The primary loop streamed end to end: two source deliveries →
+        per-micro-batch construct_kg + store MERGE; final store content
+        must equal the one-shot batch pipeline over the same pages, and
+        the second run must only process the NEW files (checkpoint
+        catch-up)."""
+        from genegraph_spark import fixtures
+        from genegraph_spark.plans.pipeline import construct_kg
+        from genegraph_spark.sinks.named_graph import NamedGraphStore
+        from genegraph_spark.streaming.stream import stream_pages_to_store
+
+        src = str(tmp_path / "src")
+        store_path = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        pages = fixtures.pages_df(spark, sf_dir)
+        # delivery 1: even doc_ids (all versions of a url share a doc_id,
+        # so url families stay within one delivery)
+        pages.where("doc_id % 2 = 0").repartition(2).write.mode("overwrite").parquet(src)
+        r1 = stream_pages_to_store(spark, sf_dir, src, store_path, ckpt)
+        assert r1["batches"] >= 1 and r1["last_commit"] is not None
+        c1 = r1["last_commit"]
+
+        # delivery 2: the odd half arrives later
+        pages.where("doc_id % 2 = 1").repartition(2).write.mode("append").parquet(src)
+        r2 = stream_pages_to_store(spark, sf_dir, src, store_path, ckpt)
+        assert r2["last_commit"] > c1  # new commits for the new files only
+
+        store = NamedGraphStore(spark, store_path)
+        got = store.triples().select(
+            "graph", "subject", "predicate", "object", "object_is_iri"
+        )
+        want = construct_kg(spark, sf_dir).triples.select(
+            "graph", "subject", "predicate", "object", "object_is_iri"
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+        # idle rerun: nothing new → no additional commits
+        r3 = stream_pages_to_store(spark, sf_dir, src, store_path, ckpt)
+        assert r3["batches"] == 0
+        assert r3["last_commit"] == r2["last_commit"]
