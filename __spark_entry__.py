@@ -890,6 +890,30 @@ def q_join_affiliation_precedence(spark, sf_dir):
     )
 
 
+def q_graph_pagerank(spark, sf_dir):
+    # fixed-iteration PageRank over the geo containment graph
+    # (customer→nation→region edges): entity-importance ranking, one
+    # shuffle per iteration, per-iteration rounding for engine parity
+    from genegraph_spark.operators.graphstats import pagerank
+
+    t = _geo_triples(spark, sf_dir)
+    e = t.where(F.col("predicate").isin(":in-nation", ":in-region")).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    return pagerank(e, n_iter=5)
+
+
+def q_graph_degrees(spark, sf_dir):
+    # in/out degree stats over the same edge frame
+    from genegraph_spark.operators.graphstats import degree_stats
+
+    t = _geo_triples(spark, sf_dir)
+    e = t.where(F.col("predicate").isin(":in-nation", ":in-region")).select(
+        F.col("subject").alias("src"), F.col("object").alias("dst")
+    )
+    return degree_stats(e)
+
+
 def q_join_salted_topk(spark, sf_dir):
     # head-heavy entity skew (north-star BRCA1-class hot keys): half of
     # all events map to ONE hot entity; salted_top_k spreads that key's
@@ -1464,6 +1488,8 @@ _R4_CHECK_FIRST = [
     "dedup_spans",
     "alg_sparql_agg",
     "join_salted_topk",
+    "graph_pagerank",
+    "graph_degrees",
 ]
 
 
@@ -1476,6 +1502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_genetic_conditions": q_cur_genetic_conditions,
         "alg_sparql_agg": q_alg_sparql_agg,
         "join_salted_topk": q_join_salted_topk,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_degrees": q_graph_degrees,
         "kg_nested_shapes": q_kg_nested_shapes,
         "kg_rdfxml_docs": q_kg_rdfxml_docs,
         # round-3 additions (no driver verdict yet — run first)
@@ -1740,6 +1768,40 @@ geo AS (
   UNION ALL
   SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR), ':segment', c_mktsegment FROM customer
 )"""
+
+def _pagerank_sql(n_iter: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank mirroring graphstats.pagerank:
+    same per-iteration 9dp rounding, same double-typed constants (the
+    teleport term is rounded at 12dp on both sides so DuckDB's
+    decimal-exact literals cannot drift from Spark's doubles)."""
+    d = f"CAST({damping} AS DOUBLE)"
+    ctes = [
+        "e AS (SELECT DISTINCT s AS src, o AS dst FROM geo "
+        "WHERE p IN (':in-nation', ':in-region'))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "nstat AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1)",
+        "links AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src))",
+        "pr0 AS (SELECT node, round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nstat), 9) "
+        "AS rank FROM nodes)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"c{i} AS (SELECT dst, sum(rank / outdeg) AS inflow FROM links "
+            f"JOIN pr{i-1} ON pr{i-1}.node = links.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"pr{i} AS (SELECT nodes.node, round("
+            f"round((CAST(1.0 AS DOUBLE) - {d}) / (SELECT n FROM nstat), 12) "
+            f"+ {d} * coalesce(c{i}.inflow, CAST(0.0 AS DOUBLE)), 9) AS rank "
+            f"FROM nodes LEFT JOIN c{i} ON c{i}.dst = nodes.node)"
+        )
+    return (
+        "WITH " + _GEO_TRIPLES.strip() + ",\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM pr{n_iter}"
+    )
+
 
 def _XESC(expr: str) -> str:
     """XML-escape a SQL expression — mirrors serialize._xml_escape
@@ -2668,6 +2730,16 @@ c AS (
 SELECT c.gene, c.disease, c.moi, c.n_assertions, c.n_affiliations,
        r.assertion AS latest_assertion
 FROM c JOIN ranked r USING (gene, disease, moi) WHERE r.rn = 1""",
+        "graph_pagerank": _pagerank_sql(),
+        "graph_degrees": f"""
+WITH {_GEO_TRIPLES},
+e AS (SELECT DISTINCT s AS src, o AS dst FROM geo
+      WHERE p IN (':in-nation', ':in-region')),
+od AS (SELECT src AS node, count(*) AS out_degree FROM e GROUP BY 1),
+idg AS (SELECT dst AS node, count(*) AS in_degree FROM e GROUP BY 1)
+SELECT node, coalesce(od.out_degree, 0) AS out_degree,
+       coalesce(idg.in_degree, 0) AS in_degree
+FROM od FULL OUTER JOIN idg USING (node)""",
         "join_salted_topk": """
 WITH ev AS (
   SELECT CASE WHEN user_id % 2 = 0 THEN 'BRCA1'

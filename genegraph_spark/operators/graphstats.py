@@ -1,0 +1,93 @@
+"""Graph analytics over edge frames: PageRank and degree statistics.
+
+Not a reference operator (genegraph's traversals are per-query path
+walks); required by the engine's KG-analytics mandate — entity
+importance over the mention/link graph is the standard ranking signal a
+KG-construction pipeline feeds back into curation (which entities to
+canonicalize first, which pages to re-crawl).
+
+Scale notes (100 TB):
+- PageRank: each iteration is ONE shuffle — edges join ranks on src
+  (src-keyed partitioning reused across iterations), contributions
+  reduce per dst with map-side partial sums. Iteration count is fixed
+  (power iteration, not convergence-polled), so the job graph is a
+  bounded chain; per-iteration lazy localCheckpoints stop lineage
+  growth. Hot dst nodes (BRCA1-class) are plain aggregation skew — AQE
+  splits them; no broadcast of anything corpus-scale.
+- Determinism: ranks are rounded per iteration (9 dp) so float
+  summation order across partitions cannot drift results between
+  engines/partitionings — the DuckDB oracle unrolls the same
+  iterations and matches bit-for-bit at the final 6 dp rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge frame.
+
+    PR_{t+1}(v) = (1-d)/N + d * Σ_{u→v} PR_t(u) / outdeg(u); nodes
+    without inbound edges hold the teleport term. Dangling mass is NOT
+    redistributed (the simplified variant; documented — the oracle
+    mirrors it). Returns (node, rank) for every node, rank rounded to
+    6 dp."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    # both constants computed as the SAME double expressions the oracle
+    # uses (Python round() is half-even; engine round is half-up — keep
+    # all rounding engine-side)
+    teleport = F.round((F.lit(1.0) - F.lit(damping)) / F.lit(float(n)), 12)
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # (src, dst, outdeg) reused every iteration: materialize once
+    links = e.join(outdeg, "src").localCheckpoint(eager=True)
+    pr = nodes.select("node", F.round(F.lit(1.0) / F.lit(float(n)), 9).alias("rank"))
+    for _ in range(n_iter):
+        contrib = (
+            links.join(pr, links["src"] == pr["node"])
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        pr = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left_outer")
+            .select(
+                "node",
+                F.round(
+                    teleport + F.lit(damping) * F.coalesce("inflow", F.lit(0.0)),
+                    9,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, out_degree, in_degree) over distinct edges — one pass per
+    direction, full outer merge."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    out_d = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("out_degree"))
+    in_d = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("in_degree"))
+    zero = F.lit(0).cast("long")
+    return out_d.join(in_d, "node", "full_outer").select(
+        "node",
+        F.coalesce("out_degree", zero).alias("out_degree"),
+        F.coalesce("in_degree", zero).alias("in_degree"),
+    )

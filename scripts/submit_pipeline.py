@@ -40,6 +40,12 @@ def main() -> None:
                       help="restart-of-same-input: skip already-processed urls")
     mode.add_argument("--incremental", action="store_true",
                       help="version-watermarked feed: process only new/updated urls")
+    mode.add_argument("--stream-source", metavar="DIR",
+                      help="streamed primary loop: drain this file-stream pages "
+                           "source into the store, one commit per micro-batch "
+                           "(availableNow; rerun picks up only new files)")
+    p.add_argument("--checkpoint", metavar="DIR",
+                   help="streaming checkpoint dir (required with --stream-source)")
     p.add_argument("--dry-run", action="store_true",
                    help="build the plan, print the would-be commit, write nothing")
     p.add_argument("--compact", action="store_true",
@@ -53,6 +59,23 @@ def main() -> None:
 
     spark = get_spark("genegraph-spark-pipeline")
     t0 = time.monotonic()
+    if args.stream_source:
+        if not args.checkpoint:
+            p.error("--stream-source requires --checkpoint")
+        from genegraph_spark.sinks.named_graph import NamedGraphStore
+        from genegraph_spark.streaming.stream import stream_pages_to_store
+
+        out = stream_pages_to_store(
+            spark, args.sf_dir, args.stream_source, args.store, args.checkpoint
+        )
+        store = NamedGraphStore(spark, args.store)
+        print(json.dumps({
+            "mode": "stream",
+            "outcome": out,
+            "store_triples": store.triples().count(),
+            "wall_s": round(time.monotonic() - t0, 1),
+        }, default=str))
+        return
     res, store, outcome = run_to_store(
         spark, args.sf_dir, args.store,
         dry_run=args.dry_run, resume=args.resume, incremental=args.incremental,
