@@ -914,6 +914,18 @@ def q_graph_degrees(spark, sf_dir):
     return degree_stats(e)
 
 
+def q_graph_comention_pmi(spark, sf_dir):
+    # document-level co-mention PMI between canonical entities — the
+    # association-strength prior KG construction feeds back into linking
+    from genegraph_spark.operators.graphstats import comention_pmi
+
+    t = _kg_triples_df(spark, sf_dir)
+    m = t.where(F.col("predicate") == I.P_MENTIONS).select(
+        F.col("subject").alias("url"), F.col("object").alias("canonical_iri")
+    )
+    return comention_pmi(m, min_pairs=2)
+
+
 def q_join_salted_topk(spark, sf_dir):
     # head-heavy entity skew (north-star BRCA1-class hot keys): half of
     # all events map to ONE hot entity; salted_top_k spreads that key's
@@ -1490,6 +1502,7 @@ _R4_CHECK_FIRST = [
     "join_salted_topk",
     "graph_pagerank",
     "graph_degrees",
+    "graph_comention_pmi",
 ]
 
 
@@ -1504,6 +1517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_salted_topk": q_join_salted_topk,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
+        "graph_comention_pmi": q_graph_comention_pmi,
         "kg_nested_shapes": q_kg_nested_shapes,
         "kg_rdfxml_docs": q_kg_rdfxml_docs,
         # round-3 additions (no driver verdict yet — run first)
@@ -2730,6 +2744,21 @@ c AS (
 SELECT c.gene, c.disease, c.moi, c.n_assertions, c.n_affiliations,
        r.assertion AS latest_assertion
 FROM c JOIN ranked r USING (gene, disease, moi) WHERE r.rn = 1""",
+        "graph_comention_pmi": f"""
+WITH t AS ({_TRIPLES_SQL}),
+de AS (SELECT DISTINCT subject AS doc, object AS entity FROM t
+       WHERE predicate = '{I.P_MENTIONS}'),
+nd AS (SELECT CAST(count(DISTINCT doc) AS DOUBLE) AS n FROM de),
+marg AS (SELECT entity, count(*) AS n FROM de GROUP BY 1),
+pairs AS (SELECT a.entity AS entity_a, b.entity AS entity_b,
+                 count(*) AS n_docs
+          FROM de a JOIN de b ON a.doc = b.doc AND a.entity < b.entity
+          GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT entity_a, entity_b, n_docs,
+       round(log2((SELECT n FROM nd) * n_docs / (ma.n * mb.n)), 6) AS pmi
+FROM pairs
+JOIN marg ma ON ma.entity = pairs.entity_a
+JOIN marg mb ON mb.entity = pairs.entity_b""",
         "graph_pagerank": _pagerank_sql(),
         "graph_degrees": f"""
 WITH {_GEO_TRIPLES},

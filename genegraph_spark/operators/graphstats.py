@@ -91,3 +91,59 @@ def degree_stats(
         F.coalesce("out_degree", zero).alias("out_degree"),
         F.coalesce("in_degree", zero).alias("in_degree"),
     )
+
+
+def comention_pmi(
+    mentions: DataFrame,
+    doc_col: str = "url",
+    entity_col: str = "canonical_iri",
+    min_pairs: int = 1,
+) -> DataFrame:
+    """Pointwise mutual information between co-mentioned entity pairs —
+    the association-strength signal KG construction uses to weight
+    candidate edges and entity-linking priors (which co-occurrences are
+    meaningful vs incidental).
+
+    Input: (doc, entity) mention records (one row per distinct mention
+    pair is derived internally). Output: (entity_a, entity_b, n_docs,
+    pmi) for a < b with ``n_docs`` >= min_pairs; pmi = log2(N * n_ab /
+    (n_a * n_b)) over document-level co-occurrence, rounded to 6 dp.
+
+    Scale: the pair explode is bounded per document by its distinct
+    entity count squared — documents mention O(10) entities, so the pair
+    frame is ~100× the mention frame, not corpus². One shuffle keys the
+    pair count; marginals are a dimension-scale aggregate joined in
+    (broadcast — entity vocabulary, not corpus)."""
+    de = mentions.select(
+        F.col(doc_col).alias("doc"), F.col(entity_col).alias("entity")
+    ).distinct()
+    n_docs_total = de.select("doc").distinct().count()
+    marg = de.groupBy("entity").agg(F.count("*").alias("n"))
+    a = de.select("doc", F.col("entity").alias("entity_a"))
+    b = de.select("doc", F.col("entity").alias("entity_b"))
+    pairs = (
+        a.join(b, "doc")
+        .where(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_pairs)
+    )
+    ma = marg.select(F.col("entity").alias("entity_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("entity").alias("entity_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ma), "entity_a")
+        .join(F.broadcast(mb), "entity_b")
+        .select(
+            "entity_a",
+            "entity_b",
+            "n_docs",
+            F.round(
+                F.log2(
+                    F.lit(float(n_docs_total))
+                    * F.col("n_docs")
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
