@@ -395,7 +395,15 @@ class _Parser:
                     alts.append(self.group())
                 elements.append(("union", alts) if len(alts) > 1 else ("group", alts[0]))
             else:
-                elements.append(("bgp", self._triples_block()))
+                block = self._triples_block()
+                if not block:
+                    # nothing consumable here (e.g. a stray keyword):
+                    # raising beats looping forever on the same token
+                    t = self.peek()
+                    raise SparqlSyntaxError(
+                        f"unexpected token {t.text if t else 'EOF'!r} in group pattern"
+                    )
+                elements.append(("bgp", block))
         self.eat_op("}")
         return elements
 
@@ -681,7 +689,17 @@ class _Parser:
 
 def parse_sparql(text: str) -> Query:
     p = _Parser(text)
-    q = p.parse()
+    try:
+        q = p.parse()
+    except SparqlSyntaxError:
+        raise
+    except (ValueError, AttributeError, IndexError) as e:
+        # malformed input reaching an int()/attribute access inside the
+        # parser is a SYNTAX error at the boundary, not an internal crash
+        t = p.peek()
+        raise SparqlSyntaxError(
+            f"malformed query near {t.text if t else 'EOF'!r}: {e}"
+        ) from None
     if p.peek() is not None:
         raise SparqlSyntaxError(f"trailing tokens from {p.peek().text!r}")
     return q
@@ -1379,3 +1397,26 @@ def transform_chain(
             raise ValueError(f"unknown step kind {kind!r}")
     assert acc is not None, "transform_chain needs at least one step"
     return acc.dropDuplicates()
+
+
+def load_query_dir(path: str) -> dict:
+    """Load every ``.sparql`` file in a directory into a name →
+    :class:`PreparedQuery` map — the ``declare-query`` pattern
+    (``transform/gene_validity_refactor.clj:31-53`` binds each resource
+    file to a var at load time). Names are the file stems with ``-`` for
+    ``_`` stripped of extension, matching the reference's var names
+    (``construct_proband_score.sparql`` → ``construct-proband-score``).
+    Parse errors fail at LOAD time with the file named — queries are
+    compiled before any data is touched, like the reference."""
+    import os
+
+    out: dict[str, PreparedQuery] = {}
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".sparql"):
+            continue
+        name = fn[: -len(".sparql")].replace("_", "-")
+        try:
+            out[name] = PreparedQuery(open(os.path.join(path, fn)).read())
+        except SparqlSyntaxError as e:
+            raise SparqlSyntaxError(f"{fn}: {e}") from None
+    return out

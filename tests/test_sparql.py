@@ -660,3 +660,40 @@ class TestTaggedTermCodec:
                     assert not r.i
 
         check()
+
+
+class TestQueryDirLoader:
+    def test_loads_reference_tree(self):
+        """declare-query analog: the whole reference query directory
+        loads into a compiled registry at once."""
+        if not os.path.isdir(REF_DIR):
+            pytest.skip("reference tree not present")
+        qs = S.load_query_dir(REF_DIR)
+        assert len(qs) == len([f for f in os.listdir(REF_DIR) if f.endswith(".sparql")])
+        assert "construct-proband-score" in qs
+        assert qs["add-legacy-website-id"].ast.form == "construct"
+
+    def test_parser_never_crashes_on_garbage(self):
+        """Property: arbitrary text either parses or raises
+        SparqlSyntaxError — no other exception type escapes."""
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(max_size=60))
+        def check(text):
+            try:
+                S.parse_sparql(text)
+            except S.SparqlSyntaxError:
+                pass
+
+        check()
+
+        # seeded near-miss corpus: truncations/mutations of a real query
+        base = 'SELECT ?x WHERE { ?x :p "v" . OPTIONAL { ?x :q ?y } FILTER(?y > 1) }'
+        for i in range(len(base)):
+            for frag in (base[:i], base[:i] + "}" + base[i:], base[:i] + "?" + base[i + 1:]):
+                try:
+                    S.parse_sparql(frag)
+                except S.SparqlSyntaxError:
+                    pass
+
