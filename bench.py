@@ -62,6 +62,11 @@ BENCH_QUERIES = [
     "text_corpus_filter",
     "kg_jsonld_docs",
     "join_asof_descriptor",
+    # round 4
+    "alg_sparql_select",
+    "dedup_spans",
+    "graph_pagerank",
+    "text_decontaminate",
 ]
 
 

@@ -405,3 +405,44 @@ def parse_rdfxml(docs: DataFrame, xml_col: str = "rdfxml") -> DataFrame:
             "object_datatype"
         ),
     )
+
+
+# -- binary transport encoding (the RDF-Thrift role) --------------------------
+
+@pandas_udf("binary")
+def _deflate(s: pd.Series) -> pd.Series:
+    import zlib
+
+    # level pinned for byte determinism across runs/engines
+    return s.map(lambda v: None if v is None else zlib.compress(v.encode("utf-8"), 6))
+
+
+@pandas_udf(StringType())
+def _inflate(b: pd.Series) -> pd.Series:
+    import zlib
+
+    return b.map(lambda v: None if v is None else zlib.decompress(bytes(v)).decode("utf-8"))
+
+
+def binary_docs(triples: DataFrame) -> DataFrame:
+    """(graph, blob): compact binary per-graph model documents — the
+    transport role of the reference's RDF-Thrift serialization
+    (``database/query.clj:87-100`` writes Turtle / JSON-LD / RDF-XML /
+    binary Thrift from one model). Encoding: zlib level 6 over the
+    deterministic sorted JSON doc of :func:`graph_documents`, so the
+    blob is byte-deterministic for a given graph regardless of
+    partitioning (round-trip: :func:`parse_binary_docs`).
+
+    The compress/decompress pair is the one Python step — Arrow-batched
+    pandas UDFs on the serialization path only (same budget as the
+    parser inverses; never in the triples hot path)."""
+    return graph_documents(triples).select(
+        "graph", _deflate(F.col("doc")).alias("blob")
+    )
+
+
+def parse_binary_docs(docs: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """Inverse of :func:`binary_docs`: blobs → triple rows."""
+    return parse_documents(
+        docs.select(_inflate(F.col(blob_col)).alias("doc")), doc_col="doc"
+    )
