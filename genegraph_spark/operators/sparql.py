@@ -784,13 +784,20 @@ class _Compiler:
             df = self.triples.where(self._pred_filter(path[1]))
             return self._bind_endpoints(df, s, o)
         if path[0] == "pvar":
+            # predicate var: carry it as a tagged IRI column; a predicate
+            # var that REPEATS the subject/object var becomes a
+            # self-equality filter, not a duplicate column
             df = self.triples
-            out = self._bind_endpoints(df, s, o)
-            # predicate var: re-derive alongside (predicates are IRIs)
-            sel = [F.col(c) for c in out.columns]
-            # recompute via a fresh projection that carries the predicate
             cols, filters = self._endpoint_exprs(s, o)
-            cols.append(F.concat(F.lit("I|"), F.col("predicate")).alias(path[1]))
+            pred_tag = F.concat(F.lit("I|"), F.col("predicate"))
+            repeats = (s[0] == "var" and s[1] == path[1]) or (
+                o[0] == "var" and o[1] == path[1]
+            )
+            if repeats:
+                other = _enc_subject() if s[0] == "var" and s[1] == path[1] else _enc_object()
+                df = df.where(other == pred_tag)
+            else:
+                cols.append(pred_tag.alias(path[1]))
             for f in filters:
                 df = df.where(f)
             return df.select(*cols)

@@ -697,3 +697,20 @@ class TestQueryDirLoader:
                 except S.SparqlSyntaxError:
                     pass
 
+
+
+class TestPredicateVariables:
+    def test_spo_copy_and_repeated_var(self, spark):
+        rows = [
+            iri("urn:s", ":p", "urn:o"),
+            lit(":p", ":p", "self"),  # subject lexically equals predicate
+        ]
+        t = T(spark, rows)
+        out = S.sparql(t, "SELECT ?s ?p ?o WHERE { ?s ?p ?o } ORDER BY ?s").collect()
+        assert [(r.s, r.p, r.o) for r in out] == [
+            (":p", ":p", "self"),
+            ("urn:s", ":p", "urn:o"),
+        ]
+        # ?x ?x ?o: self-equality, not a duplicate column
+        out = S.sparql(t, "SELECT ?x ?o WHERE { ?x ?x ?o }").collect()
+        assert [(r.x, r.o) for r in out] == [(":p", "self")]
