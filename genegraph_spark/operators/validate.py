@@ -151,8 +151,6 @@ def violation_report(df: DataFrame, shape: list[Constraint]) -> DataFrame:
 
 # -- graph-level node shapes with sh:node nesting -----------------------------
 
-from dataclasses import field  # noqa: E402
-
 
 @dataclass(frozen=True)
 class PropertyShape:
@@ -325,6 +323,9 @@ def validate_graph_shapes(triples: DataFrame, shapes: list[NodeShape]) -> DataFr
             if viol_cols
             else F.array().cast("array<string>").alias("violations"),
         )
+        # consumed by the result union AND (for referenced shapes) every
+        # dependent shape's sh:node join — materialize once, lazily
+        out = out.localCheckpoint(eager=False)
         conforming[name] = out.where(F.size("violations") == 0).select("focus")
         results.append(out.withColumn("conforms", F.size("violations") == 0))
     from functools import reduce as _reduce
