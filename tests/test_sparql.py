@@ -714,3 +714,78 @@ class TestPredicateVariables:
         # ?x ?x ?o: self-equality, not a duplicate column
         out = S.sparql(t, "SELECT ?x ?o WHERE { ?x ?x ?o }").collect()
         assert [(r.x, r.o) for r in out] == [(":p", "self")]
+
+
+class TestMoreReferenceQueries:
+    """Two more reference files executed unmodified, covering pattern
+    paths (gci:gene/gci:hgncId), REPLACE-regex binds, and boolean object
+    constants."""
+
+    @pytest.fixture(autouse=True)
+    def _need_ref(self):
+        if not os.path.isdir(REF_DIR):
+            pytest.skip("reference tree not present")
+
+    def test_construct_proposition(self, spark):
+        GCI = "http://dataexchange.clinicalgenome.org/gci/"
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        rows = [
+            # gdm1: post-refactor (no legacy diseaseId)
+            iri("urn:gdm1", RDF + "type", GCI + "gdm"),
+            iri("urn:gdm1", GCI + "gene", "urn:gene1"),
+            lit("urn:gene1", GCI + "hgncId", "HGNC:1100"),
+            iri("urn:gdm1", GCI + "disease", "urn:mondo1"),
+            lit("urn:gdm1", GCI + "modeInheritance",
+                "Autosomal dominant inheritance (HP:0000006)"),
+            # gdm2: pre-refactor legacy disease id wins via COALESCE
+            iri("urn:gdm2", RDF + "type", GCI + "gdm"),
+            iri("urn:gdm2", GCI + "gene", "urn:gene2"),
+            lit("urn:gene2", GCI + "hgncId", "HGNC:2200"),
+            iri("urn:gdm2", GCI + "disease", "urn:dnode2"),
+            lit("urn:dnode2", GCI + "diseaseId", "ORPHA:123"),
+            lit("urn:gdm2", GCI + "modeInheritance",
+                "X-linked inheritance (HP:0001417)"),
+        ]
+        q = S.PreparedQuery(
+            open(os.path.join(REF_DIR, "construct_proposition.sparql")).read()
+        )
+        df = q.run(T(spark, rows), entrez_gene=("iri", "urn:entrez:672"))
+        by = {}
+        for r in df.collect():
+            by.setdefault(r.subject, {})[r.predicate] = (r.object, r.object_is_iri)
+        g1 = by["urn:gdm1"]
+        assert g1[":sepio/has-subject"] == ("urn:entrez:672", True)
+        assert g1[":sepio/has-object"] == ("urn:mondo1", True)
+        assert g1[":sepio/has-qualifier"] == (
+            "http://purl.obolibrary.org/obo/HP_0000006", True,
+        )
+        # legacy diseaseId (a literal) wins the COALESCE for gdm2
+        g2 = by["urn:gdm2"]
+        assert g2[":sepio/has-object"][0] == "ORPHA:123"
+        assert g2[":sepio/has-qualifier"][0] == "http://purl.obolibrary.org/obo/HP_0001417"
+
+    def test_construct_earliest_articles(self, spark):
+        GCI = "http://dataexchange.clinicalgenome.org/gci/"
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        rows = [
+            iri("urn:gdm1", RDF + "type", GCI + "gdm"),
+            iri("urn:prop1", RDF + "type", GCI + "provisionalClassification"),
+            lit("urn:prop1", GCI + "approvedClassification", "true", "xsd:boolean"),
+            lit("urn:prop1", GCI + "publishClassification", "true", "xsd:boolean"),
+            # an UNpublished classification must not match
+            iri("urn:prop2", RDF + "type", GCI + "provisionalClassification"),
+            lit("urn:prop2", GCI + "approvedClassification", "true", "xsd:boolean"),
+            lit("urn:prop2", GCI + "publishClassification", "false", "xsd:boolean"),
+            iri("urn:assert1", GCI + "earliestArticles", "urn:pub1"),
+            iri("urn:pub1", RDF + "type", GCI + "article"),
+            lit("urn:pub1", GCI + "pmid", "31001"),
+        ]
+        q = S.PreparedQuery(
+            open(os.path.join(REF_DIR, "construct_earliest_articles.sparql")).read()
+        )
+        out = q.run(
+            T(spark, rows), pmbase="https://pubmed.ncbi.nlm.nih.gov/"
+        ).collect()
+        assert {(r.subject, r.object) for r in out} == {
+            ("urn:prop1", "https://pubmed.ncbi.nlm.nih.gov/31001")
+        }
