@@ -789,3 +789,45 @@ class TestMoreReferenceQueries:
         assert {(r.subject, r.object) for r in out} == {
             ("urn:prop1", "https://pubmed.ncbi.nlm.nih.gov/31001")
         }
+
+    def test_construct_alleles(self, spark):
+        """construct_alleles.sparql: six regex-guarded OPTIONALs feeding a
+        COALESCE preference chain, IRI binds inside OPTIONALs, a path
+        inside an OPTIONAL (gci:hgvsNames/gci:GRCh38), and the dangling
+        ';' before OPTIONAL the file is known for."""
+        GCI = "http://dataexchange.clinicalgenome.org/gci/"
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        rows = [
+            # v1: CAid + preferredTitle (canonical title EMPTY → regex
+            # rejects it, preferredTitle wins the label chain)
+            iri("urn:v1", RDF + "type", GCI + "variant"),
+            lit("urn:v1", GCI + "carId", "CA123"),
+            lit("urn:v1", GCI + "canonicalTranscriptTitle", ""),
+            lit("urn:v1", GCI + "preferredTitle", "NM_7:c.1A>T"),
+            # v2: only a ClinVar id + a GRCh38 name through the hgvs path
+            iri("urn:v2", RDF + "type", GCI + "variant"),
+            lit("urn:v2", GCI + "clinvarVariantId", "55555"),
+            iri("urn:v2", GCI + "hgvsNames", "_:h2"),
+            lit("_:h2", GCI + "GRCh38", "NC_000001.11:g.100A>T"),
+        ]
+        q = S.PreparedQuery(
+            open(os.path.join(REF_DIR, "construct_alleles.sparql")).read()
+        )
+        df = q.run(
+            T(spark, rows),
+            arbase="http://reg.genome.network/allele/",
+            cvbase="https://www.ncbi.nlm.nih.gov/clinvar/variation/",
+        )
+        by = {}
+        for r in df.collect():
+            by.setdefault(r.subject, {})[r.predicate] = (r.object, r.object_is_iri)
+        v1 = by["urn:v1"]
+        assert v1[":ga4gh/CanonicalReference"] == (
+            "http://reg.genome.network/allele/CA123", True,
+        )
+        assert v1[":skos/preferred-label"][0] == "NM_7:c.1A>T"
+        v2 = by["urn:v2"]
+        assert v2[":ga4gh/CanonicalReference"] == (
+            "https://www.ncbi.nlm.nih.gov/clinvar/variation/55555", True,
+        )
+        assert v2[":skos/preferred-label"][0] == "NC_000001.11:g.100A>T"
