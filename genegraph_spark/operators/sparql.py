@@ -1221,6 +1221,24 @@ class PreparedQuery:
         if q.form == "ask":
             return A.ask(bindings)
         if q.form == "construct":
+            # A template bnode (_:label) denotes a FRESH blank node PER
+            # SOLUTION ROW (SPARQL 1.1 §16.2.1), not a shared constant —
+            # construct_secondary_contributions.sparql relies on this.
+            # Deterministic freshness: suffix the label with the md5 of
+            # the row's full binding tuple (distinct solutions → distinct
+            # bnodes; duplicate solutions merge, which dropDuplicates
+            # does anyway — bnode-isomorphic to Jena's _:b0.._bN).
+            row_suffix = F.md5(
+                F.concat_ws(
+                    "\x01", *[F.coalesce(F.col(c), F.lit("\x02")) for c in sorted(bindings.columns)]
+                )
+            )
+
+            def _tpl_iri(v: str):
+                if v.startswith("_:"):
+                    return F.concat(F.lit(v + "-"), row_suffix)
+                return F.lit(v)
+
             outs = []
             for s, path, o in templates:
                 assert path[0] in ("pred", "pvar"), "CONSTRUCT templates take simple predicates"
@@ -1230,13 +1248,13 @@ class PreparedQuery:
                     else term_value(F.col(path[1]))
                 )
                 subj = (
-                    term_value(F.col(s[1])) if s[0] == "var" else F.lit(s[1])
+                    term_value(F.col(s[1])) if s[0] == "var" else _tpl_iri(s[1])
                 )
                 if o[0] == "var":
                     oc = F.col(o[1]) if o[1] in bindings.columns else F.lit(None).cast("string")
                     obj, is_iri, dt = term_value(oc), term_is_iri(oc), term_datatype(oc)
                 elif o[0] == "iri":
-                    obj, is_iri, dt = F.lit(o[1]), F.lit(True), F.lit(None).cast("string")
+                    obj, is_iri, dt = _tpl_iri(o[1]), F.lit(True), F.lit(None).cast("string")
                 else:
                     obj, is_iri, dt = F.lit(o[1]), F.lit(False), F.lit(o[2]).cast("string")
                 sc = subj if s[0] != "var" or s[1] in bindings.columns else F.lit(None)

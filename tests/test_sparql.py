@@ -831,3 +831,51 @@ class TestMoreReferenceQueries:
             "https://www.ncbi.nlm.nih.gov/clinvar/variation/55555", True,
         )
         assert v2[":skos/preferred-label"][0] == "NC_000001.11:g.100A>T"
+
+    def test_construct_secondary_contributions_fresh_bnodes(self, spark):
+        """_:contrib in the template is a FRESH bnode per solution: two
+        contributors must get two DISTINCT contribution nodes, each with
+        its own agent + role pair."""
+        GCI = "http://dataexchange.clinicalgenome.org/gci/"
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        rows = [
+            iri("urn:cls1", RDF + "type", GCI + "provisionalClassification"),
+            lit("urn:cls1", GCI + "approvedClassification", "true", "xsd:boolean"),
+            lit("urn:cls1", GCI + "classificationContributors", "10015"),
+            lit("urn:cls1", GCI + "classificationContributors", "10029"),
+        ]
+        q = S.PreparedQuery(
+            open(os.path.join(REF_DIR, "construct_secondary_contributions.sparql")).read()
+        )
+        out = q.run(T(spark, rows), affbase="http://aff.example/").collect()
+        contribs = {
+            r.object for r in out if r.predicate == ":sepio/qualified-contribution"
+        }
+        assert len(contribs) == 2  # fresh bnode per contributor row
+        agents = {r.subject: r.object for r in out if r.predicate == ":sepio/has-agent"}
+        assert set(agents) == contribs
+        assert set(agents.values()) == {
+            "http://aff.example/10015", "http://aff.example/10029",
+        }
+        roles = [r for r in out if r.predicate == ":bfo/realizes"]
+        assert {r.subject for r in roles} == contribs
+        assert all(r.object == ":sepio/SecondaryContributorRole" for r in roles)
+
+    def test_construct_genetic_evidence_assertion(self, spark):
+        GCI = "http://dataexchange.clinicalgenome.org/gci/"
+        RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+        rows = [
+            iri("urn:cls1", RDF + "type", GCI + "provisionalClassification"),
+            lit("urn:cls1", GCI + "approvedClassification", "true", "xsd:boolean"),
+            iri("urn:cls1", GCI + "classificationPoints", "_:pts"),
+            lit("_:pts", GCI + "geneticEvidenceTotal", "7.5", "xsd:decimal"),
+        ]
+        q = S.PreparedQuery(
+            open(os.path.join(REF_DIR, "construct_genetic_evidence_assertion.sparql")).read()
+        )
+        by = {}
+        for r in q.run(T(spark, rows)).collect():
+            by.setdefault(r.subject, {})[r.predicate] = r.object
+        line = by["urn:cls1_overall_genetic_evidence_line"]
+        assert line[":sepio/evidence-line-strength-score"] == "7.5"
+        assert by["urn:cls1"][":sepio/has-evidence"] == "urn:cls1_overall_genetic_evidence_line"
