@@ -107,13 +107,32 @@ def distinct(df: DataFrame) -> DataFrame:
     return df.dropDuplicates()
 
 
-def order_by(df: DataFrame, *specs: tuple[str, str]) -> DataFrame:
+def _sort_exprs(specs, numeric_aware: bool = False):
+    """(var, 'asc'|'desc') specs → Spark sort expressions.
+
+    ``numeric_aware`` applies SPARQL-style mixed ordering to string-typed
+    bindings: values castable to double compare numerically and sort
+    before non-castable values, which fall back to lexical order — the
+    same 3-part key agg MIN/MAX use, so "10" no longer sorts before "9"
+    (ADVICE r4, sparql ORDER BY)."""
+    cols = []
+    for v, d in specs:
+        base = F.col(v.lstrip("?"))
+        if numeric_aware:
+            dv = base.try_cast("double")  # ANSI-safe: non-numeric → NULL
+            parts = [dv.isNull().cast("int"), F.coalesce(dv, F.lit(0.0)), base]
+        else:
+            parts = [base]
+        cols.extend(p.desc() if d == "desc" else p.asc() for p in parts)
+    return cols
+
+
+def order_by(df: DataFrame, *specs: tuple[str, str], numeric_aware: bool = False) -> DataFrame:
     """specs: (var, 'asc'|'desc') — resource.clj:32-36 addOrderBy."""
-    cols = [F.col(v.lstrip("?")).desc() if d == "desc" else F.col(v.lstrip("?")).asc() for v, d in specs]
-    return df.orderBy(*cols)
+    return df.orderBy(*_sort_exprs(specs, numeric_aware))
 
 
-def slice(df: DataFrame, limit: int | None = None, offset: int = 0, order: list | None = None) -> DataFrame:
+def slice(df: DataFrame, limit: int | None = None, offset: int = 0, order: list | None = None, numeric_aware: bool = False) -> DataFrame:
     """LIMIT/OFFSET (algebra.clj:91).
 
     Scale shape: ``orderBy(...).limit(offset+limit)`` compiles to
@@ -127,10 +146,7 @@ def slice(df: DataFrame, limit: int | None = None, offset: int = 0, order: list 
         from pyspark.sql import Window
 
         assert limit is not None and order, "offset pagination requires order + limit"
-        ocols = [
-            F.col(v.lstrip("?")).desc() if d == "desc" else F.col(v.lstrip("?")).asc()
-            for v, d in order
-        ]
+        ocols = _sort_exprs(order, numeric_aware)
         top = df.orderBy(*ocols).limit(offset + limit)
         w = Window.orderBy(*ocols)
         return (
@@ -139,7 +155,7 @@ def slice(df: DataFrame, limit: int | None = None, offset: int = 0, order: list 
             .drop("_rn")
         )
     if order:
-        df = order_by(df, *order)
+        df = order_by(df, *order, numeric_aware=numeric_aware)
     return df.limit(limit) if limit is not None else df
 
 
@@ -194,8 +210,17 @@ def values(df: DataFrame, rows: list[dict]) -> DataFrame:
                 [tuple(r[c] for c in sig) for r in grp],
                 ", ".join(f"{c} string" for c in sig),
             )
-            part = df.join(F.broadcast(tbl), list(sig), "inner")
-        out = part if out is None else out.unionByName(part)
+            # SPARQL compatible-join: constrain on the variables both
+            # sides bind; variables only the VALUES row binds EXTEND the
+            # solution (carried through from tbl); a fully-disjoint sig
+            # is a cross product per SPARQL join-on-nothing semantics
+            on = [c for c in sig if c in df.columns]
+            part = (
+                df.join(F.broadcast(tbl), on, "inner")
+                if on
+                else df.crossJoin(F.broadcast(tbl))
+            )
+        out = part if out is None else out.unionByName(part, allowMissingColumns=True)
     return out
 
 

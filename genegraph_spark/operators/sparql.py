@@ -918,9 +918,21 @@ class _Compiler:
         cur: DataFrame | None = None
         filters: list = []
         exists_clauses: list = []
+        # VALUES appearing before anything else whose rows contain UNDEF
+        # cells must NOT seed the solution directly: UNDEF would become a
+        # SQL NULL column and the next BGP's natural join on a NULL key
+        # matches nothing (ADVICE r4). Defer such tables and apply them
+        # with A.values (defined-signature joins) once bindings exist.
+        deferred_values: list[tuple[list, list]] = []
 
         def merge(right: DataFrame) -> DataFrame:
             return right if cur is None else A.join(cur, right)
+
+        def drain_deferred(df: DataFrame) -> DataFrame:
+            while deferred_values:
+                _, tbl_rows = deferred_values.pop(0)
+                df = A.values(df, tbl_rows)
+            return df
 
         for el in elements:
             kind = el[0]
@@ -928,8 +940,7 @@ class _Compiler:
                 for s, path, o in el[1]:
                     cur = merge(self.scan(s, path, o))
             elif kind == "optional":
-                right = self.group(el[1])
-                cur = right if cur is None else A.optional(cur, right)
+                cur = self._optional(cur, el[1])
             elif kind == "filter":
                 filters.append(el[1])
             elif kind == "fexists":
@@ -943,13 +954,16 @@ class _Compiler:
                     {v: _tag_const(t) for v, t in zip(vs, row) if t is not None}
                     for row in rows
                 ]
-                if cur is None:
+                if cur is not None:
+                    cur = A.values(cur, tbl_rows)
+                elif all(len(r) == len(vs) for r in tbl_rows):
+                    # fully-defined rows are a safe seed table
                     cur = self.spark.createDataFrame(
                         [tuple(r.get(v) for v in vs) for r in tbl_rows],
                         ", ".join(f"{v} string" for v in vs),
                     )
                 else:
-                    cur = A.values(cur, tbl_rows)
+                    deferred_values.append((vs, tbl_rows))
             elif kind == "union":
                 u = reduce(A.union, (self.group(g) for g in el[1]))
                 cur = merge(u)
@@ -960,6 +974,18 @@ class _Compiler:
                 cur = merge(self.group(el[1]))
             else:
                 raise ValueError(f"unknown group element {kind!r}")
+            if cur is not None and deferred_values:
+                cur = drain_deferred(cur)
+        if deferred_values:
+            # nothing ever bound: the group IS the (UNDEF-bearing) VALUES
+            # table(s); materialize with NULL = unbound cells
+            for vs, tbl_rows in deferred_values:
+                tbl = self.spark.createDataFrame(
+                    [tuple(r.get(v) for v in vs) for r in tbl_rows],
+                    ", ".join(f"{v} string" for v in vs),
+                )
+                cur = tbl if cur is None else A.join(cur, tbl)
+            deferred_values.clear()
         if cur is None:
             cur = self._unit()
         for e in filters:
@@ -977,6 +1003,66 @@ class _Compiler:
                     probe, F.lit(True), "left_semi" if positive else "left_anti"
                 )
         return cur
+
+    @staticmethod
+    def _expr_vars(e) -> set:
+        """All ?variable names referenced anywhere in an expression AST."""
+        out: set = set()
+
+        def walk(x):
+            if isinstance(x, tuple):
+                if x and x[0] == "var":
+                    out.add(x[1])
+                else:
+                    for y in x[1:]:
+                        walk(y)
+            elif isinstance(x, list):
+                for y in x:
+                    walk(y)
+
+        walk(e)
+        return out
+
+    def _optional(self, cur: DataFrame | None, inner_elems: list) -> DataFrame:
+        """OPTIONAL with SPARQL LeftJoin(A, B, F) semantics.
+
+        A top-level FILTER inside the OPTIONAL whose variables are not
+        all bound by the inner pattern is part of the LEFT-JOIN
+        CONDITION, not an inner-group filter (SPARQL 1.1 §18.2.2.2;
+        previously such a filter compiled the outer var to lit(NULL)
+        inside the inner group and dropped every optional match —
+        ADVICE r4). Evaluation: μ1 extends with a compatible μ2 passing
+        F; a μ1 with no passing match survives alone (even when matches
+        existed but all failed F)."""
+        fel = [e for e in inner_elems if e[0] == "filter"]
+        nonf = [e for e in inner_elems if e[0] != "filter"]
+        right = self.group(nonf)
+        inner_vars = set(right.columns)
+        join_filters = []
+        for e in fel:
+            if self._expr_vars(e[1]) <= inner_vars:
+                right = right.where(self.bool_expr(e[1], right))
+            else:
+                join_filters.append(e[1])
+        if cur is None:
+            # no outer bindings: outer-var refs are genuinely unbound
+            for e in join_filters:
+                right = right.where(self.bool_expr(e, right))
+            return right
+        if not join_filters:
+            return A.optional(cur, right)
+        merged = A.join(cur, right)
+        for e in join_filters:
+            merged = merged.where(self.bool_expr(e, merged))
+        # left rows with no surviving match re-emit with unbound B-vars
+        lonely = cur.join(
+            merged.select(*cur.columns).distinct(), cur.columns, "left_anti"
+        )
+        extra = [c for c in merged.columns if c not in cur.columns]
+        lonely = lonely.select(
+            *cur.columns, *[F.lit(None).cast("string").alias(c) for c in extra]
+        )
+        return merged.unionByName(lonely)
 
     # -- expressions ---------------------------------------------------------
     @staticmethod
@@ -1080,8 +1166,9 @@ class _Compiler:
             # numeric-aware ordering with lexical fallback: numbers
             # compare as numbers (castable values sort before
             # non-castable), everything else lexically; the ORIGINAL
-            # lexical form is returned (repo-wide untagged convention)
-            dv = val.cast("double")
+            # lexical form is returned (repo-wide untagged convention).
+            # try_cast: ANSI mode would otherwise raise on mixed values
+            dv = val.try_cast("double")
             key = F.struct(
                 dv.isNull().cast("int").alias("k1"),
                 F.coalesce(dv, F.lit(0.0)).alias("k2"),
@@ -1193,15 +1280,48 @@ def _subst(node, mapping: dict):
     return node
 
 
+def _apply_names(node, names: dict):
+    """Expand default-prefix CURIE-keywords (``:sepio/x``) to full IRIs
+    through a local-names table (``functions.names.load_names_edn``) —
+    the reference's keyword→IRI resolution (database/names.clj:61-90).
+    Walks the whole AST: BGP terms, path ``pred``/``neg`` leaves,
+    expression and template constants."""
+    if isinstance(node, tuple):
+        if (
+            len(node) == 2
+            and node[0] in ("iri", "pred")
+            and isinstance(node[1], str)
+        ):
+            return (node[0], names.get(node[1], node[1]))
+        if len(node) == 2 and node[0] == "neg" and isinstance(node[1], list):
+            return ("neg", [names.get(p, p) for p in node[1]])
+        return tuple(_apply_names(x, names) for x in node)
+    if isinstance(node, list):
+        return [_apply_names(x, names) for x in node]
+    return node
+
+
 class PreparedQuery:
     """A parsed SPARQL query, executable against any triples DataFrame
     with the repo schema (graph, subject, predicate, object,
     object_is_iri, object_datatype) — the create-query analog
-    (resource.clj:223-239)."""
+    (resource.clj:223-239).
 
-    def __init__(self, text: str):
+    ``names`` (optional): a ``{":ns/name": iri}`` local-names table;
+    when given, default-prefix keywords in the query expand to full
+    IRIs, matching the reference's Jena-side keyword resolution. The
+    engine-wide default (names=None) keeps the raw-CURIE convention."""
+
+    def __init__(self, text: str, names: dict | None = None):
         self.text = text
         self.ast = parse_sparql(text)
+        if names:
+            q = self.ast
+            q.pattern = _apply_names(q.pattern, names)
+            q.templates = _apply_names(q.templates, names)
+            q.select_exprs = _apply_names(q.select_exprs, names)
+            q.describe_terms = _apply_names(q.describe_terms, names)
+            q.having = _apply_names(q.having, names)
 
     def run(self, triples: DataFrame, **params):
         """Execute. ``params`` pre-bind variables (QuerySolutionMap,
@@ -1258,8 +1378,17 @@ class PreparedQuery:
                 else:
                     obj, is_iri, dt = F.lit(o[1]), F.lit(False), F.lit(o[2]).cast("string")
                 sc = subj if s[0] != "var" or s[1] in bindings.columns else F.lit(None)
+                src = bindings
+                if s[0] == "var" and s[1] in bindings.columns:
+                    # literal-bound subject vars make ill-formed triples;
+                    # SPARQL/Jena silently skip them (bnodes keep their
+                    # I| tag, so they pass) — ADVICE r4
+                    src = src.where(term_is_iri(F.col(s[1])))
+                if path[0] == "pvar" and path[1] in bindings.columns:
+                    # same for literal-bound predicate vars
+                    src = src.where(term_is_iri(F.col(path[1])))
                 outs.append(
-                    bindings.select(
+                    src.select(
                         F.lit(None).cast("string").alias("graph"),
                         sc.cast("string").alias("subject"),
                         pred.cast("string").alias("predicate"),
@@ -1356,15 +1485,20 @@ class PreparedQuery:
         if q.distinct:
             out = out.dropDuplicates()
         if q.order or q.limit is not None or q.offset:
-            out = A.slice(out, limit=q.limit, offset=q.offset, order=q.order or None) \
-                if (q.offset or q.limit is not None) else A.order_by(out, *q.order)
+            # numeric-aware: bindings are untagged strings here, so "10"
+            # must not sort before "9" (castable-numeric-first key, the
+            # same convention agg MIN/MAX already use)
+            out = A.slice(out, limit=q.limit, offset=q.offset,
+                          order=q.order or None, numeric_aware=True) \
+                if (q.offset or q.limit is not None) \
+                else A.order_by(out, *q.order, numeric_aware=True)
         return out
 
 
-def sparql(triples: DataFrame, text: str, **params):
+def sparql(triples: DataFrame, text: str, names: dict | None = None, **params):
     """Parse + run in one call (create-query + execute,
     resource.clj:201-239)."""
-    return PreparedQuery(text).run(triples, **params)
+    return PreparedQuery(text, names=names).run(triples, **params)
 
 
 def transform_chain(
@@ -1424,7 +1558,7 @@ def transform_chain(
     return acc.dropDuplicates()
 
 
-def load_query_dir(path: str) -> dict:
+def load_query_dir(path: str, names: dict | None = None) -> dict:
     """Load every ``.sparql`` file in a directory into a name →
     :class:`PreparedQuery` map — the ``declare-query`` pattern
     (``transform/gene_validity_refactor.clj:31-53`` binds each resource
@@ -1441,7 +1575,9 @@ def load_query_dir(path: str) -> dict:
             continue
         name = fn[: -len(".sparql")].replace("_", "-")
         try:
-            out[name] = PreparedQuery(open(os.path.join(path, fn)).read())
+            out[name] = PreparedQuery(
+                open(os.path.join(path, fn)).read(), names=names
+            )
         except SparqlSyntaxError as e:
             raise SparqlSyntaxError(f"{fn}: {e}") from None
     return out

@@ -224,6 +224,14 @@ class NamedGraphStore:
                     try:
                         os.kill(holder, 0)
                         alive = True
+                    except ProcessLookupError:
+                        alive = False
+                    except PermissionError:
+                        # EPERM: the pid EXISTS but belongs to another
+                        # user — a live writer we may not signal. Treating
+                        # it as dead would delete a live writer's lock and
+                        # reopen concurrent-writer corruption (ADVICE r4).
+                        alive = True
                     except OSError:
                         alive = False
                 if alive:
