@@ -14,7 +14,9 @@ same derivation written twice, Spark column expressions vs DuckDB SQL).
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -1460,50 +1462,52 @@ def q_stream_stateful_totals(spark, sf_dir):
     )
 
 
-# The driver verifies the first ~50 queries() entries per round. Round-4
-# window (VERDICT r3 next-steps #3): the two r3 hash-fails (oracles now
-# BIGINT-pinned) first, then everything whose last verdict is round 2 (the
-# driver covered the 50 r3 additions last round), then the NEW round-4
-# queries, keeping every verdict <=2 rounds old. Names not listed keep
-# their dict order after these.
-_R4_CHECK_FIRST = [
-    # fixed this round — need a fresh verdict
-    "ver_sessionize",
-    "agg_pivot_wide",
-    # last verified in round 2 (stalest 42)
-    "agg_collect_pivot", "agg_extract_sum", "agg_score_cap",
-    "agg_single_member_groups", "alg_ask_count", "alg_bgp_join",
-    "alg_construct", "alg_diff", "alg_distinct_project", "alg_exists",
-    "alg_minus", "alg_optional", "alg_property_path",
-    "alg_property_path_alt", "alg_slice_order", "alg_text_search",
-    "alg_transitive_closure", "alg_union", "cur_gene_disease_pairs",
-    "cur_suggest_labels", "cur_top_entities", "fn_cnv_parse",
-    "fn_curie_roundtrip", "fn_date_fixup", "join_affiliation_precedence",
-    "join_asof_descriptor", "join_broadcast_dim", "kg_jsonld_docs",
-    "kg_latest_as_of", "kg_replaces_superseded", "kg_replaces_triples",
-    "kg_validation_report", "kg_version_chain", "snap_latest_asof",
-    "src_event_archive", "src_json_nested", "tpch_q1", "tpch_q3_revenue",
-    "ver_event_asof", "ver_event_chain", "ver_latest_event_per_user",
-    "win_running_total",
-    # new in round 4 (never verified — fill the remaining window slots)
-    "alg_sparql_select",
-    "alg_sparql_construct",
-    "cur_affiliations",
-    "cur_genetic_conditions",
-    "kg_nested_shapes",
-    "kg_rdfxml_docs",
-    # positions 51-52: outside the ~50 window this round by design — the
-    # judge-required six above take the last in-window slots; these two
-    # rotate in next round
-    "text_decontaminate",
-    "text_domain_mix",
-    "dedup_spans",
-    "alg_sparql_agg",
-    "join_salted_topk",
-    "graph_pagerank",
-    "graph_degrees",
-    "graph_comention_pmi",
-]
+# The driver verifies the first ~50 queries() entries per round. The
+# ordering is DERIVED from the CORRECTNESS_r*.json history (VERDICT r4
+# next-steps #1: no more hand-maintained list — a typo there silently
+# burned window slots). Rule: never-driver-verified queries first, then a
+# query whose latest verdict FAILED, then ascending latest-verdict round
+# (stalest first); ties keep queries() insertion order. This guarantees
+# the staleness invariant mechanically: each round the window always
+# covers every never-verified entry plus the oldest verdicts.
+def _verdict_ordering(base_names):
+    import glob as _glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest = {}  # name -> (round, passed)
+    for path in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                verdicts = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name, v in verdicts.items():
+            if not isinstance(v, dict):
+                continue
+            ok = bool(
+                v.get("err") is None
+                and v.get("rows_match")
+                and v.get("hash_match") is not False
+            )
+            prev = latest.get(name)
+            if prev is None or rnd >= prev[0]:
+                latest[name] = (rnd, ok)
+    pos = {n: i for i, n in enumerate(base_names)}
+
+    def key(n):
+        rec = latest.get(n)
+        if rec is None:  # never driver-verified → front of the window
+            return (-1, pos[n])
+        rnd, ok = rec
+        if not ok:  # latest verdict failed → right after the never-verified
+            return (0, pos[n])
+        return (rnd, pos[n])
+
+    return sorted(base_names, key=key)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1625,9 +1629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_broadcast_dim": q_join_broadcast_dim,
         "win_running_total": q_win_running_total,
     }
-    head = [n for n in _R4_CHECK_FIRST if n in base]
-    rest = [n for n in base if n not in set(head)]
-    return {n: base[n] for n in (*head, *rest)}
+    ordered = _verdict_ordering(list(base))
+    return {n: base[n] for n in ordered}
 
 
 # ===========================================================================

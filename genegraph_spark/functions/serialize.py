@@ -446,3 +446,166 @@ def parse_binary_docs(docs: DataFrame, blob_col: str = "blob") -> DataFrame:
     return parse_documents(
         docs.select(_inflate(F.col(blob_col)).alias("doc")), doc_col="doc"
     )
+
+
+# ---------------------------------------------------------------------------
+# Turtle FILE reader (dictionary-scale, driver-side)
+# ---------------------------------------------------------------------------
+
+_TTL_TOKENS = re.compile(
+    r"""(?x)
+      (?P<ws>\s+)
+    | (?P<comment>\#[^\n]*)
+    | (?P<directive>@(?:prefix|base)\b)
+    | (?P<iri><[^<>"{}|^`\\\s]*>)
+    | (?P<literal>"(?:[^"\\]|\\.)*")
+    | (?P<dtmark>\^\^)
+    | (?P<lang>@[A-Za-z][A-Za-z0-9-]*)
+    | (?P<num>[+-]?\d+(?:\.\d+)?)
+    | (?P<pname>[A-Za-z_][\w.-]*(?<!\.))?:(?P<local>[\w./#:-]*(?<!\.))
+    | (?P<kw>[A-Za-z_][\w-]*)
+    | (?P<punct>[;,.])
+    """
+)
+
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def parse_turtle_text(text: str, graph: str | None = None) -> list[tuple]:
+    """A real (subset) Turtle reader for DICTIONARY files: ``@prefix`` /
+    ``@base`` directives, prefixed names, ``a``, ``;`` predicate lists,
+    ``,`` object lists, comments, string/number/boolean literals with
+    optional ``^^datatype`` / ``@lang``. The reference merges
+    ``gdm_sepio_relationships.ttl`` into every GDM model before the
+    transform chain (``transform/gene_validity_refactor.clj:414-424``);
+    this reader makes that merge possible here (``parse_turtle`` above
+    is the line-oriented round-trip inverse for OUR writer and cannot
+    read hand-authored Turtle).
+
+    Scale: dictionary files are KBs parsed ONCE on the driver and
+    broadcast as part of the model union — never a per-row path. Returns
+    ``(graph, subject, predicate, object, object_is_iri,
+    object_datatype)`` rows. Blank-node syntax is rejected loudly (the
+    reference dictionary uses none)."""
+    prefixes: dict[str, str] = {}
+    toks: list[tuple[str, str]] = []
+    for m in _TTL_TOKENS.finditer(text):
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        if kind == "local":  # pname match produces two groups
+            toks.append(("pname", (m.group("pname") or "", m.group("local"))))
+        elif kind == "pname":
+            continue
+        else:
+            toks.append((kind, m.group(0)))
+    consumed = sum(m.end() - m.start() for m in _TTL_TOKENS.finditer(text))
+    if consumed != len(text):
+        bad = _TTL_TOKENS.sub("", text).strip()[:40]
+        raise ValueError(f"unsupported Turtle syntax near {bad!r}")
+
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else (None, None)
+
+    def take(expected_kind=None):
+        nonlocal pos
+        if pos >= len(toks):
+            raise ValueError("unexpected end of Turtle input")
+        k, v = toks[pos]
+        if expected_kind and k != expected_kind:
+            raise ValueError(f"expected {expected_kind}, got {k} {v!r}")
+        pos += 1
+        return k, v
+
+    def expand(tok) -> str:
+        k, v = tok
+        if k == "iri":
+            return v[1:-1]
+        if k == "pname":
+            p, local = v
+            if p not in prefixes:
+                raise ValueError(f"undeclared Turtle prefix {p!r}:")
+            return prefixes[p] + local
+        raise ValueError(f"expected an IRI term, got {k} {v!r}")
+
+    rows: list[tuple] = []
+
+    def read_object():
+        k, v = peek()
+        if k == "literal":
+            take()
+            val = re.sub(
+                r"\\(.)",
+                lambda m: {"n": "\n", "r": "\r", "t": "\t"}.get(m.group(1), m.group(1)),
+                v[1:-1],
+            )
+            dt = None
+            nk, _ = peek()
+            if nk == "dtmark":
+                take()
+                dt = expand(take())
+            elif nk == "lang":
+                take()  # language tags carried as plain strings
+            return (val, False, dt)
+        if k == "num":
+            take()
+            return (v, False, "xsd:decimal" if "." in v else "xsd:integer")
+        if k == "kw" and v in ("true", "false"):
+            take()
+            return (v, False, "xsd:boolean")
+        return (expand(take()), True, None)
+
+    while pos < len(toks):
+        k, v = peek()
+        if k == "directive":
+            take()
+            if v == "@prefix":
+                pk, pv = take("pname")
+                if pv[1] != "":
+                    raise ValueError(f"malformed @prefix name {pv!r}")
+                prefixes[pv[0]] = expand(take("iri"))
+            else:  # @base — accepted, unused (no relative IRIs supported)
+                take("iri")
+            take("punct")  # '.'
+            continue
+        subj = expand(take())
+        while True:
+            pk, pv = peek()
+            if pk == "kw" and pv == "a":
+                take()
+                pred = _RDF_TYPE
+            else:
+                pred = expand(take())
+            while True:
+                obj, is_iri, dt = read_object()
+                rows.append((graph, subj, pred, obj, is_iri, dt))
+                if peek() == ("punct", ","):
+                    take()
+                    continue
+                break
+            nk, nv = peek()
+            if (nk, nv) == ("punct", ";"):
+                take()
+                # tolerate a dangling ';' before '.'
+                if peek() == ("punct", "."):
+                    take()
+                    break
+                continue
+            take("punct")  # '.'
+            break
+    return rows
+
+
+def read_turtle(spark, path: str, graph: str | None = None) -> DataFrame:
+    """Parse a Turtle file into a triples DataFrame (driver-side parse +
+    one ``createDataFrame`` — dictionary files only, see
+    :func:`parse_turtle_text`)."""
+    with open(path) as f:
+        rows = parse_turtle_text(f.read(), graph=graph)
+    return spark.createDataFrame(
+        rows,
+        "graph string, subject string, predicate string, object string, "
+        "object_is_iri boolean, object_datatype string",
+    )
