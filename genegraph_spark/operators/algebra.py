@@ -71,9 +71,16 @@ def bgp(triples: DataFrame, patterns: list[tuple]) -> DataFrame:
 
 
 def optional(left: DataFrame, right: DataFrame) -> DataFrame:
-    """OPTIONAL / OpConditional (algebra.clj:75) → left outer join."""
+    """OPTIONAL / OpConditional (algebra.clj:75) → left outer join.
+
+    Disjoint patterns (no shared variables) left-join on TRUE: every
+    left row pairs with every right row, and — unlike a crossJoin —
+    left rows SURVIVE with unbound extensions when the right side is
+    empty (SPARQL LeftJoin(A, B, true) semantics)."""
     shared = sorted(set(left.columns) & set(right.columns))
-    return left.join(right, shared, "left_outer")
+    if shared:
+        return left.join(right, shared, "left_outer")
+    return left.join(right, F.lit(True), "left_outer")
 
 
 def union(a: DataFrame, b: DataFrame) -> DataFrame:

@@ -230,30 +230,52 @@ def transform_gdm(
     if entrez_gene is not None:
         params["entrez_gene"] = ("iri", entrez_gene)
 
-    source = gdm.unionByName(dictionary)
-    # the q/union block: 22 constructs, all over the SOURCE model
-    unlinked = reduce(
-        DataFrame.unionByName,
-        [qs[name].run(source, **params) for name in CONSTRUCT_ORDER],
-    ).dropDuplicates()
+    source = gdm.unionByName(dictionary).localCheckpoint(eager=True)
+    # the q/union block: 22 constructs, all over the SOURCE model. Each
+    # construct is checkpointed as its OWN job — fusing all 22 into one
+    # Catalyst plan (some have 40+ triple-pattern joins) explodes plan
+    # compilation/codegen, exactly like the reference executes each
+    # q/union arm as a separate Jena query. At corpus scale the unit of
+    # parallelism is the EVENT (graph column), not the construct — the
+    # per-construct jobs are each fully distributed over events.
+    unlinked = (
+        reduce(
+            DataFrame.unionByName,
+            [
+                qs[name].run(source, **params).localCheckpoint(eager=True)
+                for name in CONSTRUCT_ORDER
+            ],
+        )
+        .dropDuplicates()
+        # cut before the unlink rewrite: feeding the lazy union+dedup
+        # (an Aggregate over 22 branches) into the next query's MINUS
+        # trips the same Catalyst constraint-propagation failure
+        .localCheckpoint(eager=True)
+    )
     # rewrite: drop unscored family segregations; checkpoint so the
-    # 22-construct lineage does not re-execute under the later passes
+    # union lineage does not re-execute under the later passes
     unlinked = (
         qs["unlink-segregations-when-no-proband-and-lod-scores"]
         .run(unlinked)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
-    # augments over the ACCUMULATED model
+    # augments over the ACCUMULATED model. Each pass is checkpointed:
+    # chaining the full-model rewrites lazily re-feeds the whole prior
+    # plan into Catalyst's constraint propagation, which both explodes
+    # compile cost and (observed on Spark 4.1) can crash PruneFilters
+    # with an AttributeMap miss on the fused union+aggregate plan.
     connections = qs["construct-evidence-connections"].run(
         unlinked.unionByName(dictionary)
-    )
+    ).localCheckpoint(eager=True)
     legacy = legacy_website_id(unlinked, names=names)
     parts = [unlinked, connections]
     if legacy is not None:
         parts.append(
-            qs["add-legacy-website-id"].run(unlinked, legacy_id=legacy)
+            qs["add-legacy-website-id"]
+            .run(unlinked, legacy_id=legacy)
+            .localCheckpoint(eager=True)
         )
     linked = reduce(DataFrame.unionByName, parts)
-    scored = add_proband_scores(linked, names=names)
+    scored = add_proband_scores(linked, names=names).localCheckpoint(eager=True)
     final = qs["unlink-variant-scores-when-proband-scores-exist"].run(scored)
     return final.dropDuplicates()

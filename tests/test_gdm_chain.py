@@ -1,0 +1,614 @@
+"""Round-5: execution-verified evidence constructors + the FULL
+gene-validity transform chain.
+
+Every test in this file runs a REAL reference ``.sparql`` file
+(``/root/reference/src/genegraph/transform/gene_validity_refactor/``)
+unmodified over a hand-built GCI fixture and asserts hand-derived
+output triples. ``TestFullGdmChain`` composes the reference's complete
+``transform-gdm`` sequence (gene_validity_refactor.clj:414-463) —
+22 constructs + both unlink rewrites + evidence connections + legacy id
++ the proband-score cap — over one fixture and checks the final model.
+"""
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from genegraph_spark.operators import sparql as S
+
+REF_DIR = "/root/reference/src/genegraph/transform/gene_validity_refactor"
+RES_DIR = "/root/reference/resources"
+
+GCI = "http://dataexchange.clinicalgenome.org/gci/"
+GCX = "http://dataexchange.clinicalgenome.org/gcixform/"
+SEPIO = "http://purl.obolibrary.org/obo/SEPIO_"
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+# CONSTRUCT templates emit the engine's short form for `a`
+A_TYPE = "rdf:type"
+PM = "https://pubmed.ncbi.nlm.nih.gov/"
+
+TRIPLE_SCHEMA = (
+    "graph string, subject string, predicate string, object string, "
+    "object_is_iri boolean, object_datatype string"
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DIR), reason="reference tree not present"
+)
+
+
+def T(spark, rows):
+    return spark.createDataFrame(
+        [("g", s, p, o, i, dt) for s, p, o, i, dt in rows], TRIPLE_SCHEMA
+    )
+
+
+def iri(s, p, o):
+    return (s, p, o, True, None)
+
+
+def lit(s, p, o, dt=None):
+    return (s, p, o, False, dt)
+
+
+def q(name):
+    return S.PreparedQuery(open(os.path.join(REF_DIR, name)).read())
+
+
+def by_subject(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.subject, {}).setdefault(r.predicate, set()).add(
+            (r.object, r.object_is_iri)
+        )
+    return out
+
+
+@pytest.fixture(scope="module")
+def names():
+    from genegraph_spark.functions.names import load_names_edn
+
+    if not os.path.isdir(RES_DIR):
+        pytest.skip("reference resources not present")
+    return load_names_edn(
+        os.path.join(RES_DIR, "property-names.edn"),
+        os.path.join(RES_DIR, "class-names.edn"),
+    )
+
+
+@pytest.fixture(scope="module")
+def dictionary(spark):
+    from genegraph_spark.functions.serialize import read_turtle
+
+    return read_turtle(
+        spark, os.path.join(REF_DIR, "gdm_sepio_relationships.ttl"), graph="g"
+    )
+
+
+class TestExperimentalEvidenceAssertions:
+    """construct_experimental_evidence_assertions.sparql: the four-level
+    points tree → one overall line + three typed sub-lines."""
+
+    def test_points_tree_rollup(self, spark):
+        cls = GCI + "cls1"
+        rows = [
+            iri(cls, RDF + "type", GCI + "provisionalClassification"),
+            lit(cls, GCI + "approvedClassification", "true", "xsd:boolean"),
+            iri(cls, GCI + "classificationPoints", "_:pts"),
+            lit("_:pts", GCI + "experimentalEvidenceTotal", "4.5", "xsd:decimal"),
+            iri("_:pts", GCI + "function", "_:f"),
+            lit("_:f", GCI + "pointsCounted", "2", "xsd:integer"),
+            iri("_:pts", GCI + "functionalAlteration", "_:fa"),
+            lit("_:fa", GCI + "pointsCounted", "1.5", "xsd:decimal"),
+            iri("_:pts", GCI + "modelsRescue", "_:mr"),
+            lit("_:mr", GCI + "pointsCounted", "1", "xsd:integer"),
+            iri("_:pts", GCI + "segregation", "_:seg"),
+            lit("_:seg", GCI + "pointsCounted", "0", "xsd:integer"),
+        ]
+        out = by_subject(
+            q("construct_experimental_evidence_assertions.sparql")
+            .run(T(spark, rows))
+            .collect()
+        )
+        line = cls + "_experimental_evidence_line"
+        assert (line, True) in out[cls][":sepio/has-evidence"]
+        exp = out[line]
+        assert (":sepio/OverallExperimentalEvidenceLine", True) in exp[A_TYPE]
+        assert ("4.5", False) in exp[":sepio/evidence-line-strength-score"]
+        assert exp[":sepio/has-evidence"] == {
+            (cls + "_functional_evidence_line", True),
+            (cls + "_functional_alteration_evidence_line", True),
+            (cls + "_model_rescue_evidence_line", True),
+        }
+        assert out[cls + "_functional_evidence_line"][
+            ":sepio/evidence-line-strength-score"
+        ] == {("2", False)}
+        assert out[cls + "_functional_alteration_evidence_line"][
+            ":sepio/evidence-line-strength-score"
+        ] == {("1.5", False)}
+        assert out[cls + "_model_rescue_evidence_line"][
+            ":sepio/evidence-line-strength-score"
+        ] == {("1", False)}
+
+    def test_unapproved_classification_no_rows(self, spark):
+        rows = [
+            iri(GCI + "c2", RDF + "type", GCI + "provisionalClassification"),
+            lit(GCI + "c2", GCI + "approvedClassification", "false", "xsd:boolean"),
+            iri(GCI + "c2", GCI + "classificationPoints", "_:p"),
+            lit("_:p", GCI + "experimentalEvidenceTotal", "4", "xsd:integer"),
+        ]
+        assert (
+            q("construct_experimental_evidence_assertions.sparql")
+            .run(T(spark, rows))
+            .count()
+            == 0
+        )
+
+
+class TestAdVariantAssertions:
+    """construct_ad_variant_assertions.sparql: the AD/X-linked points
+    subtree → three typed evidence lines under the overall genetic
+    line IRI (no explicit classification edge in the template)."""
+
+    def test_ad_subtree(self, spark):
+        cls = GCI + "cls1"
+        rows = [
+            iri(cls, RDF + "type", GCI + "provisionalClassification"),
+            lit(cls, GCI + "approvedClassification", "true", "xsd:boolean"),
+            iri(cls, GCI + "classificationPoints", "_:pts"),
+            iri("_:pts", GCI + "autosomalDominantOrXlinkedDisorder", "_:ad"),
+            iri("_:ad", GCI + "probandWithOtherVariantTypeWithGeneImpact", "_:t1"),
+            lit("_:t1", GCI + "pointsCounted", "1", "xsd:integer"),
+            iri("_:ad", GCI + "probandWithPredictedOrProvenNullVariant", "_:t2"),
+            lit("_:t2", GCI + "pointsCounted", "2.5", "xsd:decimal"),
+            iri("_:ad", GCI + "variantIsDeNovo", "_:t3"),
+            lit("_:t3", GCI + "pointsCounted", "3", "xsd:integer"),
+        ]
+        out = by_subject(
+            q("construct_ad_variant_assertions.sparql").run(T(spark, rows)).collect()
+        )
+        ogel = cls + "_overall_genetic_evidence_line"
+        assert out[ogel][":sepio/has-evidence"] == {
+            (cls + "_ad_other_el", True),
+            (cls + "_ad_null_el", True),
+            (cls + "_ad_dn_el", True),
+        }
+        assert out[cls + "_ad_other_el"][
+            ":sepio/evidence-line-strength-score"
+        ] == {("1", False)}
+        assert (":sepio/OverallAutosomalDominantNullVariantEvidenceLine", True) in out[cls + "_ad_null_el"][A_TYPE]
+        assert out[cls + "_ad_dn_el"][
+            ":sepio/evidence-line-strength-score"
+        ] == {("3", False)}
+
+
+class TestArVariantScore:
+    """construct_ar_variant_score.sparql: SOPv8 AR proband-cap lines —
+    the MOI regex UNION (0000007 | 0032113) gates emission."""
+
+    @staticmethod
+    def _rows(moi):
+        return [
+            iri(GCI + "gdm1", RDF + "type", GCI + "gdm"),
+            lit(GCI + "gdm1", GCI + "modeInheritance", moi),
+            iri(GCI + "ind1", GCI + "variantScores", GCI + "vs1"),
+            lit(GCI + "vs1", GCI + "scoreStatus", "Score"),
+            iri(GCI + "ind1", GCI + "variantScores", GCI + "vs2"),
+            lit(GCI + "vs2", GCI + "scoreStatus", "Score"),
+        ]
+
+    def test_ar_moi_emits_cap_line(self, spark):
+        out = by_subject(
+            q("construct_ar_variant_score.sparql")
+            .run(T(spark, self._rows("Autosomal recessive inheritance (HP:0000007)")))
+            .collect()
+        )
+        cap = GCI + "ind1_proband_score_evidence_line"
+        assert (":sepio/ProbandScoreCapEvidenceLine", True) in out[cap][A_TYPE]
+        assert out[cap][":sepio/has-evidence"] == {
+            (GCI + "ind1", True),
+            (GCI + "vs1", True),
+            (GCI + "vs2", True),
+        }
+        assert out[cap][":sepio/score-status"] == {("Score", False)}
+
+    def test_semidominant_union_arm(self, spark):
+        out = (
+            q("construct_ar_variant_score.sparql")
+            .run(T(spark, self._rows("Semidominant inheritance (HP:0032113)")))
+            .count()
+        )
+        assert out > 0
+
+    def test_dominant_moi_no_rows(self, spark):
+        assert (
+            q("construct_ar_variant_score.sparql")
+            .run(T(spark, self._rows("Autosomal dominant inheritance (HP:0000006)")))
+            .count()
+            == 0
+        )
+
+
+class TestFamilySegregationEvidence:
+    """construct_family_segregation_evidence.sparql: annotation path
+    alternation, six OPTIONALs, and the scored-proband NOT-EXISTS guard
+    (with its inner corpus-level variantScores NOT-EXISTS switch)."""
+
+    @staticmethod
+    def _family(n, aff=GCI + "aff1"):
+        fam = GCI + f"fam{n}"
+        seg = f"_:seg{n}"
+        return fam, [
+            iri(fam, RDF + "type", GCI + "family"),
+            iri(fam, GCI + "segregation", seg),
+            lit(fam, GCI + "label", f"Family {n}"),
+            iri(fam, GCI + "affiliation", aff),
+            lit(seg, GCI + "estimatedLodScore", "3.2", "xsd:decimal"),
+            lit(seg, GCI + "includeLodScoreInAggregateCalculation", "true",
+                "xsd:boolean"),
+            lit(seg, GCI + "numberOfAffectedWithGenotype", "4", "xsd:integer"),
+            iri(GCI + "ann1", GCI + "families", fam),
+        ]
+
+    @staticmethod
+    def _pub():
+        return [
+            iri(GCI + "ann1", GCI + "article", GCI + "pub1"),
+            lit(GCI + "pub1", GCI + "pmid", "31001"),
+        ]
+
+    def test_segregation_emitted(self, spark):
+        fam, rows = self._family(1)
+        out = by_subject(
+            q("construct_family_segregation_evidence.sparql")
+            .run(T(spark, rows + self._pub()), pmbase=PM)
+            .collect()
+        )
+        seg_id = fam + "_family_segregation"
+        sg = out[seg_id]
+        assert (":sepio/FamilyCosegregation", True) in sg[A_TYPE]
+        assert sg[":sepio/is-about-family"] == {(fam, True)}
+        assert sg[":dc/source"] == {(PM + "31001", True)}
+        assert sg[":sepio/estimated-lod-score"] == {("3.2", False)}
+        assert sg[":sepio/phenotype-positive-allele-positive"] == {("4", False)}
+        assert (":pco/Family", True) in out[fam][A_TYPE]
+
+    def test_family_with_scored_proband_excluded(self, spark):
+        fam1, rows1 = self._family(1)
+        fam2, rows2 = self._family(2)
+        # fam2 includes a proband scored by the SAME affiliation via the
+        # legacy gci:scores path (no variantScores in the corpus → the
+        # inner NOT-EXISTS switch selects the gci:scores arm)
+        proband = GCI + "prob2"
+        rows2 += [
+            iri(fam2, GCI + "individualIncluded", proband),
+            lit(proband, GCI + "proband", "true", "xsd:boolean"),
+            iri(proband, GCI + "scores", GCI + "sc2"),
+            iri(GCI + "sc2", GCI + "affiliation", GCI + "aff1"),
+            lit(GCI + "sc2", GCI + "scoreStatus", "Score"),
+        ]
+        out = (
+            q("construct_family_segregation_evidence.sparql")
+            .run(T(spark, rows1 + rows2 + self._pub()), pmbase=PM)
+            .collect()
+        )
+        subjects = {r.subject for r in out}
+        assert fam1 + "_family_segregation" in subjects
+        assert fam2 + "_family_segregation" not in subjects
+
+
+class TestCaseControlEvidence:
+    """construct_case_control_evidence.sparql: study-type resolution
+    through the gdm_sepio_relationships.ttl dictionary + the two-cohort
+    shape."""
+
+    def test_single_variant_analysis(self, spark, dictionary):
+        cc = GCI + "cc1"
+        rows = [
+            iri(cc, RDF + "type", GCI + "caseControl"),
+            lit(cc, GCI + "label", "CC Study 1"),
+            iri(cc, GCI + "studyType", GCX + "SingleVariantAnalysis"),
+            lit(cc, GCI + "date_created", "2020-02-02"),
+            iri(cc, GCI + "statisticalValues", "_:sv"),
+            iri(cc, GCI + "scores", GCI + "sc1"),
+            lit(cc, GCI + "pValue", "0.003", "xsd:decimal"),
+            iri(cc, GCI + "caseCohort", "_:case"),
+            iri("_:case", GCI + "numberAllGenotypedSequenced", "100"),
+            lit("_:case", GCI + "numberWithVariant", "10", "xsd:integer"),
+            iri("_:case", GCI + "method", "_:cm"),
+            iri(cc, GCI + "controlCohort", "_:ctrl"),
+            lit("_:ctrl", GCI + "numberAllGenotypedSequenced", "200", "xsd:integer"),
+            lit("_:ctrl", GCI + "numberWithVariant", "5", "xsd:integer"),
+            iri("_:ctrl", GCI + "method", "_:ctm"),
+            lit("_:sv", GCI + "otherType", "Odds Ratio"),
+            lit("_:sv", GCI + "value", "2.5", "xsd:decimal"),
+            iri(GCI + "sc1", RDF + "type", GCI + "evidenceScore"),
+            lit(GCI + "sc1", GCI + "score", "1.5", "xsd:decimal"),
+            lit(GCI + "sc1", GCI + "scoreStatus", "Score"),
+            iri(GCI + "ann1", GCI + "caseControlStudies", cc),
+            iri(GCI + "ann1", GCI + "article", "_:ag"),
+            lit("_:ag", GCI + "pmid", "31002"),
+        ]
+        src = T(spark, rows).unionByName(dictionary)
+        out = by_subject(
+            q("construct_case_control_evidence.sparql").run(src, pmbase=PM).collect()
+        )
+        line = out[cc]
+        # study type resolved through the dictionary: SingleVariantAnalysis
+        # → evidence line SEPIO_0004020, item SEPIO_0004039
+        assert (SEPIO + "0004020", True) in line[A_TYPE]
+        assert line[":sepio/evidence-line-strength-score"] == {("1.5", False)}
+        item = out[cc + "_cc_evidence_item"]
+        assert (SEPIO + "0004039", True) in item[A_TYPE]
+        assert item[":obi/p-value"] == {("0.003", False)}
+        assert item[":sepio/statistical-significance-type"] == {
+            ("Odds Ratio", False)
+        }
+        assert item[":sepio/has-case-cohort"] == {("_:case", True)}
+        case = out["_:case"]
+        assert (":stato/Cohort", True) in case[A_TYPE]
+        assert case[":sepio/num-with-variant"] == {("10", False)}
+        assert out["_:ctrl"][":sepio/num-with-variant"] == {("5", False)}
+        assert item[":dc/source"] == {(PM + "31002", True)}
+
+
+class TestUnlinkVariantScores:
+    """unlink_variant_scores_when_proband_scores_exist.sparql: the MINUS
+    over (OverallGeneticEvidenceLine, cap-covered variant line) pairs —
+    run with the local-names table so :sepio/ keywords match the full
+    SEPIO IRIs the dictionary types evidence lines with."""
+
+    def test_cap_covered_lines_unlinked(self, spark, names):
+        ogel_t = names[":sepio/OverallGeneticEvidenceLine"]
+        cap_t = names[":sepio/ProbandScoreCapEvidenceLine"]
+        null_t = names[":sepio/NullVariantEvidenceLine"]
+        nonnull_t = names[":sepio/NonNullVariantEvidenceLine"]
+        has_ev = names[":sepio/has-evidence"]
+        ogel, cap = GCI + "ogel", GCI + "cap"
+        vl1, vl2, vl3 = GCI + "vl1", GCI + "vl2", GCI + "vl3"
+        rows = [
+            iri(ogel, RDF + "type", ogel_t),
+            iri(ogel, has_ev, vl1),  # cap-covered null → unlinked
+            iri(ogel, has_ev, vl2),  # cap-covered nonnull → unlinked
+            iri(ogel, has_ev, vl3),  # NOT cap-covered → kept
+            iri(ogel, has_ev, cap),  # the cap line itself → kept
+            iri(cap, RDF + "type", cap_t),
+            iri(cap, has_ev, vl1),
+            iri(cap, has_ev, vl2),
+            iri(vl1, RDF + "type", null_t),
+            iri(vl2, RDF + "type", nonnull_t),
+            iri(vl3, RDF + "type", null_t),
+            lit(GCI + "other", GCI + "label", "untouched"),
+        ]
+        qy = S.PreparedQuery(
+            open(
+                os.path.join(
+                    REF_DIR, "unlink_variant_scores_when_proband_scores_exist.sparql"
+                )
+            ).read(),
+            names=names,
+        )
+        out = {(r.subject, r.predicate, r.object) for r in qy.run(T(spark, rows)).collect()}
+        assert (ogel, has_ev, vl1) not in out
+        assert (ogel, has_ev, vl2) not in out
+        assert (ogel, has_ev, vl3) in out
+        assert (ogel, has_ev, cap) in out
+        # non-matching triples all pass through
+        assert (GCI + "other", GCI + "label", "untouched") in out
+        assert (cap, has_ev, vl1) in out
+
+
+class TestFullGdmChain:
+    """transform_gdm end-to-end (gene_validity_refactor.clj:414-463):
+    one AR (SOPv8) curation fixture driven through all 22 reference
+    constructs + segregation unlink + evidence connections + legacy id
+    + proband-score cap + variant-score unlink, with the REAL
+    gdm_sepio_relationships.ttl dictionary and the REAL
+    property/class-names EDN tables. Thirteen construct files produce
+    rows from this fixture; every step file runs unmodified."""
+
+    CLS = GCI + "cls1"
+    GDM = GCI + "gdm1"
+    IND = GCI + "ind1"
+    VS1, VS2 = GCI + "vs1", GCI + "vs2"
+    VAR = GCI + "var1"
+    FAM = GCI + "fam1"
+    AFF = "http://dataexchange.clinicalgenome.org/agent/10015"
+    ENTREZ = "https://www.ncbi.nlm.nih.gov/gene/672"
+
+    def _fixture(self, spark):
+        c, g, ind = self.CLS, self.GDM, self.IND
+        rows = [
+            # --- GDM core (proposition / find_affiliation inputs)
+            iri(g, RDF + "type", GCI + "gdm"),
+            iri(g, GCI + "gene", GCI + "gene1"),
+            lit(GCI + "gene1", GCI + "hgncId", "HGNC:1100"),
+            iri(g, GCI + "disease", GCI + "mondo1"),
+            lit(g, GCI + "modeInheritance",
+                "Autosomal recessive inheritance (HP:0000007)"),
+            # --- approved + published classification
+            iri(c, RDF + "type", GCI + "provisionalClassification"),
+            lit(c, GCI + "approvedClassification", "true", "xsd:boolean"),
+            lit(c, GCI + "publishClassification", "true", "xsd:boolean"),
+            iri(c, GCI + "autoClassification", GCX + "Moderate"),
+            iri(c, GCI + "alteredClassification", GCX + "NoModification"),
+            iri(c, GCI + "affiliation", self.AFF),
+            lit(c, GCI + "last_modified", "2020-05-02"),
+            lit(c, GCI + "evidenceSummary", "Curated summary"),
+            lit(c, GCI + "approvalDate", "2020-05-01T12:30:00"),
+            iri(c, GCI + "classificationPoints", "_:pts"),
+            iri(c, GCI + "earliestArticles", GCI + "pub1"),
+            lit(c, GCI + "classificationContributors", "10015"),
+            lit(c, GCI + "classificationContributors", "10029"),
+            # --- points tree
+            lit("_:pts", GCI + "evidencePointsTotal", "12.5", "xsd:decimal"),
+            lit("_:pts", GCI + "geneticEvidenceTotal", "8.5", "xsd:decimal"),
+            lit("_:pts", GCI + "experimentalEvidenceTotal", "4", "xsd:integer"),
+            iri("_:pts", GCI + "function", "_:f"),
+            lit("_:f", GCI + "pointsCounted", "2", "xsd:integer"),
+            iri("_:pts", GCI + "functionalAlteration", "_:fa"),
+            lit("_:fa", GCI + "pointsCounted", "1", "xsd:integer"),
+            iri("_:pts", GCI + "modelsRescue", "_:mr"),
+            lit("_:mr", GCI + "pointsCounted", "1", "xsd:integer"),
+            iri("_:pts", GCI + "segregation", "_:segp"),
+            lit("_:segp", GCI + "pointsCounted", "0", "xsd:integer"),
+            lit("_:segp", GCI + "evidenceCountExome", "0", "xsd:integer"),
+            iri("_:pts", GCI + "caseControl", "_:ccp"),
+            lit("_:ccp", GCI + "pointsCounted", "0", "xsd:integer"),
+            iri("_:pts", GCI + "autosomalRecessiveDisorder", "_:ar"),
+            lit("_:ar", GCI + "pointsCounted", "6", "xsd:integer"),
+            iri("_:pts", GCI + "autosomalDominantOrXlinkedDisorder", "_:ad"),
+            iri("_:ad", GCI + "probandWithOtherVariantTypeWithGeneImpact", "_:t1"),
+            lit("_:t1", GCI + "pointsCounted", "0", "xsd:integer"),
+            iri("_:ad", GCI + "probandWithPredictedOrProvenNullVariant", "_:t2"),
+            lit("_:t2", GCI + "pointsCounted", "0", "xsd:integer"),
+            iri("_:ad", GCI + "variantIsDeNovo", "_:t3"),
+            lit("_:t3", GCI + "pointsCounted", "0", "xsd:integer"),
+            # --- SOPv8 variant scores for one AR proband
+            iri(self.VS1, RDF + "type", GCI + "variantScore"),
+            iri(self.VS1, GCI + "variantScored", self.VAR),
+            lit(self.VS1, GCI + "deNovo", "No"),
+            lit(self.VS1, GCI + "scoreStatus", "Score"),
+            lit(self.VS1, GCI + "date_created", "2020-01-01"),
+            iri(self.VS1, GCI + "affiliation", self.AFF),
+            lit(self.VS1, GCI + "calculatedScore", "1.5", "xsd:decimal"),
+            lit(self.VS1, GCI + "score", "1.0", "xsd:decimal"),
+            iri(self.VS1, GCI + "variantType", GCI + "PREDICTED_OR_PROVEN_NULL"),
+            iri(self.VS2, RDF + "type", GCI + "variantScore"),
+            iri(self.VS2, GCI + "variantScored", self.VAR),
+            lit(self.VS2, GCI + "deNovo", "No"),
+            lit(self.VS2, GCI + "scoreStatus", "Score"),
+            lit(self.VS2, GCI + "date_created", "2020-01-02"),
+            iri(self.VS2, GCI + "affiliation", self.AFF),
+            lit(self.VS2, GCI + "calculatedScore", "2.0", "xsd:decimal"),
+            iri(self.VS2, GCI + "variantType", GCI + "OTHER_VARIANT_TYPE"),
+            iri(ind, GCI + "variantScores", self.VS1),
+            iri(ind, GCI + "variantScores", self.VS2),
+            lit(ind, GCI + "label", "Proband 1"),
+            lit(ind, GCI + "proband", "true", "xsd:boolean"),
+            iri(ind, GCI + "method", "_:m"),
+            # --- the scored variant (construct_alleles input)
+            iri(self.VAR, RDF + "type", GCI + "variant"),
+            lit(self.VAR, GCI + "carId", "CA123"),
+            lit(self.VAR, GCI + "preferredTitle", "NM_7:c.1A>T"),
+            # --- annotation + article
+            iri(GCI + "ann1", RDF + "type", GCI + "annotation"),
+            iri(GCI + "ann1", GCI + "individuals", ind),
+            iri(GCI + "ann1", GCI + "article", GCI + "pub1"),
+            iri(GCI + "pub1", RDF + "type", GCI + "article"),
+            lit(GCI + "pub1", GCI + "pmid", "31001"),
+            lit(GCI + "pub1", GCI + "title", "A study"),
+            lit(GCI + "pub1", GCI + "date", "2019-04-01"),
+            iri(GCI + "pub1", GCI + "authors", "_:l1"),
+            lit("_:l1", RDF + "first", "Kim J"),
+            # --- a LOD-scored family (kept by the segregation unlink)
+            iri(self.FAM, RDF + "type", GCI + "family"),
+            iri(self.FAM, GCI + "segregation", "_:fseg"),
+            lit(self.FAM, GCI + "label", "Family 1"),
+            # same affiliation the chain pre-binds (?affiliation param):
+            # a different one would drop the family from the pattern
+            iri(self.FAM, GCI + "affiliation", self.AFF),
+            lit("_:fseg", GCI + "estimatedLodScore", "3.2", "xsd:decimal"),
+            iri(GCI + "ann1", GCI + "families", self.FAM),
+        ]
+        return T(spark, rows)
+
+    def test_chain(self, spark, names, dictionary):
+        from genegraph_spark.operators.gdm_chain import transform_gdm
+
+        def N(k):
+            return names.get(k, k)
+
+        final = transform_gdm(
+            self._fixture(spark),
+            REF_DIR,
+            dictionary,
+            entrez_gene=self.ENTREZ,
+            names=names,
+        )
+        triples = {(r.subject, r.predicate, r.object) for r in final.collect()}
+        has_ev = N(":sepio/has-evidence")
+        score = N(":sepio/evidence-line-strength-score")
+        ogel = self.CLS + "_overall_genetic_evidence_line"
+        cap = self.IND + "_proband_score_evidence_line"
+
+        # construct_proposition: subject/object/qualifier
+        assert (self.GDM, N(":sepio/has-subject"), self.ENTREZ) in triples
+        assert (self.GDM, N(":sepio/has-object"), GCI + "mondo1") in triples
+        assert (
+            self.GDM, N(":sepio/has-qualifier"),
+            "http://purl.obolibrary.org/obo/HP_0000007",
+        ) in triples
+        # construct_evidence_level_assertion: typed assertion + total +
+        # SOP version inferred from the exome-count structure (v7)
+        assert (
+            self.CLS, A_TYPE, N(":sepio/GeneValidityEvidenceLevelAssertion")
+        ) in triples
+        assert (self.CLS, score, "12.5") in triples
+        assert (
+            self.CLS, N(":sepio/is-specified-by"),
+            "http://purl.obolibrary.org/obo/SEPIO_0004094",
+        ) in triples
+        # approval contribution (legacy-id inputs)
+        contrib = self.CLS + "_contrib"
+        assert (contrib, N(":bfo/realizes"), N(":sepio/ApproverRole")) in triples
+        assert (
+            contrib, N(":sepio/activity-date"), "2020-05-01T12:30:00"
+        ) in triples
+        # construct_genetic_evidence_assertion
+        assert (self.CLS, has_ev, ogel) in triples
+        assert (ogel, score, "8.5") in triples
+        # construct_experimental_evidence_assertions
+        assert (
+            self.CLS + "_experimental_evidence_line", score, "4"
+        ) in triples
+        # construct_ar_variant_assertions
+        assert (self.CLS + "_ar_el", score, "6") in triples
+        assert (ogel, has_ev, self.CLS + "_ar_el") in triples
+        # construct_cc_and_seg_assertions
+        assert (self.CLS + "_cc_el", score, "0") in triples
+        # construct_variant_score: typed through the dictionary
+        assert (
+            self.VS1, A_TYPE, "http://purl.obolibrary.org/obo/SEPIO_0004120"
+        ) in triples
+        assert (self.VS1, score, "1.0") in triples  # adjusted score wins
+        assert (self.VS2, score, "2.0") in triples
+        # construct_ar_variant_score + add_proband_scores: cap = min(3, 1+2)
+        assert (cap, A_TYPE, N(":sepio/ProbandScoreCapEvidenceLine")) in triples
+        assert (cap, score, "3") in triples
+        assert (cap, has_ev, self.VS1) in triples
+        # construct_evidence_connections: OGEL (SEPIO_0004005) connects to
+        # cap (0004174) and variant lines (0004120/0004121) through the ttl
+        assert (ogel, has_ev, cap) in triples
+        # unlink_variant_scores_when_proband_scores_exist: the cap-covered
+        # variant-line edges are REMOVED from the overall genetic line
+        assert (ogel, has_ev, self.VS1) not in triples
+        assert (ogel, has_ev, self.VS2) not in triples
+        # ...but the cap line's own evidence edges survive
+        assert (cap, has_ev, self.VS2) in triples
+        # construct_alleles
+        assert (
+            self.VAR, N(":ga4gh/CanonicalReference"),
+            "http://reg.genome.network/allele/CA123",
+        ) in triples
+        assert (self.VAR, N(":skos/preferred-label"), "NM_7:c.1A>T") in triples
+        # construct_articles + earliest articles
+        assert (PM + "31001", N(":dc/title"), "A study") in triples
+        assert (PM + "31001", N(":dc/creator"), "Kim J") in triples
+        assert (self.CLS, N(":sepio/earliest-article"), PM + "31001") in triples
+        # construct_secondary_contributions: two distinct fresh bnodes
+        sec = {
+            s for (s, p, o) in triples
+            if p == N(":bfo/realizes") and o == N(":sepio/SecondaryContributorRole")
+        }
+        assert len(sec) == 2
+        # family segregation survives the unlink (it has a LOD score)
+        fseg = self.FAM + "_family_segregation"
+        assert (fseg, N(":sepio/estimated-lod-score"), "3.2") in triples
+        assert (fseg, A_TYPE, N(":sepio/FamilyCosegregation")) in triples
+        # add_legacy_website_id: assertion id + colon-stripped approval date
+        assert (
+            self.CLS, N(":cg/website-legacy-id"),
+            GCI + "assertion_cls1-2020-05-01T123000",
+        ) in triples
