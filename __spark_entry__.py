@@ -1183,6 +1183,27 @@ def q_cur_genetic_conditions(spark, sf_dir):
     return CUR.genetic_conditions(a)
 
 
+def q_cur_gene_dosage(spark, sf_dir):
+    # gene-dosage report cards: newest haplo/triplo classification per
+    # report + report date (gene_dosage.clj:137-161,199-221;
+    # dosage_proposition.clj:10-14 evidence-level enum) — the per-report
+    # field resolvers collapsed into one window + one grouped pivot
+    from genegraph_spark.plans import curation as CUR
+
+    a = CUR.dosage_assertions(_read(spark, sf_dir, "events"))
+    return CUR.gene_dosage_reports(a)
+
+
+def q_cur_actionability_stats(spark, sf_dir):
+    # per-working-group actionability statistics: report/updated/pair
+    # totals + sorted score=count summary (actionability.clj:49-140
+    # tot-* resolver family as two dimension-scale grouped passes)
+    from genegraph_spark.plans import curation as CUR
+
+    r = CUR.actionability_reports(_read(spark, sf_dir, "events"))
+    return CUR.actionability_statistics(r)
+
+
 def q_alg_sparql_select(spark, sf_dir):
     # SPARQL *text* front-end (operators/sparql.py; create-query on
     # strings, resource.clj:223-239): a SELECT with a sequence property
@@ -1517,6 +1538,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alg_sparql_construct": q_alg_sparql_construct,
         "cur_affiliations": q_cur_affiliations,
         "cur_genetic_conditions": q_cur_genetic_conditions,
+        "cur_gene_dosage": q_cur_gene_dosage,
+        "cur_actionability_stats": q_cur_actionability_stats,
         "alg_sparql_agg": q_alg_sparql_agg,
         "join_salted_topk": q_join_salted_topk,
         "graph_pagerank": q_graph_pagerank,
@@ -2747,6 +2770,63 @@ c AS (
 SELECT c.gene, c.disease, c.moi, c.n_assertions, c.n_affiliations,
        r.assertion AS latest_assertion
 FROM c JOIN ranked r USING (gene, disease, moi) WHERE r.rn = 1""",
+        "cur_gene_dosage": """
+WITH da AS (
+  SELECT 'urn:dosage:' || CAST(user_id % 20 AS VARCHAR) AS report,
+         'urn:gene:' || CAST(user_id % 20 AS VARCHAR) AS gene,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 3 END AS member_count,
+         CAST(event_id % 4 AS INT) AS ordinal, ts, event_id
+  FROM events),
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY report, member_count
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM da),
+lv AS (
+  SELECT report, gene, member_count, ts,
+         CASE ordinal WHEN 0 THEN 'no evidence'
+                      WHEN 1 THEN 'minimal evidence'
+                      WHEN 2 THEN 'moderate evidence'
+                      ELSE 'sufficient evidence' END AS evidence_level
+  FROM latest WHERE rn = 1)
+SELECT report, min(gene) AS gene,
+       coalesce(bool_or(member_count = 1), false) AS has_haplo,
+       max(CASE WHEN member_count = 1 THEN evidence_level END)
+         AS haplo_evidence_level,
+       max(CASE WHEN member_count = 1 THEN ts END) AS haplo_date,
+       coalesce(bool_or(member_count = 3), false) AS has_triplo,
+       max(CASE WHEN member_count = 3 THEN evidence_level END)
+         AS triplo_evidence_level,
+       max(CASE WHEN member_count = 3 THEN ts END) AS triplo_date,
+       max(ts) AS report_date
+FROM lv GROUP BY report""",
+        "cur_actionability_stats": """
+WITH ar AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'urn:wg:adult'
+              ELSE 'urn:wg:pediatric' END AS wg,
+         CAST(event_id % 3 + 1 AS VARCHAR) || '.0.0' AS version,
+         CASE WHEN event_type <> 'error'
+              THEN CAST(event_id % 5 AS INT) END AS score,
+         'urn:gene:' || CAST(user_id % 20 AS VARCHAR) AS gene,
+         'urn:disease:' || CAST(user_id % 7 AS VARCHAR) AS disease
+  FROM events),
+freq AS (
+  SELECT wg, score, count(*) AS n FROM ar
+  WHERE score IS NOT NULL GROUP BY 1, 2),
+sc AS (
+  SELECT wg,
+         string_agg(CAST(score AS VARCHAR) || '=' || CAST(n AS VARCHAR),
+                    ' ' ORDER BY CAST(score AS VARCHAR) || '=' || CAST(n AS VARCHAR))
+           AS score_counts,
+         CAST(sum(n) AS BIGINT) AS n_scored_reports
+  FROM freq GROUP BY wg)
+SELECT ar.wg, count(*) AS n_reports,
+       count(CASE WHEN regexp_matches(version, '^[2-9][.][0-9][.][0-9]$')
+                  THEN 1 END) AS n_updated_reports,
+       count(DISTINCT gene || '|' || disease) AS n_gene_disease_pairs,
+       coalesce(min(sc.n_scored_reports), 0) AS n_scored_reports,
+       coalesce(min(sc.score_counts), '') AS score_counts
+FROM ar LEFT JOIN sc ON ar.wg = sc.wg
+GROUP BY ar.wg""",
         "graph_comention_pmi": f"""
 WITH t AS ({_TRIPLES_SQL}),
 de AS (SELECT DISTINCT subject AS doc, object AS entity FROM t

@@ -322,3 +322,162 @@ def genetic_conditions(assertions: DataFrame) -> DataFrame:
         F.countDistinct("affiliation").alias("n_affiliations"),
     )
     return counts.join(latest, key)
+
+
+# ---------------------------------------------------------------------------
+# Gene-dosage + actionability resolver tiers (round 5)
+# ---------------------------------------------------------------------------
+
+def dosage_assertions(events: DataFrame) -> DataFrame:
+    """Per-assertion dosage rows — the GeneDosageReport ``bfo/has-part``
+    members (``source/graphql/gene_dosage.clj:137-149``: haplo = the
+    part whose subject chain carries ``geno/has-member-count`` 1, triplo
+    = member count 3; ``dosage_proposition.clj:58-61`` assertion-type).
+    Deterministic event→assertion derivation in the house convention
+    (same gene universe as :func:`curation_assertions`): member count
+    alternates 1/3 by event parity, evidence ordinal cycles 0-3
+    (``dosage_proposition.clj:10-14`` evidence-level enum)."""
+    return events.select(
+        F.concat(F.lit("urn:dosage-assert:"), F.col("event_id").cast("string")).alias(
+            "assertion"
+        ),
+        F.concat(F.lit("urn:dosage:"), (F.col("user_id") % 20).cast("string")).alias(
+            "report"
+        ),
+        F.concat(F.lit("urn:gene:"), (F.col("user_id") % 20).cast("string")).alias(
+            "gene"
+        ),
+        F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(F.lit(3)).alias(
+            "member_count"
+        ),
+        (F.col("event_id") % 4).cast("int").alias("ordinal"),
+        "ts",
+        "event_id",
+    )
+
+
+# ordinal → classification label (dosage_proposition.clj:10-14 enum +
+# :sepio/has-ordinal-position; score resolver's lower-case labels)
+_DOSAGE_LEVEL = (
+    F.when(F.col("ordinal") == 0, "no evidence")
+    .when(F.col("ordinal") == 1, "minimal evidence")
+    .when(F.col("ordinal") == 2, "moderate evidence")
+    .otherwise("sufficient evidence")
+)
+
+
+def gene_dosage_reports(assertions: DataFrame) -> DataFrame:
+    """The dosage-report card: one row per GeneDosageReport with its
+    CURRENT haplo and triplo classifications and the report date — the
+    ``haplo`` / ``triplo`` / ``has-haplo?`` / ``has-triplo?`` /
+    ``classification-description`` / ``report-date`` field resolvers
+    (``gene_dosage.clj:137-161,199-221``) collapsed into one pass.
+
+    The reference resolves each field with a separate per-report
+    traversal; here one window picks the newest assertion per
+    (report, member-count) and ONE grouped conditional pivot emits every
+    field — a single shuffle on the report key (dimension-scale), no
+    per-report point queries.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("report", "member_count").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        assertions.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "report",
+            "gene",
+            "member_count",
+            _DOSAGE_LEVEL.alias("evidence_level"),
+            "ts",
+        )
+    )
+    hap = F.col("member_count") == 1
+    tri = F.col("member_count") == 3
+    return latest.groupBy("report").agg(
+        F.first("gene").alias("gene"),
+        F.coalesce(F.max(hap), F.lit(False)).alias("has_haplo"),
+        F.max(F.when(hap, F.col("evidence_level"))).alias("haplo_evidence_level"),
+        F.max(F.when(hap, F.col("ts"))).alias("haplo_date"),
+        F.coalesce(F.max(tri), F.lit(False)).alias("has_triplo"),
+        F.max(F.when(tri, F.col("evidence_level"))).alias("triplo_evidence_level"),
+        F.max(F.when(tri, F.col("ts"))).alias("triplo_date"),
+        F.max("ts").alias("report_date"),
+    )
+
+
+def actionability_reports(events: DataFrame) -> DataFrame:
+    """Per-report actionability rows (``actionability.clj``): owning
+    working group (adult/pediatric — the two agent IRIs the ``tot-*``
+    resolvers filter by), document version, total actionability score
+    (absent for unscored reports), and the (gene, disease) pair."""
+    return events.select(
+        F.concat(
+            F.lit("urn:actionability:"), F.col("event_id").cast("string")
+        ).alias("report"),
+        F.when(F.col("user_id") % 2 == 0, F.lit("urn:wg:adult"))
+        .otherwise(F.lit("urn:wg:pediatric"))
+        .alias("wg"),
+        F.concat((F.col("event_id") % 3 + 1).cast("string"), F.lit(".0.0")).alias(
+            "version"
+        ),
+        F.when(
+            F.col("event_type") != "error", (F.col("event_id") % 5).cast("int")
+        ).alias("score"),
+        F.concat(F.lit("urn:gene:"), (F.col("user_id") % 20).cast("string")).alias(
+            "gene"
+        ),
+        F.concat(F.lit("urn:disease:"), (F.col("user_id") % 7).cast("string")).alias(
+            "disease"
+        ),
+    )
+
+
+def actionability_statistics(reports: DataFrame) -> DataFrame:
+    """Per-working-group actionability statistics — the ``tot-*``
+    resolver family (``actionability.clj:49-140``): report totals,
+    updated-report totals (version ``[2-9].x.x`` regex,
+    ``tot-actionability-updated-reports``), distinct (gene, disease)
+    pairs (``uniq-disease-pairs``), scored-report totals
+    (``tot-*-outcome-intervention-pairs``), and the sorted
+    ``score=count`` summary string (``tot-*-score-counts``).
+
+    The reference runs each statistic as its own corpus query per
+    working group; here ONE pass computes the score frequency table and
+    a second grouped pass emits every statistic — two dimension-scale
+    shuffles total, independent of report count (partial aggregation
+    does the heavy lifting map-side)."""
+    freq = reports.where(F.col("score").isNotNull()).groupBy("wg", "score").agg(
+        F.count("*").alias("n")
+    )
+    score_counts = freq.groupBy("wg").agg(
+        F.concat_ws(
+            " ",
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("score").cast("string"), F.lit("="), F.col("n"))
+                )
+            ),
+        ).alias("score_counts"),
+        F.sum("n").alias("n_scored_reports"),
+    )
+    base = reports.groupBy("wg").agg(
+        F.count("*").alias("n_reports"),
+        F.count(
+            F.when(F.col("version").rlike(r"^[2-9]\.[0-9]\.[0-9]$"), True)
+        ).alias("n_updated_reports"),
+        F.countDistinct("gene", "disease").alias("n_gene_disease_pairs"),
+    )
+    return base.join(score_counts, "wg", "left_outer").select(
+        "wg",
+        "n_reports",
+        "n_updated_reports",
+        "n_gene_disease_pairs",
+        F.coalesce("n_scored_reports", F.lit(0).cast("long")).alias(
+            "n_scored_reports"
+        ),
+        F.coalesce("score_counts", F.lit("")).alias("score_counts"),
+    )

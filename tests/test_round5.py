@@ -223,3 +223,71 @@ class TestAdviceR4Lock:
         # dead holder: acquisition succeeds by reclaim
         with store._commit_lock(1):
             pass
+
+
+# ---------------------------------------------------------------------------
+# Dosage + actionability resolver tiers (VERDICT r4 next-steps #4)
+# ---------------------------------------------------------------------------
+
+
+class TestDosageResolvers:
+    @staticmethod
+    def _events(spark):
+        # (event_id, ts, user_id, event_type)
+        rows = [
+            (0, "2024-01-01 00:00:00", 1, "view"),    # gene 1, haplo, ord 0
+            (2, "2024-01-02 00:00:00", 1, "view"),    # gene 1, haplo, ord 2 (newer)
+            (3, "2024-01-03 00:00:00", 1, "click"),   # gene 1, triplo, ord 3
+            (4, "2024-01-01 00:00:00", 2, "view"),    # gene 2, haplo only, ord 0
+        ]
+        return spark.createDataFrame(
+            [(e, t, u, k) for e, t, u, k in rows],
+            "event_id long, ts string, user_id long, event_type string",
+        ).withColumn("ts", __import__("pyspark.sql.functions", fromlist=["F"]).to_timestamp("ts"))
+
+    def test_report_card_pivots_latest_per_type(self, spark):
+        from genegraph_spark.plans import curation as CUR
+
+        out = {
+            r.report: r
+            for r in CUR.gene_dosage_reports(
+                CUR.dosage_assertions(self._events(spark))
+            ).collect()
+        }
+        g1 = out["urn:dosage:1"]
+        # newest haplo assertion (event 2, ordinal 2) wins over event 0
+        assert g1.has_haplo and g1.haplo_evidence_level == "moderate evidence"
+        assert g1.has_triplo and g1.triplo_evidence_level == "sufficient evidence"
+        assert str(g1.report_date).startswith("2024-01-03")
+        g2 = out["urn:dosage:2"]
+        assert g2.has_haplo and not g2.has_triplo
+        assert g2.haplo_evidence_level == "no evidence"
+        assert g2.triplo_evidence_level is None
+
+    def test_actionability_statistics(self, spark):
+        from genegraph_spark.plans import curation as CUR
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 2, "view"),    # adult, v2.0.0, score 1
+            (2, "2024-01-01 00:00:00", 2, "error"),   # adult, v3.0.0, UNSCORED
+            (4, "2024-01-01 00:00:00", 4, "view"),    # adult, v2.0.0, score 4
+            (6, "2024-01-01 00:00:00", 4, "view"),    # adult, v1.0.0, score 1
+            (3, "2024-01-01 00:00:00", 1, "view"),    # pediatric, v1.0.0, score 3
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        )
+        out = {
+            r.wg: r
+            for r in CUR.actionability_statistics(
+                CUR.actionability_reports(ev)
+            ).collect()
+        }
+        adult = out["urn:wg:adult"]
+        assert adult.n_reports == 4
+        assert adult.n_updated_reports == 3  # versions 2.0.0, 3.0.0, 2.0.0
+        assert adult.n_gene_disease_pairs == 2
+        assert adult.n_scored_reports == 3  # the error event is unscored
+        assert adult.score_counts == "1=2 4=1"
+        ped = out["urn:wg:pediatric"]
+        assert ped.n_reports == 1 and ped.score_counts == "3=1"
