@@ -328,6 +328,27 @@ def q_alg_text_search(spark, sf_dir):
     return A.text_search(t, "widget", predicate=":name")
 
 
+def q_alg_text_search_ranked(spark, sf_dir):
+    # tf·idf-RANKED text search over the tokenized inverted-index view
+    # (algebra.text_search_ranked; the Lucene-ranked text BGP analog,
+    # database/query.clj:133-153): parts matching both query tokens
+    # outrank single-token matches; rank column locks the ordering
+    part = _read(spark, sf_dir, "part")
+    from genegraph_spark.operators.triples import triple
+
+    t = part.select(
+        *triple(
+            F.lit("g"),
+            F.concat(F.lit("urn:part:"), F.col("p_partkey").cast("string")),
+            ":name",
+            F.col("p_name"),
+            False,
+            I.XSD_STRING,
+        )
+    )
+    return A.text_search_ranked(t, "red widget bolt", predicates=[":name"], limit=12)
+
+
 # -- versioned idioms on events ----------------------------------------------
 def q_ver_latest_event_per_user(spark, sf_dir):
     ev = _read(spark, sf_dir, "events")
@@ -1628,6 +1649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alg_property_path_alt": q_alg_property_path_alt,
         "alg_transitive_closure": q_alg_transitive_closure,
         "alg_text_search": q_alg_text_search,
+        "alg_text_search_ranked": q_alg_text_search_ranked,
         # versioned idioms + aggregations
         "ver_latest_event_per_user": q_ver_latest_event_per_user,
         "ver_event_asof": q_ver_event_asof,
@@ -2102,6 +2124,27 @@ SELECT src, dst FROM tc""",
         "alg_text_search": """
 SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS node, p_name AS text
 FROM part WHERE list_contains(string_split(lower(p_name), ' '), 'widget')""",
+        "alg_text_search_ranked": """
+WITH docs AS (
+  SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS node, p_name FROM part),
+idx AS (
+  SELECT node, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT node,
+               unnest(string_split_regex(lower(p_name), '[^a-z0-9]+')) AS token
+        FROM docs)
+  WHERE token <> '' GROUP BY 1, 2),
+nd AS (SELECT CAST(count(DISTINCT node) AS DOUBLE) AS n FROM idx),
+hits AS (SELECT * FROM idx WHERE token IN ('red', 'widget', 'bolt')),
+dfr AS (SELECT token, CAST(count(DISTINCT node) AS DOUBLE) AS df
+        FROM hits GROUP BY 1),
+scored AS (
+  SELECT node, CAST(count(DISTINCT h.token) AS BIGINT) AS n_matched,
+         round(sum(CAST(tf AS DOUBLE) * ln(1.0 + (SELECT n FROM nd) / df)), 6)
+           AS score
+  FROM hits h JOIN dfr USING (token) GROUP BY node)
+SELECT node, n_matched, score,
+       CAST(row_number() OVER (ORDER BY score DESC, node ASC) AS INT) AS rank
+FROM scored ORDER BY score DESC, node ASC LIMIT 12""",
         # versioned + aggs
         "ver_latest_event_per_user": """
 SELECT user_id, event_id, event_type, round(value, 6) AS value FROM (

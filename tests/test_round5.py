@@ -291,3 +291,64 @@ class TestDosageResolvers:
         assert adult.score_counts == "1=2 4=1"
         ped = out["urn:wg:pediatric"]
         assert ped.n_reports == 1 and ped.score_counts == "3=1"
+
+
+class TestRankedTextSearch:
+    """algebra.text_search_ranked (VERDICT r4 next-steps #5): tf·idf
+    over the tokenized inverted-index view."""
+
+    TRIPLE_SCHEMA = (
+        "graph string, subject string, predicate string, object string, "
+        "object_is_iri boolean, object_datatype string"
+    )
+
+    def _t(self, spark, labels):
+        rows = [
+            ("g", s, ":label", text, False, None) for s, text in labels
+        ]
+        return spark.createDataFrame(rows, self.TRIPLE_SCHEMA)
+
+    def test_multi_token_match_outranks_single(self, spark):
+        from genegraph_spark.operators import algebra as A
+
+        t = self._t(spark, [
+            ("urn:a", "red widget"),       # both tokens
+            ("urn:b", "red bolt"),         # one query token (red)
+            ("urn:c", "blue widget"),      # one query token (widget)
+            ("urn:d", "blue bolt"),        # none
+            ("urn:e", "green gear"),       # none
+        ])
+        out = A.text_search_ranked(t, "red widget", limit=10).collect()
+        assert [r.node for r in out][:1] == ["urn:a"]
+        assert {r.node for r in out} == {"urn:a", "urn:b", "urn:c"}
+        assert out[0].n_matched == 2
+        assert [r.rank for r in out] == [1, 2, 3]
+        # ranks are strictly ordered by (score desc, node asc)
+        scores = [r.score for r in out]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_rare_token_scores_higher_idf(self, spark):
+        from genegraph_spark.operators import algebra as A
+
+        # 'rare' appears in 1 doc, 'common' in 4 → idf(rare) > idf(common)
+        t = self._t(spark, [
+            ("urn:r", "rare thing"),
+            ("urn:c1", "common thing"),
+            ("urn:c2", "common stuff"),
+            ("urn:c3", "common item"),
+            ("urn:c4", "common part"),
+        ])
+        out = {r.node: r.score for r in
+               A.text_search_ranked(t, "rare common", limit=10).collect()}
+        assert out["urn:r"] > out["urn:c1"]
+
+    def test_tf_counts_repeated_tokens(self, spark):
+        from genegraph_spark.operators import algebra as A
+
+        t = self._t(spark, [
+            ("urn:x", "spark spark spark"),
+            ("urn:y", "spark flink"),
+        ])
+        out = {r.node: r for r in
+               A.text_search_ranked(t, "spark", limit=10).collect()}
+        assert out["urn:x"].score > out["urn:y"].score  # tf 3 vs 1
