@@ -612,3 +612,130 @@ class TestFullGdmChain:
             self.CLS, N(":cg/website-legacy-id"),
             GCI + "assertion_cls1-2020-05-01T123000",
         ) in triples
+
+
+class TestGeneValidityVariantDir:
+    """The pre-refactor ``gene_validity/`` query directory (11 .sparql
+    files + its own dictionary ttl): different GCI base conventions
+    (uuid-composed IRIs, literal diseaseId) from the refactor dir. Every
+    file parses AND executes; the proposition and segregation variants
+    are execution-verified against hand-derived triples."""
+
+    VDIR = "/root/reference/src/genegraph/transform/gene_validity"
+    VGCI = GCI  # data prefix is shared; proposition IRIs build on ?gcibase
+
+    @pytest.fixture(scope="class")
+    def vdict(self, spark):
+        from genegraph_spark.functions.serialize import read_turtle
+
+        return read_turtle(
+            spark, os.path.join(self.VDIR, "gdm_sepio_relationships.ttl"), graph="g"
+        )
+
+    def test_all_files_parse(self):
+        from genegraph_spark.operators.sparql import PreparedQuery
+
+        files = [f for f in sorted(os.listdir(self.VDIR)) if f.endswith(".sparql")]
+        assert len(files) == 11
+        for fn in files:
+            PreparedQuery(open(os.path.join(self.VDIR, fn)).read())
+
+    def test_all_constructs_execute(self, spark, vdict):
+        """Smoke bar: every variant file compiles AND runs over a small
+        model + the variant dictionary without error."""
+        from genegraph_spark.operators.sparql import load_query_dir
+
+        rows = [
+            iri(GCI + "gdm1", RDF + "type", GCI + "gdm"),
+            iri(GCI + "gdm1", GCI + "gene", GCI + "gene1"),
+            lit(GCI + "gene1", GCI + "hgncId", "HGNC:1100"),
+            lit(GCI + "gdm1", GCI + "uuid", "abc-123"),
+        ]
+        src = T(spark, rows).unionByName(vdict)
+        qs = load_query_dir(self.VDIR)
+        assert len(qs) == 11
+        for name, q in qs.items():
+            n = q.run(
+                src,
+                gcibase="http://gci.example/",
+                pmbase=PM,
+                arbase="http://reg.genome.network/allele/",
+                cvbase="https://www.ncbi.nlm.nih.gov/clinvar/variation/",
+                affiliation=("iri", GCI + "aff1"),
+                hgnc_gene=("iri", GCI + "gene1"),
+                entrez_gene=("iri", "urn:entrez:1"),
+                legacy_id="x",
+            ).count()
+            assert n >= 0, name
+
+    def test_variant_proposition_uuid_iri(self, spark):
+        """construct_proposition (variant): the proposition IRI is
+        composed from ?gcibase + the GDM uuid; the disease is the
+        LITERAL diseaseId (no COALESCE with the resource). This file
+        declares the OLD gci data namespace
+        (``http://gci.clinicalgenome.org/`` — the prefix-convention
+        split across this directory: 5 files old, 5 new)."""
+        from genegraph_spark.operators.sparql import PreparedQuery
+
+        OGCI = "http://gci.clinicalgenome.org/"
+        rows = [
+            iri(OGCI + "gdm1", RDF + "type", OGCI + "gdm"),
+            iri(OGCI + "gdm1", OGCI + "gene", OGCI + "gene1"),
+            lit(OGCI + "gene1", OGCI + "hgncId", "HGNC:1100"),
+            lit(OGCI + "gdm1", OGCI + "uuid", "abc-123"),
+            iri(OGCI + "gdm1", OGCI + "disease", OGCI + "d1"),
+            lit(OGCI + "d1", OGCI + "diseaseId", "MONDO:0007739"),
+        ]
+        q = PreparedQuery(
+            open(os.path.join(self.VDIR, "construct_proposition.sparql")).read()
+        )
+        out = by_subject(
+            q.run(T(spark, rows), gcibase="http://gci.example/").collect()
+        )
+        prop = out["http://gci.example/proposition/abc-123"]
+        assert (":sepio/GeneValidityProposition", True) in prop[A_TYPE]
+        assert prop[":sepio/has-subject"] == {("HGNC:1100", False)}
+        assert prop[":sepio/has-object"] == {("MONDO:0007739", False)}
+        assert prop[":sepio/has-predicate"] == {
+            (":ro/IsCausalGermlineMutationIn", True)
+        }
+
+    def test_variant_segregation_dictionary_typing(self, spark, vdict):
+        """construct_segregation_evidence: sequencing method resolves
+        through the VARIANT dictionary (CandidateGeneSequencing →
+        SEPIO_0004090/0004085) and estimated LOD wins the COALESCE."""
+        from genegraph_spark.operators.sparql import PreparedQuery
+
+        fam = GCI + "fam1"
+        rows = [
+            iri(fam, RDF + "type", GCI + "family"),
+            iri(fam, GCI + "segregation", "_:seg"),
+            lit(fam, GCI + "label", "Family 1"),
+            lit(fam, GCI + "uuid", "fam-uuid-1"),
+            lit("_:seg", GCI + "includeLodScoreInAggregateCalculation", "true",
+                "xsd:boolean"),
+            iri("_:seg", GCI + "sequencingMethod", GCX + "CandidateGeneSequencing"),
+            lit("_:seg", GCI + "publishedLodScore", "2.1", "xsd:decimal"),
+            lit("_:seg", GCI + "estimatedLodScore", "3.3", "xsd:decimal"),
+            iri(GCI + "ann1", GCI + "families", fam),
+            iri(GCI + "ann1", GCI + "article", GCI + "pub1"),
+            lit(GCI + "pub1", GCI + "pmid", "31001"),
+        ]
+        q = PreparedQuery(
+            open(
+                os.path.join(self.VDIR, "construct_segregation_evidence.sparql")
+            ).read()
+        )
+        out = by_subject(
+            q.run(
+                T(spark, rows).unionByName(vdict),
+                gcibase="http://gci.example/", pmbase=PM,
+            ).collect()
+        )
+        line = out["http://gci.example/evidence_line_fam-uuid-1"]
+        assert (SEPIO + "0004090", True) in line[A_TYPE]
+        assert line[":sepio/evidence-line-strength-score"] == {("3.3", False)}
+        item = out["http://gci.example/evidence_item_fam-uuid-1"]
+        assert (SEPIO + "0004085", True) in item[A_TYPE]
+        assert item[":dc/source"] == {(PM + "31001", True)}
+        assert item[":rdfs/label"] == {("Family 1", False)}
