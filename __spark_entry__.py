@@ -1225,6 +1225,18 @@ def q_cur_actionability_stats(spark, sf_dir):
     return CUR.actionability_statistics(r)
 
 
+def q_cur_evidence_cards(spark, sf_dir):
+    # evidence-card surface: every assertion's shallow has-evidence tree
+    # flattened to (root, line, depth) rows with per-line score +
+    # description and the root's contribution denormalized on
+    # (evidence_line.clj / evidence.clj / contribution.clj field
+    # resolvers in ONE plan; bounded-depth joins, no fixpoint)
+    from genegraph_spark.plans import resolvers as R
+
+    m = R.evidence_model(_read(spark, sf_dir, "events"))
+    return R.evidence_cards(m, max_depth=4)
+
+
 def q_alg_sparql_select(spark, sf_dir):
     # SPARQL *text* front-end (operators/sparql.py; create-query on
     # strings, resource.clj:223-239): a SELECT with a sequence property
@@ -1561,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_genetic_conditions": q_cur_genetic_conditions,
         "cur_gene_dosage": q_cur_gene_dosage,
         "cur_actionability_stats": q_cur_actionability_stats,
+        "cur_evidence_cards": q_cur_evidence_cards,
         "alg_sparql_agg": q_alg_sparql_agg,
         "join_salted_topk": q_join_salted_topk,
         "graph_pagerank": q_graph_pagerank,
@@ -2870,6 +2883,41 @@ SELECT ar.wg, count(*) AS n_reports,
        coalesce(min(sc.score_counts), '') AS score_counts
 FROM ar LEFT JOIN sc ON ar.wg = sc.wg
 GROUP BY ar.wg""",
+        "cur_evidence_cards": """
+WITH e AS (SELECT event_id, user_id, event_type, round(value, 4) AS score,
+                  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS adate
+           FROM events),
+edges AS (
+  SELECT 'urn:el:' || CAST(event_id - 1 AS VARCHAR) AS parent,
+         'urn:el:' || CAST(event_id AS VARCHAR) AS child
+  FROM e WHERE event_id % 4 <> 0),
+roots AS (
+  SELECT 'urn:el:' || CAST(event_id AS VARCHAR) AS root,
+         'urn:aff:' || CAST(user_id % 10 AS VARCHAR) AS agent, adate
+  FROM e WHERE event_id % 4 = 0),
+fields AS (
+  SELECT 'urn:el:' || CAST(event_id AS VARCHAR) AS line, score,
+         event_type AS description
+  FROM e),
+tree AS (
+  SELECT r.root, c1.child AS line, 1 AS depth FROM roots r
+  JOIN edges c1 ON c1.parent = r.root
+  UNION ALL
+  SELECT t.root, c.child, t.depth + 1 FROM (
+    SELECT r.root, c1.child, 1 AS depth FROM roots r
+    JOIN edges c1 ON c1.parent = r.root) t
+  JOIN edges c ON c.parent = t.child
+  UNION ALL
+  SELECT t2.root, c.child, 3 FROM (
+    SELECT r.root, c2.child FROM roots r
+    JOIN edges c1 ON c1.parent = r.root
+    JOIN edges c2 ON c2.parent = c1.child) t2(root, child)
+  JOIN edges c ON c.parent = t2.child)
+SELECT t.root, t.line, t.depth, f.score, f.description,
+       r.agent, r.adate AS activity_date
+FROM tree t
+LEFT JOIN fields f ON f.line = t.line
+LEFT JOIN roots r ON r.root = t.root""",
         "graph_comention_pmi": f"""
 WITH t AS ({_TRIPLES_SQL}),
 de AS (SELECT DISTINCT subject AS doc, object AS entity FROM t

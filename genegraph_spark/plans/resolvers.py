@@ -91,6 +91,134 @@ def statistics(triples: DataFrame) -> DataFrame:
     )
 
 
+def evidence_model(events: DataFrame) -> DataFrame:
+    """Synthetic SEPIO evidence forest in the triples schema — chains of
+    four evidence lines per root assertion (root → child → grandchild →
+    great-grandchild by consecutive event ids), each line carrying a
+    strength score and description, each root a qualified contribution
+    with agent + activity date. This is the model shape the evidence-card
+    resolvers traverse (``evidence_line.clj`` / ``contribution.clj`` /
+    ``evidence.clj`` field resolvers over ``:sepio/has-evidence``
+    trees)."""
+    el = F.concat(F.lit("urn:el:"), F.col("event_id").cast("string"))
+    parent = F.concat(F.lit("urn:el:"), (F.col("event_id") - 1).cast("string"))
+    contrib = F.concat(F.lit("urn:contrib:"), F.col("event_id").cast("string"))
+    agent = F.concat(F.lit("urn:aff:"), (F.col("user_id") % 10).cast("string"))
+    is_root = F.col("event_id") % 4 == 0
+
+    def t(s, p, o, is_iri):
+        return events.select(
+            F.lit("g").alias("graph"),
+            s.alias("subject"),
+            F.lit(p).alias("predicate"),
+            o.cast("string").alias("object"),
+            F.lit(is_iri).alias("object_is_iri"),
+            F.lit(None).cast("string").alias("object_datatype"),
+        )
+
+    parts = [
+        t(el, I.RDF_TYPE, F.lit(":sepio/Assertion"), True).where(is_root),
+        t(parent, ":sepio/has-evidence", el, True).where(~is_root),
+        t(el, ":sepio/evidence-line-strength-score", F.round("value", 4), False),
+        t(el, ":dc/description", F.col("event_type"), False),
+        t(el, ":sepio/qualified-contribution", contrib, True).where(is_root),
+        t(contrib, ":sepio/has-agent", agent, True).where(is_root),
+        # fixed 6-digit micros: a bare timestamp→string cast trims
+        # trailing zeros differently across engines
+        t(
+            contrib,
+            ":sepio/activity-date",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            False,
+        ).where(is_root),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def evidence_cards(model: DataFrame, max_depth: int = 4) -> DataFrame:
+    """Flatten every root assertion's evidence tree into card rows —
+    the evidence-card surface a UI renders from the per-field resolvers
+    (``evidence_line.clj`` score/items, ``evidence.clj``
+    source/description, ``contribution.clj`` agent/realizes/date,
+    ``assertion.clj``). The reference answers each field with a separate
+    per-node traversal; here the WHOLE card for every assertion
+    materializes in one plan.
+
+    Returns (root, line, depth, score, description, agent,
+    activity_date): one row per (root, descendant line) with the root's
+    approval contribution denormalized on.
+
+    Scale shape: evidence trees are shallow (≤``max_depth``), so the
+    traversal is ``max_depth`` self-joins of the dimension-scale edge
+    frame — NO unbounded fixpoint, no driver-side recursion; per-line
+    fields and the root contribution attach with ordinary equi-joins
+    Catalyst can reorder/broadcast."""
+    edges = (
+        model.where(F.col("predicate") == ":sepio/has-evidence")
+        .select(F.col("subject").alias("parent"), F.col("object").alias("child"))
+        .distinct()
+    )
+    roots = (
+        model.where(
+            (F.col("predicate") == I.RDF_TYPE)
+            & (F.col("object") == ":sepio/Assertion")
+        )
+        .select(F.col("subject").alias("root"))
+        .distinct()
+    )
+    level = roots.join(edges, roots.root == edges.parent).select(
+        "root", F.col("child").alias("line"), F.lit(1).alias("depth")
+    )
+    acc = level
+    for d in range(2, max_depth + 1):
+        level = level.join(edges, level.line == edges.parent).select(
+            "root", F.col("child").alias("line"), F.lit(d).alias("depth")
+        )
+        acc = acc.unionByName(level)
+
+    def field(pred, name):
+        return model.where(F.col("predicate") == pred).select(
+            F.col("subject").alias("line"), F.col("object").alias(name)
+        )
+
+    cards = (
+        acc.join(field(":sepio/evidence-line-strength-score", "score"), "line", "left_outer")
+        .join(field(":dc/description", "description"), "line", "left_outer")
+    )
+    contrib = (
+        model.where(F.col("predicate") == ":sepio/qualified-contribution")
+        .select(F.col("subject").alias("root"), F.col("object").alias("contrib"))
+        .join(
+            model.where(F.col("predicate") == ":sepio/has-agent").select(
+                F.col("subject").alias("contrib"), F.col("object").alias("agent")
+            ),
+            "contrib",
+            "left_outer",
+        )
+        .join(
+            model.where(F.col("predicate") == ":sepio/activity-date").select(
+                F.col("subject").alias("contrib"),
+                F.col("object").alias("activity_date"),
+            ),
+            "contrib",
+            "left_outer",
+        )
+        .drop("contrib")
+    )
+    return cards.join(contrib, "root", "left_outer").select(
+        "root",
+        "line",
+        "depth",
+        F.col("score").cast("double").alias("score"),
+        "description",
+        "agent",
+        "activity_date",
+    )
+
+
 RESOLVERS = {
     "entity": entity_card,
     "entities": entity_list,
@@ -106,6 +234,7 @@ RESOLVERS = {
     "disease_subtree": CUR.disease_subtree_counts,
     "describe": A.describe,
     "statistics": statistics,
+    "evidence_cards": evidence_cards,
 }
 
 

@@ -33,9 +33,14 @@ TRIPLE_SCHEMA = (
     "object_is_iri boolean, object_datatype string"
 )
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF_DIR), reason="reference tree not present"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.isdir(REF_DIR), reason="reference tree not present"
+    ),
+    # every test compiles+runs real reference .sparql files (the full
+    # chain test alone is ~5 min); inner loop: -m "not slow"
+    pytest.mark.slow,
+]
 
 
 def T(spark, rows):

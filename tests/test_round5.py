@@ -352,3 +352,35 @@ class TestRankedTextSearch:
         out = {r.node: r for r in
                A.text_search_ranked(t, "spark", limit=10).collect()}
         assert out["urn:x"].score > out["urn:y"].score  # tf 3 vs 1
+
+
+class TestEvidenceCards:
+    """plans.resolvers.evidence_cards: bounded-depth has-evidence tree
+    flatten + per-line fields + root contribution denormalization."""
+
+    def test_tree_depths_and_fields(self, spark):
+        from pyspark.sql import functions as F
+
+        from genegraph_spark.plans import resolvers as R
+
+        # 8 events → two chains of 4: roots el:0 and el:4
+        rows = [
+            (i, "2024-01-0%d 00:00:00" % (i + 1), i * 3, "view", 1.5 + i)
+            for i in range(8)
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        cards = R.evidence_cards(R.evidence_model(ev)).collect()
+        by = {(r.root, r.line): r for r in cards}
+        assert len(cards) == 6  # 3 descendants per root
+        r = by[("urn:el:0", "urn:el:2")]
+        assert r.depth == 2
+        assert r.score == 3.5  # el:2's own strength score
+        assert r.description == "view"
+        assert r.agent == "urn:aff:0"  # root el:0's contribution agent
+        assert by[("urn:el:4", "urn:el:7")].depth == 3
+        assert by[("urn:el:4", "urn:el:5")].agent == "urn:aff:2"  # user 12 % 10
+        # roots never appear as lines; no cross-tree leakage
+        assert ("urn:el:0", "urn:el:5") not in by
