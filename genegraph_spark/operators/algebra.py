@@ -493,3 +493,48 @@ def text_search_ranked(
         .limit(limit)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def compatible_join(
+    left: DataFrame, right: DataFrame, nullable_cols: list[str]
+) -> DataFrame:
+    """SPARQL-compatible INNER join: shared variables in
+    ``nullable_cols`` may be UNBOUND (SQL NULL) on the left, and an
+    unbound variable is compatible with ANY right binding — the merged
+    solution takes the right side's value (SPARQL 1.1 §18.3 solution
+    compatibility). A plain equi-join would send NULL keys nowhere.
+
+    Spark-first shape: NO theta-join/nested-loop — the left splits by
+    its null-signature over ``nullable_cols`` (≤ 2^k branches, k
+    small: only variables a prior OPTIONAL/BIND/VALUES could leave
+    unbound are listed), each branch equi-joins on its definitely-bound
+    shared subset, and the union coalesces. Same defined-signature
+    strategy :func:`values` uses for UNDEF."""
+    shared = sorted(set(left.columns) & set(right.columns))
+    nn = [c for c in shared if c in set(nullable_cols)]
+    if not nn:
+        return join(left, right)
+    if len(nn) > 4:
+        raise ValueError(
+            f"compatible_join: {len(nn)} maybe-unbound shared variables "
+            f"({nn}) — 2^k branch explosion; restructure the query"
+        )
+    from itertools import combinations
+
+    out = None
+    for k in range(len(nn) + 1):
+        for mask in combinations(nn, k):
+            part = left
+            for c in nn:
+                part = part.where(
+                    F.col(c).isNull() if c in mask else F.col(c).isNotNull()
+                )
+            part = part.drop(*mask)  # unbound → take the right's binding
+            keys = [c for c in shared if c not in mask]
+            branch = (
+                part.join(right, keys, "inner")
+                if keys
+                else part.crossJoin(right)
+            )
+            out = branch if out is None else out.unionByName(branch)
+    return out

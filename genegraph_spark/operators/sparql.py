@@ -915,7 +915,19 @@ class _Compiler:
 
     # -- groups --------------------------------------------------------------
     def group(self, elements: list) -> DataFrame:
+        return self._group(elements)[0]
+
+    def _group(self, elements: list) -> tuple[DataFrame, set]:
+        """Compile a group; also return the set of MAYBE-UNBOUND
+        variables (columns a prior OPTIONAL / BIND / UNDEF VALUES /
+        asymmetric UNION could have left as SQL NULL). A later OPTIONAL
+        sharing such a variable must use SPARQL solution COMPATIBILITY
+        (unbound matches anything, merged solution takes the bound
+        value) instead of a NULL-rejecting equi-join — the
+        construct_functional_evidence.sparql shape, where three
+        mutually-exclusive OPTIONALs each BIND the same ?gciSubType."""
         cur: DataFrame | None = None
+        maybe: set = set()
         filters: list = []
         exists_clauses: list = []
         # VALUES appearing before anything else whose rows contain UNDEF
@@ -940,7 +952,8 @@ class _Compiler:
                 for s, path, o in el[1]:
                     cur = merge(self.scan(s, path, o))
             elif kind == "optional":
-                cur = self._optional(cur, el[1])
+                cur, ext_maybe = self._optional(cur, el[1], maybe)
+                maybe |= ext_maybe
             elif kind == "filter":
                 filters.append(el[1])
             elif kind == "fexists":
@@ -948,12 +961,16 @@ class _Compiler:
             elif kind == "bind":
                 base = cur if cur is not None else self._unit()
                 cur = base.withColumn(el[2], self.term_expr(el[1], base))
+                # a BIND expression can evaluate to NULL (e.g. an
+                # unbound-var reference outside IF(BOUND(...)))
+                maybe.add(el[2])
             elif kind == "values":
                 vs, rows = el[1], el[2]
                 tbl_rows = [
                     {v: _tag_const(t) for v, t in zip(vs, row) if t is not None}
                     for row in rows
                 ]
+                maybe |= {v for v in vs if any(v not in r for r in tbl_rows)}
                 if cur is not None:
                     cur = A.values(cur, tbl_rows)
                 elif all(len(r) == len(vs) for r in tbl_rows):
@@ -965,13 +982,20 @@ class _Compiler:
                 else:
                     deferred_values.append((vs, tbl_rows))
             elif kind == "union":
-                u = reduce(A.union, (self.group(g) for g in el[1]))
+                branches = [self._group(g) for g in el[1]]
+                u = reduce(A.union, (b[0] for b in branches))
+                cols = [set(b[0].columns) for b in branches]
+                # columns missing from any branch arrive as NULLs
+                maybe |= set().union(*cols) - set.intersection(*cols)
+                maybe |= set().union(*(b[1] for b in branches))
                 cur = merge(u)
             elif kind == "minus":
                 if cur is not None:
                     cur = A.minus(cur, self.group(el[1]))
             elif kind == "group":
-                cur = merge(self.group(el[1]))
+                sub, sub_maybe = self._group(el[1])
+                cur = merge(sub)
+                maybe |= sub_maybe
             else:
                 raise ValueError(f"unknown group element {kind!r}")
             if cur is not None and deferred_values:
@@ -1002,7 +1026,7 @@ class _Compiler:
                 cur = cur.join(
                     probe, F.lit(True), "left_semi" if positive else "left_anti"
                 )
-        return cur
+        return cur, maybe
 
     @staticmethod
     def _expr_vars(e) -> set:
@@ -1023,8 +1047,14 @@ class _Compiler:
         walk(e)
         return out
 
-    def _optional(self, cur: DataFrame | None, inner_elems: list) -> DataFrame:
-        """OPTIONAL with SPARQL LeftJoin(A, B, F) semantics.
+    def _optional(
+        self,
+        cur: DataFrame | None,
+        inner_elems: list,
+        outer_maybe: set = frozenset(),
+    ) -> tuple[DataFrame, set]:
+        """OPTIONAL with SPARQL LeftJoin(A, B, F) semantics. Returns
+        (df, maybe-unbound additions).
 
         A top-level FILTER inside the OPTIONAL whose variables are not
         all bound by the inner pattern is part of the LEFT-JOIN
@@ -1033,10 +1063,15 @@ class _Compiler:
         inside the inner group and dropped every optional match —
         ADVICE r4). Evaluation: μ1 extends with a compatible μ2 passing
         F; a μ1 with no passing match survives alone (even when matches
-        existed but all failed F)."""
+        existed but all failed F).
+
+        Shared variables in ``outer_maybe`` (a prior OPTIONAL / BIND /
+        UNDEF could have left them NULL) join with SPARQL solution
+        COMPATIBILITY (:func:`algebra.compatible_join`) instead of a
+        NULL-rejecting equi-join."""
         fel = [e for e in inner_elems if e[0] == "filter"]
         nonf = [e for e in inner_elems if e[0] != "filter"]
-        right = self.group(nonf)
+        right, right_maybe = self._group(nonf)
         inner_vars = set(right.columns)
         join_filters = []
         for e in fel:
@@ -1048,21 +1083,31 @@ class _Compiler:
             # no outer bindings: outer-var refs are genuinely unbound
             for e in join_filters:
                 right = right.where(self.bool_expr(e, right))
-            return right
-        if not join_filters:
-            return A.optional(cur, right)
-        merged = A.join(cur, right)
+            return right, set(right_maybe)
+        ext = set(right.columns) - set(cur.columns)
+        nullable_shared = sorted(
+            set(cur.columns) & set(right.columns) & set(outer_maybe)
+        )
+        if not join_filters and not nullable_shared:
+            return A.optional(cur, right), ext | right_maybe
+        # general LeftJoin: inner compatible join + re-emit of the left
+        # rows with no surviving match. A row id keys the re-emission
+        # (value-based anti-joins mis-handle NULL columns); the lazy
+        # localCheckpoint freezes the nondeterministic ids at first
+        # materialization so both branches read identical values.
+        lid = "__lid"
+        cur_id = cur.withColumn(lid, F.monotonically_increasing_id())
+        cur_id = cur_id.localCheckpoint(eager=False)
+        merged = A.compatible_join(cur_id, right, nullable_shared)
         for e in join_filters:
             merged = merged.where(self.bool_expr(e, merged))
-        # left rows with no surviving match re-emit with unbound B-vars
-        lonely = cur.join(
-            merged.select(*cur.columns).distinct(), cur.columns, "left_anti"
-        )
-        extra = [c for c in merged.columns if c not in cur.columns]
+        lonely = cur_id.join(merged.select(lid), lid, "left_anti")
+        extra = [c for c in merged.columns if c not in cur_id.columns]
         lonely = lonely.select(
-            *cur.columns, *[F.lit(None).cast("string").alias(c) for c in extra]
+            *cur_id.columns, *[F.lit(None).cast("string").alias(c) for c in extra]
         )
-        return merged.unionByName(lonely)
+        out = merged.select(*cur_id.columns, *extra).unionByName(lonely).drop(lid)
+        return out, ext | right_maybe | set(nullable_shared)
 
     # -- expressions ---------------------------------------------------------
     @staticmethod

@@ -744,3 +744,178 @@ class TestGeneValidityVariantDir:
         assert (SEPIO + "0004085", True) in item[A_TYPE]
         assert item[":dc/source"] == {(PM + "31001", True)}
         assert item[":rdfs/label"] == {("Family 1", False)}
+
+
+class TestExperimentalEvidenceConstructs:
+    """The four experimental-evidence constructors + proband segregation
+    + unscoreable evidence — all dictionary-driven (`gcixform:usedIn`
+    discriminates the same GCI type across Functional / Rescue /
+    ModelSystems contexts)."""
+
+    @staticmethod
+    def _score_base(item, extra):
+        """An evidenceScore + its scored experimental item + annotation."""
+        sc = GCI + "sc1"
+        return [
+            iri(sc, RDF + "type", GCI + "evidenceScore"),
+            lit(sc, GCI + "calculatedScore", "2", "xsd:decimal"),
+            lit(sc, GCI + "scoreStatus", "Score"),
+            iri(sc, GCI + "affiliation", GCI + "aff1"),
+            lit(sc, GCI + "score", "1.5", "xsd:decimal"),
+            lit(sc, GCI + "scoreExplanation", "because"),
+            iri(item, GCI + "scores", sc),
+            lit(item, GCI + "label", "Exp 1"),
+            iri(GCI + "ann1", GCI + "experimentalData", item),
+            iri(GCI + "ann1", GCI + "article", GCI + "pub1"),
+            lit(GCI + "pub1", GCI + "pmid", "31001"),
+        ] + extra
+
+    def _run(self, spark, dictionary, fname, rows):
+        src = T(spark, rows).unionByName(dictionary)
+        return by_subject(q(fname).run(src, pmbase=PM).collect())
+
+    def test_model_systems_used_in_discrimination(self, spark, dictionary):
+        """NonHumanModel appears under BOTH ModelSystems (0004027) and
+        Rescue (0004030); usedIn must pick the ModelSystems row."""
+        item = GCI + "item1"
+        rows = self._score_base(item, [
+            iri(item, GCI + "modelSystems", "_:ms"),
+            lit("_:ms", GCI + "explanation", "mouse knockout"),
+            iri("_:ms", GCI + "modelSystemsType", GCX + "NonHumanModel"),
+        ])
+        out = self._run(
+            spark, dictionary, "construct_model_systems_evidence.sparql", rows
+        )
+        line = out[GCI + "sc1"]
+        assert (SEPIO + "0004027", True) in line[A_TYPE]
+        assert line[":sepio/evidence-line-strength-score"] == {("1.5", False)}
+        assert line[":sepio/calculated-score"] == {("2", False)}
+        it = out[item]
+        assert (SEPIO + "0004046", True) in it[A_TYPE]
+        assert it[":dc/description"] == {("mouse knockout", False)}
+        assert it[":dc/source"] == {(PM + "31001", True)}
+
+    def test_rescue_same_gci_type_other_context(self, spark, dictionary):
+        item = GCI + "item1"
+        rows = self._score_base(item, [
+            iri(item, GCI + "rescue", "_:r"),
+            lit("_:r", GCI + "explanation", "rescued phenotype"),
+            iri("_:r", GCI + "rescueType", GCX + "NonHumanModel"),
+        ])
+        out = self._run(
+            spark, dictionary, "construct_rescue_evidence.sparql", rows
+        )
+        line = out[GCI + "sc1"]
+        assert (SEPIO + "0004030", True) in line[A_TYPE]  # Rescue row wins
+        assert out[item][A_TYPE] == {(SEPIO + "0004049", True)}
+
+    def test_functional_expression_subtype_a(self, spark, dictionary):
+        """Expression + normalExpression present → subtype A (0004188);
+        the description flows through the expression path COALESCE."""
+        item = GCI + "item1"
+        rows = self._score_base(item, [
+            iri(item, GCI + "evidenceType", GCX + "Expression"),
+            iri(item, GCI + "expression", "_:exp"),
+            iri("_:exp", GCI + "normalExpression", "_:nexp"),
+            lit("_:nexp", GCI + "evidence", "expressed in cortex"),
+        ])
+        out = self._run(
+            spark, dictionary, "construct_functional_evidence.sparql", rows
+        )
+        line = out[GCI + "sc1"]
+        assert (SEPIO + "0004188", True) in line[A_TYPE]
+        it = out[item]
+        assert (SEPIO + "0004043", True) in it[A_TYPE]
+        assert it[":dc/description"] == {("expressed in cortex", False)}
+
+    def test_functional_biochemical_subtype_b(self, spark, dictionary):
+        """BiochemicalFunction WITHOUT geneWithSameFunctionSameDisease →
+        subtype B (0004181); description falls through the biochemical
+        COALESCE chain to evidenceForFunction."""
+        item = GCI + "item1"
+        rows = self._score_base(item, [
+            iri(item, GCI + "evidenceType", GCX + "BiochemicalFunction"),
+            iri(item, GCI + "biochemicalFunction", "_:bf"),
+            lit("_:bf", GCI + "evidenceForFunction", "kinase activity"),
+        ])
+        out = self._run(
+            spark, dictionary, "construct_functional_evidence.sparql", rows
+        )
+        assert (SEPIO + "0004181", True) in out[GCI + "sc1"][A_TYPE]
+        assert out[item][":dc/description"] == {("kinase activity", False)}
+
+    def test_functional_alteration_patient_cells(self, spark, dictionary):
+        item = GCI + "item1"
+        rows = self._score_base(item, [
+            iri(item, GCI + "functionalAlteration", "_:fa"),
+            iri("_:fa", GCI + "functionalAlterationType", GCX + "PatientCells"),
+            lit("_:fa", GCI + "evidenceForNormalFunction", "altered splicing"),
+        ])
+        out = self._run(
+            spark, dictionary,
+            "construct_functional_alteration_evidence.sparql", rows,
+        )
+        assert (SEPIO + "0004025", True) in out[GCI + "sc1"][A_TYPE]
+        it = out[item]
+        assert (SEPIO + "0004044", True) in it[A_TYPE]
+        assert it[":dc/description"] == {("altered splicing", False)}
+
+    def test_proband_segregation_requires_scored_proband(self, spark):
+        """The mirror image of family segregation: ONLY families whose
+        included proband is scored (status ≠ SEPIO_0004585) emit, with
+        is-about-proband bound."""
+        def fam_rows(n, status):
+            fam, prob, sc = GCI + f"fam{n}", GCI + f"prob{n}", GCI + f"fsc{n}"
+            return fam, [
+                iri(fam, RDF + "type", GCI + "family"),
+                iri(fam, GCI + "segregation", f"_:s{n}"),
+                lit(fam, GCI + "label", f"Fam {n}"),
+                lit(f"_:s{n}", GCI + "estimatedLodScore", "2.5", "xsd:decimal"),
+                iri(GCI + "ann1", GCI + "families", fam),
+                iri(fam, GCI + "individualIncluded", prob),
+                lit(prob, GCI + "proband", "true", "xsd:boolean"),
+                iri(prob, GCI + "scores", sc),
+                iri(sc, GCI + "affiliation", GCI + "aff1"),
+                (sc, GCI + "scoreStatus", status[0], status[1], None),
+            ]
+        f1, rows1 = fam_rows(1, ("Score", False))
+        # contradicts status (SEPIO_0004585) → excluded by NOT EXISTS
+        f2, rows2 = fam_rows(2, (SEPIO + "0004585", True))
+        rows = rows1 + rows2 + [
+            iri(GCI + "ann1", GCI + "article", GCI + "pub1"),
+            lit(GCI + "pub1", GCI + "pmid", "31001"),
+        ]
+        out = by_subject(
+            q("construct_proband_segregation_evidence.sparql")
+            .run(T(spark, rows), pmbase=PM)
+            .collect()
+        )
+        seg1 = out[f1 + "_proband_segregation"]
+        assert seg1[":sepio/is-about-proband"] == {(GCI + "prob1", True)}
+        assert seg1[":sepio/estimated-lod-score"] == {("2.5", False)}
+        assert f2 + "_proband_segregation" not in out
+
+    def test_unscoreable_evidence(self, spark):
+        ann = GCI + "ann1"
+        rows = [
+            iri(ann, RDF + "type", GCI + "annotation"),
+            iri(ann, GCI + "article", GCI + "pub1"),
+            lit(GCI + "pub1", GCI + "pmid", "31001"),
+            iri(ann, GCI + "articleNotes", "_:notes"),
+            iri("_:notes", GCI + "nonscorable", "_:ns"),
+            lit("_:ns", GCI + "checked", "true", "xsd:boolean"),
+            lit("_:ns", GCI + "text", "not scorable because reasons"),
+        ]
+        out = by_subject(
+            q("construct_unscoreable_evidence.sparql")
+            .run(T(spark, rows), pmbase=PM)
+            .collect()
+        )
+        line = out[ann]
+        assert (":sepio/UnscoreableEvidenceLine", True) in line[A_TYPE]
+        assert line[":dc/description"] == {
+            ("not scorable because reasons", False)
+        }
+        item = out[ann + "_evidence_item"]
+        assert (":sepio/EvidenceItem", True) in item[A_TYPE]
+        assert item[":dc/source"] == {(PM + "31001", True)}

@@ -276,6 +276,7 @@ store.merge(spark.createDataFrame(rows2, TRIPLE_SCHEMA))  # dies mid-commit
 """
 
 
+@pytest.mark.slow
 def test_kill_between_data_and_manifest_then_resume(spark, tmp_path):
     """The BASELINE resumability rule, for real: a run hard-killed after
     commit 1's data write but before its manifest write must leave the
@@ -401,6 +402,7 @@ def test_construct_kg_keep_text_single_pass(spark, sf_dir):
     assert {tuple(r) for r in base.triples.collect()} == {tuple(r) for r in fused.triples.collect()}
 
 
+@pytest.mark.slow
 def test_model_isomorphism_bnode_renaming(spark):
     from genegraph_spark.operators import model as M
 

@@ -27,6 +27,7 @@ def _union_find(pairs):
     return sorted((n, find(n)) for n in parent)
 
 
+@pytest.mark.slow
 class TestConnectedComponentsLogRounds:
     def test_cc_random_graph_matches_union_find(self, spark):
         random.seed(7)

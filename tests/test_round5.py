@@ -384,3 +384,66 @@ class TestEvidenceCards:
         assert by[("urn:el:4", "urn:el:5")].agent == "urn:aff:2"  # user 12 % 10
         # roots never appear as lines; no cross-tree leakage
         assert ("urn:el:0", "urn:el:5") not in by
+
+
+class TestCompatibleOptional:
+    """Two mutually-exclusive OPTIONALs binding the SAME variable: the
+    second must treat an unbound (NULL) left binding as compatible —
+    the construct_functional_evidence.sparql ?gciSubType shape."""
+
+    TRIPLE_SCHEMA = (
+        "graph string, subject string, predicate string, object string, "
+        "object_is_iri boolean, object_datatype string"
+    )
+
+    def test_same_var_bound_by_either_optional(self, spark):
+        from genegraph_spark.operators import sparql as S
+
+        rows = [
+            ("g", "urn:a", ":kind", "urn:K1", True, None),
+            ("g", "urn:a", ":x", "ax", False, None),
+            ("g", "urn:b", ":kind", "urn:K2", True, None),
+            ("g", "urn:b", ":y", "by", False, None),
+            ("g", "urn:c", ":kind", "urn:K3", True, None),
+        ]
+        t = spark.createDataFrame(rows, self.TRIPLE_SCHEMA)
+        out = S.sparql(
+            t,
+            """SELECT ?s ?sub WHERE {
+                 ?s :kind ?k .
+                 OPTIONAL { FILTER(?k = <urn:K1>) ?s :x ?v1 .
+                            BIND("from-x" AS ?sub) }
+                 OPTIONAL { FILTER(?k = <urn:K2>) ?s :y ?v2 .
+                            BIND("from-y" AS ?sub) }
+               }""",
+        ).collect()
+        got = {r.s: r.sub for r in out}
+        assert got == {"urn:a": "from-x", "urn:b": "from-y", "urn:c": None}
+        assert len(out) == 3
+
+    def test_compatible_join_signature_split(self, spark):
+        from pyspark.sql import functions as F
+
+        from genegraph_spark.operators import algebra as A
+
+        left = spark.createDataFrame(
+            [("a", "k1"), ("b", None), ("c", "k9")], "s string, k string"
+        )
+        right = spark.createDataFrame(
+            [("k1", "v1"), ("k2", "v2")], "k string, v string"
+        )
+        out = A.compatible_join(left, right, ["k"])
+        got = {(r.s, r.k, r.v) for r in out.collect()}
+        # bound-and-matching joins; unbound row is compatible with BOTH
+        assert got == {
+            ("a", "k1", "v1"),
+            ("b", "k1", "v1"),
+            ("b", "k2", "v2"),
+        }
+        # the bound signature runs as a hash equi-join; only the
+        # all-unbound signature slice (semantically a cross product —
+        # unbound matches every right row) may be cartesian
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]  # AQE prints both
+        assert ("BroadcastHashJoin" in final) or ("SortMergeJoin" in final)
+        assert final.count("CartesianProduct") <= 1

@@ -335,6 +335,7 @@ class TestReferenceQueries:
         t1 = [r for r in rows if r.predicate.endswith("type")]
         assert all(r.object_is_iri for r in t1)
 
+    @pytest.mark.slow
     def test_construct_proband_score_runs(self, spark, gci_graph):
         """The largest reference query (150 lines: NOT EXISTS guard,
         nested OPTIONALs, rdf:rest{n} indexing, ^p?/^(a|b)?/c paths,
@@ -388,6 +389,7 @@ class TestReferenceQueries:
         # article IRI composed from the prebound base + pmid
         assert item[":dc/source"] == "https://pubmed.ncbi.nlm.nih.gov/31001"
 
+    @pytest.mark.slow
     def test_proband_not_exists_guard(self, spark):
         """The SOP8 guard: presence of any gci:variantScore empties the
         whole result."""
