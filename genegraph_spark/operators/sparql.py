@@ -67,6 +67,9 @@ from pyspark.sql import functions as F
 from . import algebra as A
 
 RDF_TYPE = "rdf:type"
+# the Jena full-text dataset predicate (database/instance.clj:29-31 text
+# index; query.clj:133-153 text-search-bgp) in both spellings
+_TEXT_QUERY_IRIS = ("http://jena.apache.org/text#query", "text:query")
 RDF_TYPE_FULL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 XSD_BOOLEAN = "xsd:boolean"
 _MAXLEN = 1 << 20  # effectively-unbounded substr length
@@ -232,6 +235,16 @@ class _Parser:
             self.eat_op("]")
             self._bnode_n += 1
             return ("var", f"_anon_{self._bnode_n}")
+        if t.kind == "OP" and t.text == "(" and not in_expr:
+            # collection term: `( a b ... )` — used by the Jena text
+            # BGP (`?s text:query ( prop "terms" [limit] )`,
+            # query.clj:133-153 text-search-bgp builds exactly this
+            # rdf-list shape) and its `(?s ?score)` subject form
+            items = []
+            while not self.at_op(")"):
+                items.append(self.term())
+            self.eat_op(")")
+            return ("coll", items)
         if t.kind == "OP" and t.text == "-" and self.peek() and self.peek().kind == "NUMBER":
             n = self.next()
             dt = "xsd:decimal" if "." in n.text else "xsd:integer"
@@ -780,6 +793,8 @@ class _Compiler:
         """One triple pattern → tagged bindings. Simple predicates filter
         the raw columns (parquet pushdown, algebra.scan:41-58); complex
         paths go through :meth:`path_pairs`."""
+        if path[0] == "pred" and path[1] in _TEXT_QUERY_IRIS:
+            return self._text_query(s, o)
         if path[0] == "pred":
             df = self.triples.where(self._pred_filter(path[1]))
             return self._bind_endpoints(df, s, o)
@@ -810,6 +825,79 @@ class _Compiler:
             else:
                 df = df.where(F.col(col) == _tag_const(term))
         return df.select(*out_cols) if out_cols else df.select(F.lit(1).alias("_unit"))
+
+    def _text_query(self, s, o) -> DataFrame:
+        """The Jena full-text BGP: ``?s text:query ( prop "terms"
+        [limit] )`` — the shape ``text-search-bgp``
+        (database/query.clj:133-153) composes and the dosage
+        gene/region/disease filters embed (gene_dosage.clj:70-110).
+        Subject may be ``(?s ?score)`` to also bind the relevance score
+        (Jena text ext). Matching = any query token; scoring = the
+        tf·idf of :func:`.algebra.text_search_ranked` (6dp, engine-
+        portable); ``limit`` keeps the top-limit by (score desc, node).
+
+        Scale shape: delegates to the inverted-index view — query-token
+        postings only, broadcast df/N scalars, one grouped sum."""
+        import re as _re
+
+        if o[0] != "coll" or not 2 <= len(o[1]) <= 3:
+            raise SparqlSyntaxError(
+                "text:query object must be ( property \"terms\" [limit] )"
+            )
+        prop, qlit = o[1][0], o[1][1]
+        if prop[0] != "iri" or qlit[0] != "lit":
+            raise SparqlSyntaxError(
+                "text:query arguments are a property IRI and a literal"
+            )
+        limit = None
+        if len(o[1]) == 3:
+            if o[1][2][0] != "lit":
+                raise SparqlSyntaxError("text:query limit must be a number")
+            limit = int(o[1][2][1])
+        if s[0] == "coll":
+            if len(s[1]) != 2 or any(t[0] != "var" for t in s[1]):
+                raise SparqlSyntaxError(
+                    "text:query subject list must be (?node ?score)"
+                )
+            svar, scorevar = s[1][0][1], s[1][1][1]
+        elif s[0] == "var":
+            svar, scorevar = s[1], None
+        else:
+            raise SparqlSyntaxError("text:query subject must be a variable")
+        # strip the reference's lucene-ism: '( term OR term )' query
+        # strings (gene_dosage.clj gene-filter) — OR is our default
+        qtext = _re.sub(r"(?i)\bOR\b", " ", qlit[1]).strip("() ")
+        idx = A.text_index(self.triples, predicates=[prop[1]])
+        qtokens = [t for t in _re.split(r"[^a-z0-9]+", qtext.lower()) if t]
+        if not qtokens:
+            raise SparqlSyntaxError("text:query needs at least one token")
+        n_docs = idx.select("node").distinct().agg(F.count("*").alias("n"))
+        hits = idx.where(F.col("token").isin(qtokens))
+        dfreq = hits.groupBy("token").agg(F.countDistinct("node").alias("df"))
+        scored = (
+            hits.join(F.broadcast(dfreq), "token")
+            .crossJoin(F.broadcast(n_docs))
+            .withColumn(
+                "w",
+                F.col("tf").cast("double")
+                * F.log(
+                    F.lit(1.0)
+                    + F.col("n").cast("double") / F.col("df").cast("double")
+                ),
+            )
+            .groupBy("node")
+            .agg(F.round(F.sum("w"), 6).alias("score"))
+        )
+        if limit is not None:
+            scored = scored.orderBy(F.desc("score"), F.asc("node")).limit(limit)
+        cols = [F.concat(F.lit("I|"), F.col("node")).alias(svar)]
+        if scorevar is not None:
+            cols.append(
+                F.concat(
+                    F.lit("L|xsd:decimal|"), F.col("score").cast("string")
+                ).alias(scorevar)
+            )
+        return scored.select(*cols)
 
     def _endpoint_exprs(self, s, o):
         cols: list[Column] = []

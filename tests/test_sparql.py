@@ -881,3 +881,55 @@ class TestMoreReferenceQueries:
         line = by["urn:cls1_overall_genetic_evidence_line"]
         assert line[":sepio/evidence-line-strength-score"] == "7.5"
         assert by["urn:cls1"][":sepio/has-evidence"] == "urn:cls1_overall_genetic_evidence_line"
+
+
+class TestTextQueryBgp:
+    """The Jena full-text BGP (`?s text:query ( prop "terms" [limit] )`,
+    query.clj:133-153 text-search-bgp; embedded in the dosage filters,
+    gene_dosage.clj:70-110) compiled onto the inverted-index ranker."""
+
+    @pytest.fixture(scope="class")
+    def tq_graph(self, spark):
+        return T(
+            spark,
+            [
+                lit("urn:g1", ":label", "red widget"),
+                lit("urn:g2", ":label", "red bolt"),
+                lit("urn:g3", ":label", "blue gear"),
+                iri("urn:g1", "rdf:type", ":Gene"),
+                iri("urn:g2", "rdf:type", ":Gene"),
+                iri("urn:g3", "rdf:type", ":Gene"),
+                # a different property must NOT be searched
+                lit("urn:g4", ":note", "red herring"),
+            ],
+        )
+
+    def test_match_joins_into_bgp(self, spark, tq_graph):
+        out = S.sparql(
+            tq_graph,
+            """prefix text: <http://jena.apache.org/text#>
+               SELECT ?s WHERE { ?s text:query ( :label "red" ) .
+                                 ?s a :Gene }""",
+        ).collect()
+        assert sorted(r.s for r in out) == ["urn:g1", "urn:g2"]
+
+    def test_score_binding_and_limit(self, spark, tq_graph):
+        out = S.sparql(
+            tq_graph,
+            """prefix text: <http://jena.apache.org/text#>
+               SELECT ?s ?sc WHERE {
+                 (?s ?sc) text:query ( :label "red widget" 2 ) }""",
+        ).collect()
+        by = {r.s: float(r.sc) for r in out}
+        assert set(by) == {"urn:g1", "urn:g2"}
+        # two matched tokens outscore one
+        assert by["urn:g1"] > by["urn:g2"]
+
+    def test_reference_quoted_or_form(self, spark, tq_graph):
+        """gene_dosage.clj gene-filter embeds '( a OR b )' literals."""
+        out = S.sparql(
+            tq_graph,
+            """prefix text: <http://jena.apache.org/text#>
+               SELECT ?s WHERE { ?s text:query ( :label '( red OR blue )' ) }""",
+        ).collect()
+        assert sorted(r.s for r in out) == ["urn:g1", "urn:g2", "urn:g3"]
