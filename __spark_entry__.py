@@ -1289,6 +1289,34 @@ def q_cur_evidence_cards(spark, sf_dir):
     return R.evidence_cards(m, max_depth=4)
 
 
+_CLINSIG_TERMS = [
+    "Benign", "benign/likely benign", "Pathogenic", "LIKELY PATHOGENIC",
+    "uncertain significance", "drug response", "association", "WEIRD_UNKNOWN",
+]
+
+
+def q_fn_clinsig_normalize(spark, sf_dir):
+    # ClinVar clinical-significance normalization through the reference's
+    # own CSV resources (transform/clinvar/common.clj:84-140): lowercase
+    # → normalized code/label → class row (significance, prop type),
+    # unknown terms → the "other" class. Raw terms derived
+    # deterministically from events; per-class rollup
+    from genegraph_spark.sources import clinsig as CS
+
+    normalized, classes = CS.clinsig_tables(spark)
+    ev = _read(spark, sf_dir, "events")
+    raw = ev.select(
+        F.element_at(
+            F.array(*[F.lit(t) for t in _CLINSIG_TERMS]),
+            (F.col("event_id") % 8 + 1).cast("int"),
+        ).alias("clinsig")
+    )
+    out = CS.normalize_clinsig(raw, "clinsig", normalized, classes)
+    return out.groupBy(
+        "clinsig_code", "clinsig_label", "significance", "prop_type"
+    ).agg(F.count("*").alias("n"))
+
+
 def q_alg_sparql_select(spark, sf_dir):
     # SPARQL *text* front-end (operators/sparql.py; create-query on
     # strings, resource.clj:223-239): a SELECT with a sequence property
@@ -1626,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_gene_dosage": q_cur_gene_dosage,
         "cur_actionability_stats": q_cur_actionability_stats,
         "cur_evidence_cards": q_cur_evidence_cards,
+        "fn_clinsig_normalize": q_fn_clinsig_normalize,
         "alg_sparql_agg": q_alg_sparql_agg,
         "join_salted_topk": q_join_salted_topk,
         "graph_pagerank": q_graph_pagerank,
@@ -2991,6 +3020,31 @@ SELECT t.root, t.line, t.depth, f.score, f.description,
 FROM tree t
 LEFT JOIN fields f ON f.line = t.line
 LEFT JOIN roots r ON r.root = t.root""",
+        "fn_clinsig_normalize": """
+WITH raw AS (
+  SELECT CASE CAST(event_id % 8 AS INT)
+    WHEN 0 THEN 'Benign' WHEN 1 THEN 'benign/likely benign'
+    WHEN 2 THEN 'Pathogenic' WHEN 3 THEN 'LIKELY PATHOGENIC'
+    WHEN 4 THEN 'uncertain significance' WHEN 5 THEN 'drug response'
+    WHEN 6 THEN 'association' ELSE 'WEIRD_UNKNOWN' END AS clinsig
+  FROM events),
+n AS (SELECT * FROM read_csv(
+  '/root/reference/resources/clinvar_clinsig_normalized.csv', header=true)),
+c AS (SELECT * FROM read_csv(
+  '/root/reference/resources/clinvar_clinsig_classes.csv', header=true)),
+lk AS (
+  SELECT n.scv_term AS term, n.normalized AS code, n.label AS lbl,
+         c.significance AS sig, c.clinvar_prop_type AS pt
+  FROM n LEFT JOIN c ON c.code = n.normalized),
+fb AS (SELECT label AS lbl, significance AS sig, clinvar_prop_type AS pt
+       FROM c WHERE code = 'oth')
+SELECT coalesce(lk.code, 'oth') AS clinsig_code,
+       coalesce(lk.lbl, fb.lbl) AS clinsig_label,
+       CAST(coalesce(lk.sig, fb.sig) AS INT) AS significance,
+       coalesce(lk.pt, fb.pt) AS prop_type,
+       count(*) AS n
+FROM raw LEFT JOIN lk ON lk.term = lower(raw.clinsig) CROSS JOIN fb
+GROUP BY 1, 2, 3, 4""",
         "graph_comention_pmi": f"""
 WITH t AS ({_TRIPLES_SQL}),
 de AS (SELECT DISTINCT subject AS doc, object AS entity FROM t

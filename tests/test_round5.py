@@ -447,3 +447,39 @@ class TestCompatibleOptional:
         final = plan.split("== Initial Plan ==")[0]  # AQE prints both
         assert ("BroadcastHashJoin" in final) or ("SortMergeJoin" in final)
         assert final.count("CartesianProduct") <= 1
+
+
+class TestClinsigNormalize:
+    """sources.clinsig: the reference's CSV-backed clinical-significance
+    normalization (transform/clinvar/common.clj:84-140)."""
+
+    def test_known_unknown_and_case_folding(self, spark):
+        import os
+
+        import pytest as _pytest
+
+        from genegraph_spark.sources import clinsig as CS
+
+        if not os.path.isdir(CS.REF_RESOURCES):
+            _pytest.skip("reference resources not present")
+        normalized, classes = CS.clinsig_tables(spark)
+        df = spark.createDataFrame(
+            [("Pathogenic",), ("VOUS",), ("probable-pathogenic",),
+             ("no such term",), ("Mutation",)],
+            "clinsig string",
+        )
+        out = {
+            r.clinsig: r
+            for r in CS.normalize_clinsig(
+                df, "clinsig", normalized, classes
+            ).collect()
+        }
+        assert out["Pathogenic"].clinsig_code == "p"
+        assert out["Pathogenic"].significance == 2
+        assert out["Pathogenic"].prop_type == "path"
+        assert out["VOUS"].clinsig_code == "vus"  # case-folded legacy term
+        assert out["probable-pathogenic"].clinsig_code == "lp"
+        assert out["Mutation"].clinsig_label == "Pathogenic"
+        # unknown → the "other" class (normalize-clinvar-clinsig fallback)
+        assert out["no such term"].clinsig_code == "oth"
+        assert out["no such term"].significance == 1
