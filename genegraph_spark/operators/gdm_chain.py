@@ -215,6 +215,25 @@ def transform_gdm(
     dictionary-typed evidence lines exactly like the reference.
     """
     qs = load_query_dir(query_dir, names=names)
+    spark = gdm.sparkSession
+    # The 40-OPTIONAL construct plans spend most of their wall time in
+    # Catalyst analysis; constraint propagation contributes up to half
+    # of it on these shapes (measured 18.8s→8.5s on
+    # construct_functional_evidence) and is also where the fused-plan
+    # crash lived. Scoped set/restore — materialization is eager inside
+    # this function, so the toggle never leaks into caller plans.
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        return _transform_gdm(
+            gdm, qs, dictionary, entrez_gene, affiliation, names
+        )
+    finally:
+        spark.conf.set(cp_key, cp_prev)
+
+
+def _transform_gdm(gdm, qs, dictionary, entrez_gene, affiliation, names):
     if affiliation is None:
         affiliation = find_affiliation(gdm)
     params = {
