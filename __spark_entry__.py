@@ -1289,6 +1289,17 @@ def q_cur_evidence_cards(spark, sf_dir):
     return R.evidence_cards(m, max_depth=4)
 
 
+def q_cur_region_features(spark, sf_dir):
+    # region-feature + coordinate cards: label/band + per-coordinate
+    # build/chromosome/strand/interval flattened in one star-join plan
+    # (region_feature.clj + coordinate.clj field resolvers without
+    # per-node ld1-> traversals)
+    from genegraph_spark.plans import resolvers as R
+
+    m = R.region_model(_read(spark, sf_dir, "part"))
+    return R.region_feature_cards(m)
+
+
 _CLINSIG_TERMS = [
     "Benign", "benign/likely benign", "Pathogenic", "LIKELY PATHOGENIC",
     "uncertain significance", "drug response", "association", "WEIRD_UNKNOWN",
@@ -1655,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_actionability_stats": q_cur_actionability_stats,
         "cur_evidence_cards": q_cur_evidence_cards,
         "fn_clinsig_normalize": q_fn_clinsig_normalize,
+        "cur_region_features": q_cur_region_features,
         "alg_sparql_agg": q_alg_sparql_agg,
         "join_salted_topk": q_join_salted_topk,
         "graph_pagerank": q_graph_pagerank,
@@ -3045,6 +3057,18 @@ SELECT coalesce(lk.code, 'oth') AS clinsig_code,
        count(*) AS n
 FROM raw LEFT JOIN lk ON lk.term = lower(raw.clinsig) CROSS JOIN fb
 GROUP BY 1, 2, 3, 4""",
+        "cur_region_features": """
+SELECT 'urn:region:' || CAST(p_partkey % 40 AS VARCHAR) AS feature,
+       'urn:coord:' || CAST(p_partkey AS VARCHAR) AS coordinate,
+       'region urn:region:' || CAST(p_partkey % 40 AS VARCHAR) AS label,
+       (CASE WHEN p_partkey % 2 = 0 THEN 'q' ELSE 'p' END)
+         || CAST(p_partkey % 40 % 36 + 11 AS VARCHAR) AS band,
+       CASE WHEN p_partkey % 2 = 0 THEN 'GRCh38' ELSE 'GRCh37' END AS build,
+       'chr' || CAST(p_partkey % 22 + 1 AS VARCHAR) AS chromosome,
+       CASE WHEN p_partkey % 3 = 0 THEN '-' ELSE '+' END AS strand,
+       CAST(p_partkey * 1000 AS BIGINT) AS start_pos,
+       CAST(p_partkey * 1000 + (p_size % 50 + 1) * 100 AS BIGINT) AS end_pos
+FROM part""",
         "graph_comention_pmi": f"""
 WITH t AS ({_TRIPLES_SQL}),
 de AS (SELECT DISTINCT subject AS doc, object AS entity FROM t

@@ -244,3 +244,120 @@ def resolve(name: str, triples: DataFrame, **args) -> DataFrame:
     if name not in RESOLVERS:
         raise KeyError(f"unknown resolver {name!r}; known: {sorted(RESOLVERS)}")
     return RESOLVERS[name](triples, **args)
+
+
+def region_model(part: DataFrame) -> DataFrame:
+    """Synthetic sequence-feature model in the triples schema — region
+    features with a chromosomal band and per-row coordinate nodes
+    carrying assembly/chromosome/strand/interval, the shape the
+    region-feature and coordinate field resolvers traverse
+    (``region_feature.clj`` label/band/coordinates;
+    ``coordinate.clj`` build/assembly/chromosome/strand/start/end over
+    ``:geno/has-location`` → ``:so/assembly`` / ``:geno/has-interval``).
+    Deterministic derivation from the ``part`` table."""
+    feat = F.concat(F.lit("urn:region:"), (F.col("p_partkey") % 40).cast("string"))
+    coord = F.concat(F.lit("urn:coord:"), F.col("p_partkey").cast("string"))
+    asm = F.concat(F.lit("urn:assembly:"), F.col("p_partkey").cast("string"))
+    build = F.when(F.col("p_partkey") % 2 == 0, "GRCh38").otherwise("GRCh37")
+    chrom = F.concat(F.lit("chr"), (F.col("p_partkey") % 22 + 1).cast("string"))
+    strand = F.when(F.col("p_partkey") % 3 == 0, "-").otherwise("+")
+    start = (F.col("p_partkey") * 1000).cast("long")
+    end = (F.col("p_partkey") * 1000 + (F.col("p_size") % 50 + 1) * 100).cast(
+        "long"
+    )
+    band = F.concat(
+        F.when(F.col("p_partkey") % 2 == 0, F.lit("q")).otherwise(F.lit("p")),
+        (F.col("p_partkey") % 40 % 36 + 11).cast("string"),
+    )
+
+    def t(s, p, o, is_iri):
+        return part.select(
+            F.lit("g").alias("graph"),
+            s.alias("subject"),
+            F.lit(p).alias("predicate"),
+            o.cast("string").alias("object"),
+            F.lit(is_iri).alias("object_is_iri"),
+            F.lit(None).cast("string").alias("object_datatype"),
+        )
+
+    parts = [
+        t(feat, I.RDF_TYPE, F.lit(":so/SequenceFeature"), True),
+        t(feat, ":rdfs/label", F.concat(F.lit("region "), feat), False),
+        t(feat, ":so/chromosome-band", band, False),
+        t(feat, ":geno/has-location", coord, True),
+        t(coord, ":so/assembly", asm, True),
+        t(asm, ":data/genome-build-identifier", build, False),
+        t(asm, ":so/chromosome", chrom, False),
+        t(coord, ":geno/on-strand", strand, False),
+        t(coord, ":geno/has-interval", F.concat(coord, F.lit("_iv")), True),
+        t(F.concat(coord, F.lit("_iv")), ":geno/start-position", start, False),
+        t(F.concat(coord, F.lit("_iv")), ":geno/end-position", end, False),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates()
+
+
+def region_feature_cards(model: DataFrame) -> DataFrame:
+    """One row per (region feature, coordinate): label + chromosomal
+    band + the coordinate's build/chromosome/strand/start/end — the
+    region-feature and coordinate per-field resolvers
+    (``region_feature.clj``, ``coordinate.clj``) collapsed into one
+    star-join plan over predicate-filtered scans. All frames share the
+    feature/coordinate keys; Catalyst reorders/broadcasts freely; no
+    per-node ld1-> point traversals."""
+
+    def field(pred, key, name):
+        return model.where(F.col("predicate") == pred).select(
+            F.col("subject").alias(key), F.col("object").alias(name)
+        )
+
+    feats = (
+        model.where(
+            (F.col("predicate") == I.RDF_TYPE)
+            & (F.col("object") == ":so/SequenceFeature")
+        )
+        .select(F.col("subject").alias("feature"))
+        .distinct()
+    )
+    loc = model.where(F.col("predicate") == ":geno/has-location").select(
+        F.col("subject").alias("feature"), F.col("object").alias("coordinate")
+    )
+    iv = model.where(F.col("predicate") == ":geno/has-interval").select(
+        F.col("subject").alias("coordinate"), F.col("object").alias("_iv")
+    )
+    asm = model.where(F.col("predicate") == ":so/assembly").select(
+        F.col("subject").alias("coordinate"), F.col("object").alias("_asm")
+    )
+    return (
+        feats.join(field(":rdfs/label", "feature", "label"), "feature", "left_outer")
+        .join(
+            field(":so/chromosome-band", "feature", "band"), "feature", "left_outer"
+        )
+        .join(loc, "feature")
+        .join(field(":geno/on-strand", "coordinate", "strand"), "coordinate", "left_outer")
+        .join(asm, "coordinate", "left_outer")
+        .join(
+            field(":data/genome-build-identifier", "_asm", "build"),
+            "_asm",
+            "left_outer",
+        )
+        .join(field(":so/chromosome", "_asm", "chromosome"), "_asm", "left_outer")
+        .join(iv, "coordinate", "left_outer")
+        .join(
+            field(":geno/start-position", "_iv", "start_pos"), "_iv", "left_outer"
+        )
+        .join(field(":geno/end-position", "_iv", "end_pos"), "_iv", "left_outer")
+        .select(
+            "feature",
+            "coordinate",
+            "label",
+            "band",
+            "build",
+            "chromosome",
+            "strand",
+            F.col("start_pos").cast("long").alias("start_pos"),
+            F.col("end_pos").cast("long").alias("end_pos"),
+        )
+    )
