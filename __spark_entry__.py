@@ -1289,6 +1289,26 @@ def q_cur_evidence_cards(spark, sf_dir):
     return R.evidence_cards(m, max_depth=4)
 
 
+def q_text_pack_sequences(spark, sf_dir):
+    # GPT-style concat-and-chunk sequence packing: md5-sharded
+    # deterministic order, one running-sum window per shard, closed-form
+    # chunk arithmetic (textstats.pack_sequences). Token counts via the
+    # portable 4-chars/token heuristic
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.greatest(
+            F.lit(1), F.floor(F.length("text") / 4).cast("long")
+        ).alias("n_tokens"),
+    )
+    out = TS.pack_sequences(
+        docs, max_len=2048, n_shards=16, salt="pack-v1"
+    )
+    return out.select(
+        "doc_id", "n_tokens", "shard", "start_seq", "start_offset",
+        "end_seq", "seq_id",
+    )
+
+
 def q_cur_region_features(spark, sf_dir):
     # region-feature + coordinate cards: label/band + per-coordinate
     # build/chromosome/strand/interval flattened in one star-join plan
@@ -1667,6 +1687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_evidence_cards": q_cur_evidence_cards,
         "fn_clinsig_normalize": q_fn_clinsig_normalize,
         "cur_region_features": q_cur_region_features,
+        "text_pack_sequences": q_text_pack_sequences,
         "alg_sparql_agg": q_alg_sparql_agg,
         "join_salted_topk": q_join_salted_topk,
         "graph_pagerank": q_graph_pagerank,
@@ -3069,6 +3090,29 @@ SELECT 'urn:region:' || CAST(p_partkey % 40 AS VARCHAR) AS feature,
        CAST(p_partkey * 1000 AS BIGINT) AS start_pos,
        CAST(p_partkey * 1000 + (p_size % 50 + 1) * 100 AS BIGINT) AS end_pos
 FROM part""",
+        "text_pack_sequences": """
+WITH d AS (
+  SELECT doc_id,
+         greatest(1, CAST(floor(length(text) / 4) AS BIGINT)) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR) || '|pack-v1') AS key
+  FROM documents),
+sh AS (
+  SELECT *,
+         CAST(('0x' || substr(key, 1, 8)) AS BIGINT) % 16 AS shard
+  FROM d),
+c AS (
+  SELECT *,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY key, doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM sh)
+SELECT doc_id, n_tokens, shard,
+       CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS start_seq,
+       CAST((cum - n_tokens) % 2048 AS BIGINT) AS start_offset,
+       CAST(floor((cum - 1) / 2048.0) AS BIGINT) AS end_seq,
+       CAST(shard AS VARCHAR) || ':'
+         || CAST(CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS VARCHAR)
+         AS seq_id
+FROM c""",
         "graph_comention_pmi": f"""
 WITH t AS ({_TRIPLES_SQL}),
 de AS (SELECT DISTINCT subject AS doc, object AS entity FROM t

@@ -359,3 +359,58 @@ def domain_mix_sample(
     thr_default = F.lit(int(default_rate * 4294967296))
     rate_expr = thr_default if rate_expr is None else rate_expr.otherwise(thr_default)
     return docs.where(bucket < rate_expr)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    max_len: int = 2048,
+    n_shards: int = 64,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing for training-batch
+    construction: within each shard, documents concatenate in a
+    deterministic order and the token stream chunks into fixed
+    ``max_len`` sequences — documents MAY straddle a chunk boundary
+    (the standard LM-pretraining packing; zero padding waste by
+    construction).
+
+    Documents shard deterministically by md5(id||salt) (same discipline
+    as :func:`split_assign` — stable across runs/engines/partitionings)
+    and order within a shard by (md5-sort-key, id). Returns the input
+    columns + (shard, start_seq, start_offset, end_seq, seq_id): the
+    chunk index + token offset where the document starts, the chunk
+    where its last token lands (> start_seq ⇒ it straddles), and
+    seq_id = "shard:start_seq".
+
+    Scale shape: ONE hash shuffle into ``n_shards`` md5 shards and one
+    running-sum window per shard — closed-form chunk arithmetic over the
+    cumulative token count, no global window, no iterative packing loop,
+    no driver state. Shard count is a parallelism knob independent of
+    input partitioning; chunk ids are (shard, index) pairs so they never
+    collide across shards."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt)))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint"), F.lit(n_shards)
+    )
+    toks = F.col(tokens_col).cast("long")
+    d = docs.withColumn("shard", shard).withColumn("_key", key)
+    w = Window.partitionBy("shard").orderBy("_key", id_col)
+    cum = F.sum(toks).over(w)  # tokens up to and including this doc
+    start = cum - toks
+    return (
+        d.withColumn("start_seq", F.floor(start / F.lit(max_len)))
+        .withColumn("start_offset", start % F.lit(max_len))
+        .withColumn("end_seq", F.floor((cum - 1) / F.lit(max_len)))
+        .withColumn(
+            "seq_id",
+            F.concat(
+                F.col("shard").cast("string"), F.lit(":"),
+                F.col("start_seq").cast("string"),
+            ),
+        )
+        .drop("_key")
+    )

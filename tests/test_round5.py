@@ -483,3 +483,50 @@ class TestClinsigNormalize:
         # unknown → the "other" class (normalize-clinvar-clinsig fallback)
         assert out["no such term"].clinsig_code == "oth"
         assert out["no such term"].significance == 1
+
+
+class TestPackSequences:
+    """textstats.pack_sequences: GPT-style concat-and-chunk packing —
+    deterministic sharded order, closed-form chunk arithmetic."""
+
+    def test_chunk_arithmetic_and_straddle(self, spark):
+        from genegraph_spark.functions import textstats as TS
+
+        docs = spark.createDataFrame(
+            [(i, 600) for i in range(10)], "doc_id long, n_tokens long"
+        )
+        out = TS.pack_sequences(
+            docs, max_len=1000, n_shards=1, salt="t"
+        ).collect()
+        rows = sorted(out, key=lambda r: r.start_offset + r.start_seq * 1000)
+        # contiguous stream: each doc starts where the previous ended
+        pos = 0
+        for r in rows:
+            assert r.start_seq == pos // 1000
+            assert r.start_offset == pos % 1000
+            assert r.end_seq == (pos + 600 - 1) // 1000
+            pos += 600
+        # 600-token docs in 1000-token chunks: 5 internal boundaries,
+        # one (3000) lands exactly on a doc start → 4 straddlers
+        straddlers = [r for r in rows if r.end_seq > r.start_seq]
+        assert len(straddlers) == 4
+        # zero padding waste by construction: 6000 tokens = 6 full chunks
+        assert max(r.end_seq for r in rows) == 5
+
+    def test_sharding_is_stable_and_partition_independent(self, spark):
+        from genegraph_spark.functions import textstats as TS
+
+        docs = spark.createDataFrame(
+            [(i, 100 + i) for i in range(200)], "doc_id long, n_tokens long"
+        )
+        a = {
+            r.doc_id: (r.shard, r.seq_id, r.start_offset)
+            for r in TS.pack_sequences(docs, max_len=512, n_shards=8).collect()
+        }
+        b = {
+            r.doc_id: (r.shard, r.seq_id, r.start_offset)
+            for r in TS.pack_sequences(
+                docs.repartition(13), max_len=512, n_shards=8
+            ).collect()
+        }
+        assert a == b
