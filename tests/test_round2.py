@@ -9,6 +9,7 @@ import os
 import subprocess
 import sys
 
+import pytest
 from pyspark.sql import functions as F
 
 from genegraph_spark.operators import algebra as A
