@@ -1407,6 +1407,34 @@ def q_alg_sparql_agg(spark, sf_dir):
     )
 
 
+def q_alg_sparql_subselect(spark, sf_dir):
+    # Sub-SELECT (SPARQL 1.1 §12) from query text: the clinvar
+    # aggregate-assertion latest-as-of idiom (source/graphql/clinvar/
+    # aggregate_assertion.clj:28-46 — inner `SELECT ?id (max(?release_date)
+    # AS ?max)` GROUP BY joined to the outer BGP + equality FILTER),
+    # over the geo triple view: per nation, the max-balance customer(s).
+    # One shuffle for the inner aggregate; the outer join shares its key.
+    from genegraph_spark.operators.sparql import sparql
+
+    t = _geo_triples(spark, sf_dir)
+    out = sparql(
+        t,
+        """SELECT ?n ?c ?bal WHERE {
+             { SELECT ?n (MAX(?bal) AS ?maxbal)
+               WHERE { ?c :in-nation ?n . ?c :balance ?bal }
+               GROUP BY ?n }
+             ?c :in-nation ?n .
+             ?c :balance ?bal .
+             FILTER(?bal = ?maxbal)
+           }""",
+    )
+    return out.select(
+        F.col("n").alias("nation"),
+        F.col("c").alias("customer"),
+        F.col("bal").alias("balance"),
+    )
+
+
 def q_alg_describe(spark, sf_dir):
     # DESCRIBE ?page WHERE { ?page :mentions kge:SLOWNESS } — concise
     # bounded description: page triples + their mention bnodes' triples
@@ -1689,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_region_features": q_cur_region_features,
         "text_pack_sequences": q_text_pack_sequences,
         "alg_sparql_agg": q_alg_sparql_agg,
+        "alg_sparql_subselect": q_alg_sparql_subselect,
         "join_salted_topk": q_join_salted_topk,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
@@ -3161,6 +3190,15 @@ SELECT rn.rname AS rname, count(*) AS n_customers,
        arg_max(bal.bal, CAST(bal.bal AS DOUBLE)) AS max_bal
 FROM cn JOIN nr USING (n) JOIN rn ON rn.r = nr.r JOIN bal ON bal.c = cn.c
 GROUP BY 1 HAVING count(*) > 10""",
+        "alg_sparql_subselect": f"""
+WITH {_GEO_TRIPLES},
+cn AS (SELECT s AS c, o AS n FROM geo WHERE p = ':in-nation'),
+bal AS (SELECT s AS c, o AS bal FROM geo WHERE p = ':balance'),
+m AS (SELECT cn.n AS n, max(CAST(bal.bal AS DOUBLE)) AS maxbal
+      FROM cn JOIN bal USING (c) GROUP BY 1)
+SELECT cn.n AS nation, cn.c AS customer, bal.bal AS balance
+FROM cn JOIN bal USING (c) JOIN m ON m.n = cn.n
+WHERE CAST(bal.bal AS DOUBLE) = m.maxbal""",
         "alg_sparql_select": f"""
 WITH {_GEO_TRIPLES},
 cn AS (SELECT s AS c, o AS n FROM geo WHERE p = ':in-nation'),

@@ -105,6 +105,47 @@ def hierarchy_triples(spark: SparkSession) -> DataFrame:
     )
 
 
+# mode-of-inheritance value forest — the HP_0000005 subtree the
+# modes-of-inheritance resolver closes over
+# (``source/graphql/mode_of_inheritance.clj:5-11``: ``?moi
+# rdfs:subClassOf* HP_0000005``). The five fixture event types stand in
+# for MOI terms; ``error`` sits OUTSIDE the root subtree so the closure
+# filter is observable.
+MOI_HIERARCHY: list[tuple[str, str]] = [
+    ("urn:moi:click", "urn:moi:interaction"),
+    ("urn:moi:view", "urn:moi:interaction"),
+    ("urn:moi:purchase", "urn:moi:conversion"),
+    ("urn:moi:signup", "urn:moi:conversion"),
+    ("urn:moi:interaction", "urn:moi:root"),
+    ("urn:moi:conversion", "urn:moi:root"),
+    ("urn:moi:error", "urn:moi:other"),
+]
+
+
+def moi_hierarchy_triples(spark: SparkSession) -> DataFrame:
+    """``skos:broader`` MOI edges as triples-shaped rows (the
+    rdfs:subClassOf analog, house predicate convention)."""
+    from .functions import iri as I
+
+    rows = [
+        (I.DICTIONARY_GRAPH, child, I.BROADER, parent, True, None)
+        for child, parent in MOI_HIERARCHY
+    ]
+    return spark.createDataFrame(
+        rows,
+        "graph string, subject string, predicate string, object string, "
+        "object_is_iri boolean, object_datatype string",
+    )
+
+
+def moi_edges_sql() -> str:
+    """DuckDB VALUES expression of :data:`MOI_HIERARCHY` (child, parent)."""
+    vals = ", ".join(
+        f"({_sql_quote(c)}, {_sql_quote(p)})" for c, p in MOI_HIERARCHY
+    )
+    return f"SELECT * FROM (VALUES {vals}) AS moi_edges(child, parent)"
+
+
 def dictionary_df(spark: SparkSession) -> DataFrame:
     """Normalized dictionary: one row per entity (arrays for labels)."""
     return spark.createDataFrame(

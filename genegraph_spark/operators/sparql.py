@@ -141,6 +141,7 @@ class SparqlSyntaxError(ValueError):
 #        | ('filter', expr) | ('fexists', group, positive)
 #        | ('bind', expr, var) | ('values', [var, ...], [row, ...])
 #        | ('union', [group, ...]) | ('minus', group) | ('group', elements)
+#        | ('subselect', Query)
 # Exprs: terms | ('op', op, a, b) | ('not', a) | ('call', name, [args])
 
 
@@ -367,6 +368,17 @@ class _Parser:
     # -- group graph pattern -------------------------------------------------
     def group(self) -> list:
         self.eat_op("{")
+        if self.at_kw("select"):
+            # SubSelect (SPARQL 1.1 §12): `{ SELECT ... }` as a group —
+            # the clinvar aggregate-assertion latest-as-of idiom
+            # (source/graphql/clinvar/aggregate_assertion.clj:28-40:
+            # inner `SELECT ?id (max(?release_date) AS ?max_release_date)
+            # ... GROUP BY ?id` joined to the outer BGP). _select() reads
+            # its own WHERE group and solution modifiers; they all sit
+            # inside these braces.
+            sub = self._select()
+            self.eat_op("}")
+            return [("subselect", sub)]
         elements: list = []
         while not self.at_op("}"):
             if self.at_op("."):
@@ -1084,6 +1096,27 @@ class _Compiler:
                 sub, sub_maybe = self._group(el[1])
                 cur = merge(sub)
                 maybe |= sub_maybe
+            elif kind == "subselect":
+                # SubSelect (SPARQL 1.1 §12): evaluate the inner SELECT
+                # to a tagged frame, natural-join it into the enclosing
+                # group on shared projected variables (the clinvar
+                # aggregate-assertion latest-as-of idiom). Scale: the
+                # inner aggregation is one shuffle on its GROUP BY key;
+                # the outer join shares that key in the reference's
+                # usage, so AQE can plan it shuffle-local.
+                sq: Query = el[1]
+                if sq.form != "select":
+                    raise SparqlSyntaxError("subqueries must be SELECTs")
+                sub_bind, sub_maybe = self._group(sq.pattern)
+                sub = _select_project(self, sq, sub_bind, tagged=True)
+                proj = set(sub.columns)
+                aliases = {a for _, a in sq.select_exprs}
+                cur = merge(sub)
+                # projected-but-unbound vars arrive as NULL columns;
+                # computed/aggregate columns can be NULL (empty SUM, BIND)
+                maybe |= ((sub_maybe | aliases) & proj) | (
+                    proj - set(sub_bind.columns)
+                )
             else:
                 raise ValueError(f"unknown group element {kind!r}")
             if cur is not None and deferred_values:
@@ -1403,7 +1436,28 @@ class _Compiler:
 
 
 def _subst(node, mapping: dict):
-    """Substitute pre-bound variables with constant terms, recursively."""
+    """Substitute pre-bound variables with constant terms, recursively.
+    Recurses into nested sub-SELECT Query nodes (pre-binding reaches
+    inner scopes the way a QuerySolutionMap does in Jena)."""
+    if isinstance(node, Query):
+        import dataclasses
+
+        # a pre-bound var that the sub-SELECT projects or groups by no
+        # longer appears in its substituted pattern — re-introduce it as
+        # a BIND of the constant so the projection/groupBy still resolves
+        binds = [
+            ("bind", mapping[v], v)
+            for v in dict.fromkeys([*node.select_vars, *node.group_by])
+            if v in mapping
+        ]
+        return dataclasses.replace(
+            node,
+            pattern=_subst(node.pattern, mapping) + binds,
+            select_exprs=_subst(node.select_exprs, mapping),
+            having=_subst(node.having, mapping),
+            templates=_subst(node.templates, mapping),
+            describe_terms=_subst(node.describe_terms, mapping),
+        )
     if isinstance(node, tuple):
         if node[0] == "var" and node[1] in mapping:
             return mapping[node[1]]
@@ -1418,7 +1472,18 @@ def _apply_names(node, names: dict):
     through a local-names table (``functions.names.load_names_edn``) —
     the reference's keyword→IRI resolution (database/names.clj:61-90).
     Walks the whole AST: BGP terms, path ``pred``/``neg`` leaves,
-    expression and template constants."""
+    expression and template constants, nested sub-SELECT queries."""
+    if isinstance(node, Query):
+        import dataclasses
+
+        return dataclasses.replace(
+            node,
+            pattern=_apply_names(node.pattern, names),
+            select_exprs=_apply_names(node.select_exprs, names),
+            having=_apply_names(node.having, names),
+            templates=_apply_names(node.templates, names),
+            describe_terms=_apply_names(node.describe_terms, names),
+        )
     if isinstance(node, tuple):
         if (
             len(node) == 2
@@ -1546,19 +1611,42 @@ class PreparedQuery:
             return A.describe(triples, nodes)
 
         # SELECT
-        def contains_agg(e) -> bool:
-            if isinstance(e, tuple):
-                return e[0] == "agg" or any(contains_agg(x) for x in e)
-            if isinstance(e, list):
-                return any(contains_agg(x) for x in e)
-            return False
+        return _select_project(c, q, bindings, tagged=False)
 
+
+def _contains_agg(e) -> bool:
+    if isinstance(e, tuple):
+        return e[0] == "agg" or any(_contains_agg(x) for x in e)
+    if isinstance(e, list):
+        return any(_contains_agg(x) for x in e)
+    return False
+
+
+def _select_project(c: "_Compiler", q: Query, bindings: DataFrame, tagged: bool) -> DataFrame:
+        """SELECT projection + aggregation + solution modifiers over
+        compiled (tagged) bindings. ``tagged=False`` decodes terms to
+        plain values — the top-level result frame. ``tagged=True`` keeps
+        the tagged-term encoding so the frame can re-enter an enclosing
+        group as a sub-SELECT (SPARQL 1.1 §12); aggregate and computed
+        columns are re-tagged as plain literals (their lexical value is
+        what outer FILTER / join comparisons decode — a later BGP join
+        on a DATATYPED aggregate output would need the original tag,
+        which MIN/MAX discard by design; none of the reference
+        subqueries do that)."""
+        contains_agg = _contains_agg
         has_agg = bool(q.group_by) or any(
             contains_agg(e) for e, _ in q.select_exprs
         )
         cols = q.select_vars or [
             col for col in bindings.columns if not col.startswith("_")
         ]
+
+        def retag(col: Column) -> Column:
+            # plain-literal re-tag; NULL (unbound) stays NULL
+            return F.when(
+                col.isNotNull(), F.concat(F.lit("L||"), col.cast("string"))
+            )
+
         if has_agg:
             # grouped projection: every computed column must be an
             # aggregate; group keys stay tagged through the groupBy and
@@ -1595,9 +1683,42 @@ class PreparedQuery:
             )
             for h in having:
                 grouped = grouped.where(c.bool_expr(h, grouped))
-            out = grouped.select(
+            if tagged:
+                # group keys keep their tags; aggregate outputs re-tag
+                # as plain literals for the enclosing group
+                out = grouped.select(
+                    *[
+                        F.col(v) if v in q.group_by else retag(F.col(v)).alias(v)
+                        for v in cols
+                    ]
+                )
+            else:
+                out = grouped.select(
+                    *[
+                        term_value(F.col(v)).alias(v) if v in q.group_by else F.col(v)
+                        for v in cols
+                    ]
+                )
+        elif tagged:
+            computed = {
+                alias: (
+                    F.col(e[1])
+                    if e[0] == "var" and e[1] in bindings.columns
+                    else c.term_expr(e, bindings)
+                    if e[0] in ("var", "iri", "lit")
+                    else retag(c.value_expr(e, bindings))
+                )
+                for e, alias in q.select_exprs
+            }
+            out = bindings.select(
                 *[
-                    term_value(F.col(v)).alias(v) if v in q.group_by else F.col(v)
+                    computed[v].alias(v)
+                    if v in computed
+                    else (
+                        F.col(v)
+                        if v in bindings.columns
+                        else F.lit(None).cast("string").alias(v)
+                    )
                     for v in cols
                 ]
             )
@@ -1618,13 +1739,40 @@ class PreparedQuery:
         if q.distinct:
             out = out.dropDuplicates()
         if q.order or q.limit is not None or q.offset:
-            # numeric-aware: bindings are untagged strings here, so "10"
-            # must not sort before "9" (castable-numeric-first key, the
-            # same convention agg MIN/MAX already use)
-            out = A.slice(out, limit=q.limit, offset=q.offset,
-                          order=q.order or None, numeric_aware=True) \
-                if (q.offset or q.limit is not None) \
-                else A.order_by(out, *q.order, numeric_aware=True)
+            if tagged:
+                # order on DECODED values (numeric-aware castable-first
+                # key, the agg MIN/MAX convention), project tags through
+                keys = []
+                for v, d in q.order:
+                    val = term_value(F.col(v))
+                    dv = val.try_cast("double")
+                    k = F.struct(
+                        dv.isNull().cast("int").alias("k1"),
+                        F.coalesce(dv, F.lit(0.0)).alias("k2"),
+                        val.alias("k3"),
+                    )
+                    keys.append(k.desc() if d == "desc" else k.asc())
+                if keys:
+                    out = out.orderBy(*keys)
+                if q.offset:
+                    from pyspark.sql import Window as _W
+
+                    w = _W.orderBy(*(keys or [F.lit(1)]))
+                    out = (
+                        out.withColumn("_rn", F.row_number().over(w))
+                        .where(F.col("_rn") > q.offset)
+                        .drop("_rn")
+                    )
+                if q.limit is not None:
+                    out = out.limit(q.limit)
+            else:
+                # numeric-aware: bindings are untagged strings here, so "10"
+                # must not sort before "9" (castable-numeric-first key, the
+                # same convention agg MIN/MAX already use)
+                out = A.slice(out, limit=q.limit, offset=q.offset,
+                              order=q.order or None, numeric_aware=True) \
+                    if (q.offset or q.limit is not None) \
+                    else A.order_by(out, *q.order, numeric_aware=True)
         return out
 
 

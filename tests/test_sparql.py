@@ -933,3 +933,125 @@ class TestTextQueryBgp:
                SELECT ?s WHERE { ?s text:query ( :label '( red OR blue )' ) }""",
         ).collect()
         assert sorted(r.s for r in out) == ["urn:g1", "urn:g2", "urn:g3"]
+
+
+class TestSubSelect:
+    """Sub-SELECT groups (SPARQL 1.1 §12) — the clinvar
+    aggregate-assertion latest-as-of idiom
+    (source/graphql/clinvar/aggregate_assertion.clj:28-46)."""
+
+    @pytest.fixture(scope="class")
+    def versions(self, spark):
+        CG = "http://dataexchange.clinicalgenome.org/terms/"
+        DC = "http://purl.org/dc/terms/"
+        SEPIO = "http://purl.obolibrary.org/obo/SEPIO_"
+        rows = []
+        for vid, dates in [
+            ("a", ["2020-01-01", "2020-06-01", "2021-01-01"]),
+            ("b", ["2019-05-05", "2020-02-02"]),
+        ]:
+            for d in dates:
+                v = f"urn:assert:{vid}.{d}"
+                rows += [
+                    iri(v, "rdf:type", CG + "AggregateVariantClinicalSignificanceAssertion"),
+                    iri(v, DC + "isVersionOf", "urn:assert:" + vid),
+                    lit(v, CG + "release_date", d),
+                    iri(v, SEPIO + "0000388", "urn:var:" + vid),
+                ]
+        return T(spark, rows)
+
+    def test_reference_aggregate_assertion_latest(self, spark, versions):
+        """The clinvar LATEST-timeframe query shape, verbatim prefixes."""
+        out = S.sparql(
+            versions,
+            """PREFIX dc: <http://purl.org/dc/terms/>
+               PREFIX sepio: <http://purl.obolibrary.org/obo/SEPIO_>
+               PREFIX cg: <http://dataexchange.clinicalgenome.org/terms/>
+               SELECT ?iri ?id ?subject ?release_date ?max_release_date
+               WHERE {
+                 {
+                   SELECT ?id (max(?release_date) AS ?max_release_date)
+                   WHERE {
+                     ?subiri a cg:AggregateVariantClinicalSignificanceAssertion ;
+                             dc:isVersionOf ?id ;
+                             cg:release_date ?release_date .
+                   }
+                   GROUP BY ?id
+                 }
+                 ?iri dc:isVersionOf ?id ;
+                      sepio:0000388 ?subject ;
+                      cg:release_date ?release_date .
+                 FILTER(?release_date = ?max_release_date)
+               }""",
+        ).collect()
+        got = {(r.id, r.iri, r.release_date) for r in out}
+        assert got == {
+            ("urn:assert:a", "urn:assert:a.2021-01-01", "2021-01-01"),
+            ("urn:assert:b", "urn:assert:b.2020-02-02", "2020-02-02"),
+        }
+
+    def test_subselect_numeric_max(self, spark, graph):
+        """MAX over typed ints is numeric-aware ('7' < '42')."""
+        out = S.sparql(
+            graph,
+            """SELECT ?x ?a WHERE {
+                 { SELECT (MAX(?a) AS ?m) WHERE { ?x :age ?a } }
+                 ?x :age ?a . FILTER(?a = ?m)
+               }""",
+        ).collect()
+        assert [(r.x, r.a) for r in out] == [("urn:a", "42")]
+
+    def test_subselect_distinct_projection_joins(self, spark, graph):
+        """Non-aggregate subselect: projection narrows the join columns —
+        ?y is projected out, so the outer join is only on ?x."""
+        out = S.sparql(
+            graph,
+            """SELECT DISTINCT ?x ?n WHERE {
+                 { SELECT DISTINCT ?x WHERE { ?x :knows ?y } }
+                 ?x :name ?n
+               } ORDER BY ?n""",
+        ).collect()
+        assert [(r.x, r.n) for r in out] == [
+            ("urn:a", "alice"), ("urn:b", "bob"), ("urn:c", "carol"),
+        ]
+
+    def test_subselect_order_limit_inside(self, spark, graph):
+        """ORDER BY + LIMIT evaluate inside the subquery scope, before
+        the outer join (top-1 then annotate)."""
+        out = S.sparql(
+            graph,
+            """SELECT ?x ?n WHERE {
+                 { SELECT ?x ?a WHERE { ?x :age ?a }
+                   ORDER BY DESC(?a) LIMIT 1 }
+                 ?x :name ?n
+               }""",
+        ).collect()
+        assert [(r.x, r.n) for r in out] == [("urn:a", "alice")]
+
+    def test_prebound_param_reaches_subselect(self, spark, graph):
+        out = S.sparql(
+            graph,
+            """SELECT ?n WHERE {
+                 { SELECT ?who (COUNT(*) AS ?edges)
+                   WHERE { ?who :knows ?other } GROUP BY ?who }
+                 ?who :name ?n
+               }""",
+            who=("iri", "urn:b"),
+        ).collect()
+        assert [r.n for r in out] == ["bob"]
+
+    def test_subselect_group_key_tags_survive(self, spark, graph):
+        """Group keys keep IRI tags: the outer BGP must still join the
+        subselect's ?x against IRI subjects (and a literal lexically
+        equal to an IRI must not leak in — the urn:d :note trap)."""
+        out = S.sparql(
+            graph,
+            """SELECT ?x ?n WHERE {
+                 { SELECT ?x (COUNT(*) AS ?n)
+                   WHERE { ?x :knows ?y } GROUP BY ?x }
+                 ?x rdf:type :Person
+               }""",
+        ).collect()
+        # aggregate outputs cross the subselect boundary as plain
+        # literals, so ?n decodes to its lexical form
+        assert sorted((r.x, r.n) for r in out) == [("urn:a", "1"), ("urn:b", "1")]
