@@ -1247,6 +1247,38 @@ def q_cur_affiliations(spark, sf_dir):
     return CUR.affiliations(a)
 
 
+def q_cur_condition_cards(spark, sf_dir):
+    # the condition card (condition.clj:37-54): per-disease
+    # last-curated-date across the THREE curation traversal paths
+    # (gene-validity / actionability / dosage) + activity flags, one
+    # union + one grouped pass instead of per-disease point queries
+    from genegraph_spark.plans import curation as CUR
+
+    return CUR.condition_cards(_read(spark, sf_dir, "events"))
+
+
+def q_cur_modes_of_inheritance(spark, sf_dir):
+    # modes-of-inheritance resolver (mode_of_inheritance.clj:5-14):
+    # distinct gene-validity MOI qualifiers under the HP root via
+    # subClassOf* — dimension-scale closure broadcast against the
+    # distinct-reduced corpus frame
+    from genegraph_spark.plans import curation as CUR
+
+    return CUR.modes_of_inheritance(
+        CUR.curation_assertions(_read(spark, sf_dir, "events")),
+        fixtures.moi_hierarchy_triples(spark),
+    )
+
+
+def q_cur_classifications(spark, sf_dir):
+    # classifications value set + usage rollups (classification.clj)
+    from genegraph_spark.plans import curation as CUR
+
+    return CUR.classifications(
+        CUR.curation_assertions(_read(spark, sf_dir, "events"))
+    )
+
+
 def q_cur_genetic_conditions(spark, sf_dir):
     # (gene, disease, moi) genetic-condition composition with rollups +
     # winning assertion (genetic_condition.clj; curation.clj composition)
@@ -1709,6 +1741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alg_sparql_select": q_alg_sparql_select,
         "alg_sparql_construct": q_alg_sparql_construct,
         "cur_affiliations": q_cur_affiliations,
+        "cur_condition_cards": q_cur_condition_cards,
+        "cur_modes_of_inheritance": q_cur_modes_of_inheritance,
+        "cur_classifications": q_cur_classifications,
         "cur_genetic_conditions": q_cur_genetic_conditions,
         "cur_gene_dosage": q_cur_gene_dosage,
         "cur_actionability_stats": q_cur_actionability_stats,
@@ -2976,6 +3011,47 @@ SELECT affiliation, count(*) AS n_assertions,
        count(DISTINCT disease) AS n_diseases,
        count(DISTINCT gene || '|' || disease || '|' || moi) AS n_conditions
 FROM cura GROUP BY affiliation""",
+        "cur_condition_cards": """
+WITH legs AS (
+  SELECT 'urn:disease:' || CAST(user_id % 7 AS VARCHAR) AS disease,
+         ts AS date, 'GENE_VALIDITY' AS activity FROM events
+  UNION ALL
+  SELECT 'urn:disease:' || CAST(user_id % 7 AS VARCHAR), ts, 'ACTIONABILITY'
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT 'urn:disease:' || CAST((user_id % 20) % 7 AS VARCHAR), ts, 'GENE_DOSAGE'
+  FROM events WHERE event_id % 3 = 0)
+SELECT disease,
+       max(date) AS last_curated_date,
+       max(CASE WHEN activity = 'GENE_VALIDITY' THEN date END) AS last_gene_validity_date,
+       max(CASE WHEN activity = 'ACTIONABILITY' THEN date END) AS last_actionability_date,
+       max(CASE WHEN activity = 'GENE_DOSAGE' THEN date END) AS last_dosage_date,
+       max(activity = 'GENE_VALIDITY') AS has_gene_validity,
+       max(activity = 'ACTIONABILITY') AS has_actionability,
+       max(activity = 'GENE_DOSAGE') AS has_dosage,
+       count(*) AS n_curations
+FROM legs GROUP BY disease""",
+        "cur_modes_of_inheritance": f"""
+WITH RECURSIVE {_CUR_ASSERTIONS},
+edges AS ({fixtures.moi_edges_sql()}),
+closure AS (
+  SELECT child, parent AS anc FROM edges
+  UNION
+  SELECT c.child, e.parent FROM closure c JOIN edges e ON c.anc = e.child),
+under AS (
+  SELECT child AS moi FROM closure WHERE anc = 'urn:moi:root'
+  UNION SELECT 'urn:moi:root')
+SELECT DISTINCT 'urn:moi:' || cura.moi AS moi
+FROM cura JOIN under ON 'urn:moi:' || cura.moi = under.moi""",
+        "cur_classifications": f"""
+WITH {_CUR_ASSERTIONS}
+SELECT CASE event_id % 6 WHEN 0 THEN 'Definitive' WHEN 1 THEN 'Strong'
+            WHEN 2 THEN 'Moderate' WHEN 3 THEN 'Limited'
+            WHEN 4 THEN 'Disputed' ELSE 'Refuted' END AS classification,
+       count(*) AS n_assertions,
+       count(DISTINCT gene) AS n_genes,
+       count(DISTINCT disease) AS n_diseases
+FROM cura GROUP BY 1""",
         "cur_genetic_conditions": f"""
 WITH {_CUR_ASSERTIONS},
 ranked AS (

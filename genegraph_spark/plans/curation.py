@@ -481,3 +481,138 @@ def actionability_statistics(reports: DataFrame) -> DataFrame:
         ),
         F.coalesce("score_counts", F.lit("")).alias("score_counts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Condition / mode-of-inheritance / classification resolver tiers (round 5)
+# ---------------------------------------------------------------------------
+
+def condition_curation_dates(events: DataFrame) -> DataFrame:
+    """Per-disease curation-date rows from the three curation sources —
+    the three traversal paths of the ``last-curated-date`` resolver
+    (``source/graphql/condition.clj:37-51``): gene-validity via
+    ``has-object< / has-subject< / qualified-contribution /
+    activity-date``, actionability via ``sub-class-of< /
+    is-about-condition<``, dosage via ``owl:equivalent-class`` then the
+    same contribution hop. House derivation from the events fixture:
+    gene-validity contributions cover every event; actionability
+    contributions are the even event ids; dosage contributions are the
+    ``event_id % 3 == 0`` subset, and the dosage leg reaches its disease
+    through the region gene (the equivalent-class hop:
+    ``user_id % 20`` gene → ``% 7`` disease)."""
+    d7 = F.concat(F.lit("urn:disease:"), (F.col("user_id") % 7).cast("string"))
+    d20_7 = F.concat(
+        F.lit("urn:disease:"), ((F.col("user_id") % 20) % 7).cast("string")
+    )
+    gv = events.select(
+        d7.alias("disease"),
+        F.col("ts").alias("date"),
+        F.lit("GENE_VALIDITY").alias("activity"),
+    )
+    act = events.where(F.col("event_id") % 2 == 0).select(
+        d7.alias("disease"),
+        F.col("ts").alias("date"),
+        F.lit("ACTIONABILITY").alias("activity"),
+    )
+    dos = events.where(F.col("event_id") % 3 == 0).select(
+        d20_7.alias("disease"),
+        F.col("ts").alias("date"),
+        F.lit("GENE_DOSAGE").alias("activity"),
+    )
+    return gv.unionByName(act).unionByName(dos)
+
+
+def condition_cards(events: DataFrame) -> DataFrame:
+    """The condition card: per disease, the overall and per-source
+    last-curated dates plus activity flags — ``last-curated-date``
+    (sort-last over the concatenated traversal paths,
+    ``condition.clj:37-51``) and ``curation-activities``
+    (``condition.clj:53-54`` → ``curation.clj`` disease-activities ASK
+    tier) collapsed into ONE grouped pass.
+
+    The reference answers these as per-disease point queries (three
+    traversals + three ASKs each); here one union + one shuffle on the
+    disease key (dimension-scale: 7 fixture diseases, ~100k real MONDO
+    terms) computes every card at once. Partial aggregation does the
+    map-side work; no per-disease driver loops."""
+    dates = condition_curation_dates(events)
+    is_gv = F.col("activity") == "GENE_VALIDITY"
+    is_act = F.col("activity") == "ACTIONABILITY"
+    is_dos = F.col("activity") == "GENE_DOSAGE"
+    return dates.groupBy("disease").agg(
+        F.max("date").alias("last_curated_date"),
+        F.max(F.when(is_gv, F.col("date"))).alias("last_gene_validity_date"),
+        F.max(F.when(is_act, F.col("date"))).alias("last_actionability_date"),
+        F.max(F.when(is_dos, F.col("date"))).alias("last_dosage_date"),
+        F.coalesce(F.max(is_gv), F.lit(False)).alias("has_gene_validity"),
+        F.coalesce(F.max(is_act), F.lit(False)).alias("has_actionability"),
+        F.coalesce(F.max(is_dos), F.lit(False)).alias("has_dosage"),
+        F.count("*").alias("n_curations"),
+    )
+
+
+def modes_of_inheritance(
+    assertions: DataFrame, hierarchy: DataFrame, root: str = "urn:moi:root"
+) -> DataFrame:
+    """The ``modes-of-inheritance`` resolver
+    (``source/graphql/mode_of_inheritance.clj:5-14``): the DISTINCT MOI
+    qualifiers of gene-validity propositions restricted to the
+    ``rdfs:subClassOf* HP_0000005`` subtree.
+
+    Spark-first: the closure runs over the DIMENSION-scale MOI forest
+    (path-doubling fixpoint, :func:`~genegraph_spark.operators.algebra.
+    transitive_closure`), then the corpus-scale assertion frame is
+    reduced to its distinct MOI terms (one map-side-combined shuffle)
+    and semi-joined against the BROADCAST descendant set — the big
+    frame never joins a big frame. ``*`` includes the zero-hop root
+    itself."""
+    from genegraph_spark.functions import iri as I
+    from genegraph_spark.operators.algebra import transitive_closure
+
+    reach = transitive_closure(hierarchy, I.BROADER)
+    under = (
+        reach.where(F.col("dst") == root)
+        .select(F.col("src").alias("moi"))
+        .unionByName(
+            hierarchy.sparkSession.createDataFrame([(root,)], "moi string")
+        )
+        .distinct()
+    )
+    mois = assertions.select(
+        F.concat(F.lit("urn:moi:"), F.col("moi")).alias("moi")
+    ).distinct()
+    return mois.join(F.broadcast(under), "moi")
+
+
+# event ordinal → gene-validity classification label (the SEPIO
+# classification value set the ``classifications`` resolver enumerates,
+# ``source/graphql/classification.clj`` → ``curation.clj``; label wording
+# follows the public ClinGen validity classification scale)
+_GV_CLASSIFICATION = (
+    F.when(F.col("event_id") % 6 == 0, "Definitive")
+    .when(F.col("event_id") % 6 == 1, "Strong")
+    .when(F.col("event_id") % 6 == 2, "Moderate")
+    .when(F.col("event_id") % 6 == 3, "Limited")
+    .when(F.col("event_id") % 6 == 4, "Disputed")
+    .otherwise("Refuted")
+)
+
+
+def classifications(assertions: DataFrame) -> DataFrame:
+    """The ``classifications`` value-set resolver
+    (``source/graphql/classification.clj:5-6``) widened with usage
+    rollups: one grouped pass over the assertion frame emits each
+    classification with its assertion / gene / disease counts (the
+    per-value point queries a UI issues next, answered in the same
+    shuffle)."""
+    return (
+        assertions.select(
+            _GV_CLASSIFICATION.alias("classification"), "gene", "disease"
+        )
+        .groupBy("classification")
+        .agg(
+            F.count("*").alias("n_assertions"),
+            F.countDistinct("gene").alias("n_genes"),
+            F.countDistinct("disease").alias("n_diseases"),
+        )
+    )

@@ -530,3 +530,67 @@ class TestPackSequences:
             ).collect()
         }
         assert a == b
+
+
+class TestConditionTier:
+    """condition.clj card (three-path last-curated-date + activities),
+    mode_of_inheritance.clj closure filter, classification.clj value
+    set."""
+
+    @staticmethod
+    def _events(spark):
+        from pyspark.sql import functions as F
+
+        rows = [
+            # user 3 → disease urn:disease:3 (gv), gene 3 → dosage disease 3
+            (1, "2024-01-01 00:00:00", 3, "click"),   # gv only (odd, %3!=0)
+            (2, "2024-02-01 00:00:00", 3, "view"),    # gv + actionability
+            (3, "2024-03-01 00:00:00", 3, "error"),   # gv + dosage
+            # user 8 → gv/act disease 1; dosage gene 8 → disease 8%7=1
+            (6, "2024-04-01 00:00:00", 8, "purchase"),  # gv + act + dosage
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    def test_condition_cards_dates_and_flags(self, spark):
+        from genegraph_spark.plans import curation as CUR
+
+        out = {r.disease: r for r in CUR.condition_cards(self._events(spark)).collect()}
+        d3 = out["urn:disease:3"]
+        assert str(d3.last_curated_date).startswith("2024-03-01")
+        assert str(d3.last_gene_validity_date).startswith("2024-03-01")
+        assert str(d3.last_actionability_date).startswith("2024-02-01")
+        assert str(d3.last_dosage_date).startswith("2024-03-01")
+        assert (d3.has_gene_validity, d3.has_actionability, d3.has_dosage) == (
+            True, True, True,
+        )
+        # disease 1: one event contributes all three legs
+        d1 = out["urn:disease:1"]
+        assert d1.n_curations == 3 and d1.has_dosage
+
+    def test_modes_of_inheritance_closure_excludes_error(self, spark):
+        from genegraph_spark import fixtures
+        from genegraph_spark.plans import curation as CUR
+
+        a = CUR.curation_assertions(self._events(spark))
+        out = sorted(
+            r.moi
+            for r in CUR.modes_of_inheritance(
+                a, fixtures.moi_hierarchy_triples(spark)
+            ).collect()
+        )
+        # error is outside the urn:moi:root subtree; the others are in
+        assert out == ["urn:moi:click", "urn:moi:purchase", "urn:moi:view"]
+
+    def test_classifications_value_set(self, spark):
+        from genegraph_spark.plans import curation as CUR
+
+        out = {
+            r.classification: r.n_assertions
+            for r in CUR.classifications(
+                CUR.curation_assertions(self._events(spark))
+            ).collect()
+        }
+        # event ids 1,2,3,6 → Strong, Moderate, Limited, Definitive
+        assert out == {"Strong": 1, "Moderate": 1, "Limited": 1, "Definitive": 1}
