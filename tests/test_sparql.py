@@ -1055,3 +1055,151 @@ class TestSubSelect:
         # aggregate outputs cross the subselect boundary as plain
         # literals, so ?n decodes to its lexical form
         assert sorted((r.x, r.n) for r in out) == [("urn:a", "1"), ("urn:b", "1")]
+
+
+class TestClinvarResolverQueries:
+    """The clinvar GraphQL resolvers embed sub-SELECT latest-as-of
+    queries directly in Clojure strings — copied VERBATIM here
+    (``source/graphql/clinvar/variant.clj:24-41,67-97``,
+    ``aggregate_assertion.clj:28-46``) and executed over synthesized
+    versioned triples."""
+
+    CG = "http://dataexchange.clinicalgenome.org/terms/"
+    DC = "http://purl.org/dc/terms/"
+    SO = "http://purl.obolibrary.org/obo/SO_"
+
+    @pytest.fixture(scope="class")
+    def clinvar_graph(self, spark):
+        CG, DC, SO = self.CG, self.DC, self.SO
+        rows = []
+        # variant v1: two versions; latest 2020-06-01
+        for d in ["2020-01-01", "2020-06-01"]:
+            v = f"urn:cv:v1.{d}"
+            rows += [
+                iri(v, "rdf:type", CG + "Variant"),
+                iri(v, DC + "isVersionOf", "urn:cv:v1"),
+                lit(v, CG + "release_date", d),
+            ]
+        # gene associations hang off the latest variant version
+        rows += [
+            iri("urn:cv:v1.2020-06-01", CG + "gene_associations", "urn:assoc:1"),
+            lit("urn:assoc:1", CG + "gene_id", "g1"),
+            iri("urn:cv:v1.2020-06-01", CG + "gene_associations", "urn:assoc:2"),
+            lit("urn:assoc:2", CG + "gene_id", "g2"),
+        ]
+        # gene g1: two versions (latest 2020-06-01); g2: one version
+        for gid, dates in [("g1", ["2020-01-01", "2020-06-01"]), ("g2", ["2020-03-03"])]:
+            for d in dates:
+                g = f"urn:cv:gene:{gid}.{d}"
+                rows += [
+                    iri(g, "rdf:type", SO + "0000704"),
+                    iri(g, "rdf:type", CG + "ClinVarObject"),
+                    lit(g, CG + "release_date", d),
+                    lit(g, CG + "id", gid),
+                ]
+        return T(spark, rows)
+
+    def test_variant_single_verbatim(self, spark, clinvar_graph):
+        """clinvar/variant.clj:24-41 — latest version of one variant id."""
+        q = """PREFIX dc: <http://purl.org/dc/terms/>
+              PREFIX cg: <http://dataexchange.clinicalgenome.org/terms/>
+              SELECT ?iri ?id
+              WHERE {
+                {
+                  SELECT ?id (max(?release_date) AS ?max_release_date)
+                  WHERE {
+                    ?subiri a cg:Variant ;
+                            dc:isVersionOf ?id ;
+                            cg:release_date ?release_date .
+                  }
+                  GROUP BY ?id
+                }
+                ?iri a cg:Variant ;
+                     dc:isVersionOf ?id ;
+                     cg:release_date ?release_date .
+                FILTER(?release_date = ?max_release_date)
+
+              }"""
+        out = S.sparql(clinvar_graph, q, id=("iri", "urn:cv:v1")).collect()
+        assert [(r.iri, r.id) for r in out] == [("urn:cv:v1.2020-06-01", "urn:cv:v1")]
+
+    def test_variant_genes_verbatim(self, spark, clinvar_graph):
+        """clinvar/variant.clj:67-97 — TWO sub-SELECTs (per-gene max
+        release + the gene rows) + equality FILTER + ORDER BY."""
+        q = """PREFIX dc: <http://purl.org/dc/terms/>
+                            PREFIX cg: <http://dataexchange.clinicalgenome.org/terms/>
+                            PREFIX sepio: <http://purl.obolibrary.org/obo/SEPIO_>
+                            PREFIX so: <http://purl.obolibrary.org/obo/SO_>
+                            # NOTE order matters, currently only gets the first element (column)
+                            SELECT ?gene_iri ?gene_id ?gene_release_date ?s
+                            WHERE {
+                              ?s a cg:Variant .
+                              ?s cg:gene_associations ?gene_association_iri .
+                              ?s cg:release_date ?variant_release_date .
+                              ?gene_association_iri cg:gene_id ?gene_id .
+                              {
+                                SELECT ?gene_id (MAX(?gene_release_date) AS ?max_gene_release_date) WHERE {
+                                  ?g a so:0000704 . # so/Gene
+                                  ?g a cg:ClinVarObject .
+                                  ?g cg:release_date ?gene_release_date .
+                                  ?g cg:id ?gene_id .
+                                }
+                                GROUP BY ?gene_id
+                              }
+                              {
+                                SELECT ?gene_iri ?gene_id ?gene_release_date WHERE {
+                                  ?gene_iri a so:0000704 . # so/Gene
+                                  ?gene_iri a cg:ClinVarObject .
+                                  ?gene_iri cg:release_date ?gene_release_date .
+                                  ?gene_iri cg:id ?gene_id .
+                                }
+                              }
+                              FILTER(?gene_release_date = ?max_gene_release_date)
+                            }
+                            ORDER BY ?s ?gene_id"""
+        out = S.sparql(
+            clinvar_graph, q, s=("iri", "urn:cv:v1.2020-06-01")
+        ).collect()
+        assert [(r.gene_iri, r.gene_id, r.gene_release_date) for r in out] == [
+            ("urn:cv:gene:g1.2020-06-01", "g1", "2020-06-01"),
+            ("urn:cv:gene:g2.2020-03-03", "g2", "2020-03-03"),
+        ]
+
+    def test_aggregate_assertion_latest_verbatim(self, spark):
+        """aggregate_assertion.clj:28-46 with the LATEST date_filter
+        substituted the way aggregate-assertion-list does."""
+        CG, DC = self.CG, "http://purl.org/dc/terms/"
+        SEPIO = "http://purl.obolibrary.org/obo/SEPIO_"
+        rows = []
+        for vid, dates in [("a", ["2020-01-01", "2021-01-01"]), ("b", ["2019-05-05"])]:
+            for d in dates:
+                v = f"urn:agg:{vid}.{d}"
+                rows += [
+                    iri(v, "rdf:type", CG + "AggregateVariantClinicalSignificanceAssertion"),
+                    iri(v, DC + "isVersionOf", "urn:agg:" + vid),
+                    lit(v, CG + "release_date", d),
+                    iri(v, SEPIO + "0000388", "urn:var:" + vid),
+                ]
+        q = """PREFIX dc: <http://purl.org/dc/terms/>
+              PREFIX sepio: <http://purl.obolibrary.org/obo/SEPIO_>
+              PREFIX cg: <http://dataexchange.clinicalgenome.org/terms/>
+              SELECT ?iri ?id ?subject ?release_date ?max_release_date
+              WHERE {
+                {
+                  SELECT ?id (max(?release_date) AS ?max_release_date)
+                  WHERE {
+                    ?subiri a cg:AggregateVariantClinicalSignificanceAssertion ;
+                            dc:isVersionOf ?id ;
+                            cg:release_date ?release_date .
+                  }
+                  GROUP BY ?id
+                }
+                ?iri dc:isVersionOf ?id ;
+                     sepio:0000388 ?subject ; #:sepio/has-subject
+                     cg:release_date ?release_date .
+                {{date_filter}}
+              }""".replace("{{date_filter}}", "FILTER(?release_date = ?max_release_date)")
+        out = S.sparql(T(spark, rows), q).collect()
+        assert sorted((r.id, r.release_date) for r in out) == [
+            ("urn:agg:a", "2021-01-01"), ("urn:agg:b", "2019-05-05"),
+        ]
