@@ -801,6 +801,32 @@ def q_text_domain_mix(spark, sf_dir):
     )
 
 
+def q_text_url_dedup(spark, sf_dir):
+    # URL canonicalization + url-level dedup (web-corpus prior to
+    # content dedup): deterministic messy-url synthesis from documents
+    # (case-varied scheme/host, default + non-default ports, tracking
+    # params, unsorted query, fragments, trailing slashes), then one
+    # map-only normalize + one groupBy on the canonical form
+    docs = _read(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 3 == 0, F.lit("HTTP")).when(d % 3 == 1, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(d % 2 == 0, F.lit("EX")).otherwise(F.lit("ex")),
+        (d % 5).cast("string"),
+        F.lit(".Example.ORG"),
+        F.when(d % 4 == 0, F.lit(":443")).when(d % 4 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        (d % 1000).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("?utm_source=tw&b=2&a=1"))
+        .when(d % 3 == 1, F.lit("?b=2&a=1&fbclid=xyz"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return TS.url_duplicate_groups(docs.select(url.alias("url")))
+
+
 def q_src_url_filter(spark, sf_dir):
     # C4-style URL hygiene: per-domain rollup + blocklist flag — the
     # filter a Common-Crawl pipeline applies before fetching/extracting.
@@ -1799,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_split": q_text_split,
         "text_decontaminate": q_text_decontaminate,
         "text_domain_mix": q_text_domain_mix,
+        "text_url_dedup": q_text_url_dedup,
         "dedup_spans": q_dedup_spans,
         "text_fingerprints": q_text_fingerprints,
         "multimodal_decode": q_multimodal_decode,
@@ -2684,6 +2711,43 @@ SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
        coalesce(h.n, 0) > 0 AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
 LEFT JOIN hits h USING (doc_id)""",
+        "text_url_dedup": r"""
+WITH dd AS (SELECT doc_id AS d FROM documents),
+u AS (SELECT
+  (CASE d % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END) || '://' ||
+  (CASE WHEN d % 2 = 0 THEN 'EX' ELSE 'ex' END) || CAST(d % 5 AS VARCHAR) || '.Example.ORG' ||
+  (CASE d % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END) ||
+  '/p/' || CAST(d % 1000 AS VARCHAR) ||
+  (CASE WHEN d % 2 = 0 THEN '/' ELSE '' END) ||
+  (CASE d % 3 WHEN 0 THEN '?utm_source=tw&b=2&a=1' WHEN 1 THEN '?b=2&a=1&fbclid=xyz' ELSE '' END) ||
+  (CASE WHEN d % 5 = 0 THEN '#frag' ELSE '' END) AS url
+ FROM dd),
+parts AS (SELECT url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+  regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', '') AS rest
+ FROM u),
+comp AS (SELECT url, scheme,
+  lower(regexp_extract(regexp_extract(rest, '^([^/?]*)', 1), '^([^:]*)', 1)) AS host,
+  regexp_extract(regexp_extract(rest, '^([^/?]*)', 1), ':(\d+)$', 1) AS port,
+  regexp_extract(rest, '^[^/?]*([^?]*)', 1) AS path,
+  array_to_string(list_sort(list_filter(string_split(regexp_extract(rest, '\?(.*)$', 1), '&'),
+    x -> x <> '' AND NOT starts_with(lower(x), 'utm_')
+      AND NOT list_contains(['fbclid', 'gclid', 'msclkid'],
+                            lower(regexp_extract(x, '^([^=]*)', 1))))), '&') AS qnorm
+ FROM parts),
+norm AS (SELECT url,
+  scheme || '://' || host ||
+  (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                 OR (scheme = 'https' AND port = '443'))
+        THEN ':' || port ELSE '' END) ||
+  (CASE WHEN path = '' THEN '/'
+        WHEN length(path) > 1 AND path LIKE '%/'
+        THEN substring(path, 1, length(path) - 1)
+        ELSE path END) ||
+  (CASE WHEN qnorm <> '' THEN '?' || qnorm ELSE '' END) AS canonical_url
+ FROM comp)
+SELECT canonical_url, count(*) AS n_urls, min(url) AS survivor_url
+FROM norm GROUP BY 1""",
         "text_domain_mix": """
 WITH b AS (SELECT doc_id, source,
   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 8)) AS BIGINT) AS bucket

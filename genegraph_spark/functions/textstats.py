@@ -414,3 +414,74 @@ def pack_sequences(
         )
         .drop("_key")
     )
+
+
+# -- URL canonicalization (web-corpus dedup prior) ---------------------------
+
+# tracking parameters stripped during canonicalization (the public
+# web-pipeline convention: UTM campaign tags + click identifiers)
+TRACKING_PARAMS = ["fbclid", "gclid", "msclkid"]
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL form for web-corpus dedup: lowercase scheme+host,
+    strip default ports (http:80 / https:443), drop the fragment, remove
+    tracking query params (``utm_*`` + :data:`TRACKING_PARAMS`), sort
+    the surviving params, empty path → ``/``, and strip one trailing
+    slash from non-root paths.
+
+    The reference pins its event keys to stable IRIs before graph
+    replace (``sink/event.clj:23-46``); the web analog is URL
+    canonicalization before URL-level dedup. Pure column expressions —
+    whole-stage codegen, no UDFs, deterministic for the DuckDB oracle.
+
+    Scale shape: map-only; the downstream dedup groupBy on the
+    canonical form is the only shuffle."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    rest = F.regexp_replace(url, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment never reaches servers
+    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~F.lower(p).startswith("utm_")
+        & ~F.lower(F.regexp_extract(p, r"^([^=]*)", 1)).isin(TRACKING_PARAMS),
+    )
+    qnorm = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        _strip_trailing_slash(F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)),
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    )
+
+
+def _strip_trailing_slash(path: Column) -> Column:
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+
+
+def url_duplicate_groups(df, url_col: str = "url"):
+    """URL-level dedup over canonicalized urls: one row per canonical
+    url with the member count and the smallest original form as the
+    deterministic survivor. One groupBy shuffle on the canonical url."""
+    return (
+        df.select(F.col(url_col), normalize_url(F.col(url_col)).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.min(url_col).alias("survivor_url"),
+        )
+    )

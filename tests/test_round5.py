@@ -594,3 +594,58 @@ class TestConditionTier:
         }
         # event ids 1,2,3,6 → Strong, Moderate, Limited, Definitive
         assert out == {"Strong": 1, "Moderate": 1, "Limited": 1, "Definitive": 1}
+
+
+class TestUrlNormalize:
+    """URL canonicalization for web-corpus dedup (textstats.normalize_url)."""
+
+    def _norm(self, spark, urls):
+        from pyspark.sql import functions as F
+
+        from genegraph_spark.functions import textstats as TS
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [
+            r.c for r in df.select(TS.normalize_url(F.col("url")).alias("c")).collect()
+        ]
+
+    def test_canonical_forms(self, spark):
+        got = self._norm(
+            spark,
+            [
+                "HTTPS://EX1.Example.ORG:443/p/9/?utm_source=tw&b=2&a=1#frag",
+                "http://ex1.example.org:80/p/9",
+                "https://ex1.example.org:8080/p/9",  # non-default port kept
+                "http://ex1.example.org:443/p/9",    # 443 on http kept
+                "https://ex1.example.org",           # empty path -> /
+                "https://ex1.example.org/p/9?b=2&a=1&fbclid=zz",
+                "https://ex1.example.org/?gclid=1&utm_medium=m",
+            ],
+        )
+        assert got == [
+            "https://ex1.example.org/p/9?a=1&b=2",
+            "http://ex1.example.org/p/9",
+            "https://ex1.example.org:8080/p/9",
+            "http://ex1.example.org:443/p/9",
+            "https://ex1.example.org/",
+            "https://ex1.example.org/p/9?a=1&b=2",
+            "https://ex1.example.org/",
+        ]
+
+    def test_duplicate_groups(self, spark):
+        from genegraph_spark.functions import textstats as TS
+
+        df = spark.createDataFrame(
+            [
+                ("HTTPS://A.com/x?utm_source=1",),
+                ("https://a.com/x",),
+                ("https://a.com/y",),
+            ],
+            "url string",
+        )
+        out = {
+            r.canonical_url: (r.n_urls, r.survivor_url)
+            for r in TS.url_duplicate_groups(df).collect()
+        }
+        assert out["https://a.com/x"] == (2, "HTTPS://A.com/x?utm_source=1")
+        assert out["https://a.com/y"] == (1, "https://a.com/y")
