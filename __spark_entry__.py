@@ -827,6 +827,75 @@ def q_text_url_dedup(spark, sf_dir):
     return TS.url_duplicate_groups(docs.select(url.alias("url")))
 
 
+def q_fn_variation_expressions(spark, sf_dir):
+    # ClinVar prioritized canonical-expression selection
+    # (variation.clj:36-106): SPDI → GRCh38 → GRCh37 → Text fallback
+    # with per-accession sequence locations — deterministic clinvar-raw
+    # payload synthesis from events, then ONE from_json + array ops pass
+    from genegraph_spark.sources import clinvar_variation as CV
+
+    ev = _read(spark, sf_dir, "events")
+    acc = F.concat(
+        F.lit("NC_"),
+        F.lpad((F.col("user_id") % 4).cast("string"), 6, "0"),
+        F.lit(".11"),
+    )
+    start = (F.col("user_id") % 1000).cast("string")
+    stop = ((F.col("user_id") % 1000) + (F.col("event_id") % 10)).cast("string")
+    case = F.col("event_id") % 4
+
+    def hgvs_entry(assembly, change):
+        return F.struct(
+            F.struct(
+                F.lit(assembly).alias("@Assembly"),
+                F.struct(
+                    F.concat(acc, F.lit(":g."), start, F.lit(change)).alias("$")
+                ).alias("Expression"),
+            ).alias("NucleotideExpression")
+        )
+
+    content = F.to_json(
+        F.struct(
+            F.when(
+                case == 0,
+                F.struct(
+                    F.concat(acc, F.lit(":"), start, F.lit(":A:T")).alias("$")
+                ),
+            ).alias("CanonicalSPDI"),
+            F.when(
+                case <= 1,
+                F.struct(
+                    F.array(
+                        hgvs_entry("GRCh38", "A>T"), hgvs_entry("GRCh37", "A>C")
+                    ).alias("HGVS")
+                ),
+            )
+            .when(
+                case == 2,
+                F.struct(F.array(hgvs_entry("GRCh37", "A>C")).alias("HGVS")),
+            )
+            .alias("HGVSlist"),
+            F.struct(
+                F.array(
+                    F.struct(
+                        acc.alias("@Accession"),
+                        start.alias("@start"),
+                        stop.alias("@stop"),
+                        F.when(
+                            F.col("event_id") % 5 != 0,
+                            (F.col("event_id") % 10).cast("string"),
+                        ).alias("@variantLength"),
+                    )
+                ).alias("SequenceLocation")
+            ).alias("Location"),
+        )
+    )
+    msgs = ev.select(
+        F.col("event_id").alias("variation_id"), content.alias("content")
+    )
+    return CV.prioritized_expressions(msgs)
+
+
 def q_src_url_filter(spark, sf_dir):
     # C4-style URL hygiene: per-domain rollup + blocklist flag — the
     # filter a Common-Crawl pipeline applies before fetching/extracting.
@@ -1826,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_decontaminate": q_text_decontaminate,
         "text_domain_mix": q_text_domain_mix,
         "text_url_dedup": q_text_url_dedup,
+        "fn_variation_expressions": q_fn_variation_expressions,
         "dedup_spans": q_dedup_spans,
         "text_fingerprints": q_text_fingerprints,
         "multimodal_decode": q_multimodal_decode,
@@ -2748,6 +2818,31 @@ norm AS (SELECT url,
  FROM comp)
 SELECT canonical_url, count(*) AS n_urls, min(url) AS survivor_url
 FROM norm GROUP BY 1""",
+        "fn_variation_expressions": """
+WITH e AS (
+  SELECT event_id, user_id,
+         'NC_' || lpad(CAST(user_id % 4 AS VARCHAR), 6, '0') || '.11' AS acc,
+         CAST(user_id % 1000 AS VARCHAR) AS s,
+         CAST(user_id % 1000 + event_id % 10 AS VARCHAR) AS st,
+         event_id % 4 AS c,
+         CASE WHEN event_id % 5 <> 0 THEN CAST(event_id % 10 AS BIGINT) END AS vl
+  FROM events)
+SELECT event_id AS variation_id, 1 AS rank,
+       acc || ':' || s || ':A:T' AS expr, 'spdi' AS expr_type,
+       'SPDI' AS label, acc AS accession, s AS loc_start, st AS loc_stop,
+       vl AS variant_length
+FROM e WHERE c = 0
+UNION ALL
+SELECT event_id, 2, acc || ':g.' || s || 'A>T', 'hgvs', 'GRCh38',
+       acc, s, st, vl FROM e WHERE c <= 1
+UNION ALL
+SELECT event_id, 3, acc || ':g.' || s || 'A>C', 'hgvs', 'GRCh37',
+       acc, s, st, vl FROM e WHERE c <= 2
+UNION ALL
+SELECT event_id, 4, 'clinvar:' || CAST(event_id AS VARCHAR), 'text', 'Text',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT)
+FROM e""",
         "text_domain_mix": """
 WITH b AS (SELECT doc_id, source,
   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 8)) AS BIGINT) AS bucket

@@ -649,3 +649,70 @@ class TestUrlNormalize:
         }
         assert out["https://a.com/x"] == (2, "HTTPS://A.com/x?utm_source=1")
         assert out["https://a.com/y"] == (1, "https://a.com/y")
+
+
+class TestVariationExpressions:
+    """ClinVar prioritized canonical-expression selection
+    (variation.clj:36-106) — priority order, first-of-duplicate-assembly,
+    accession-matched locations."""
+
+    def _run(self, spark, content, vid=7):
+        import json
+
+        from genegraph_spark.sources import clinvar_variation as CV
+
+        df = spark.createDataFrame(
+            [(vid, json.dumps(content))], "variation_id long, content string"
+        )
+        return CV.prioritized_expressions(df).collect()
+
+    def test_priority_and_locations(self, spark):
+        content = {
+            "CanonicalSPDI": {"$": "NC_000001.11:100:A:T"},
+            "HGVSlist": {
+                "HGVS": [
+                    {"NucleotideExpression": {"@Assembly": "GRCh37",
+                                              "Expression": {"$": "NC_000001.10:g.90A>T"}}},
+                    {"NucleotideExpression": {"@Assembly": "GRCh38",
+                                              "Expression": {"$": "NC_000001.11:g.101A>T"}}},
+                ]
+            },
+            "Location": {
+                "SequenceLocation": [
+                    {"@Accession": "NC_000001.11", "@start": "100", "@stop": "101",
+                     "@variantLength": "1"},
+                    {"@Accession": "NC_000001.10", "@start": "90", "@stop": "91"},
+                ]
+            },
+        }
+        rows = self._run(spark, content)
+        got = [(r.rank, r.expr_type, r.label, r.accession, r.loc_start, r.variant_length)
+               for r in sorted(rows, key=lambda r: r.rank)]
+        assert got == [
+            (1, "spdi", "SPDI", "NC_000001.11", "100", 1),
+            (2, "hgvs", "GRCh38", "NC_000001.11", "100", 1),
+            (3, "hgvs", "GRCh37", "NC_000001.10", "90", None),
+            (4, "text", "Text", None, None, None),
+        ]
+        assert rows[-1].expr == "clinvar:7" or any(r.expr == "clinvar:7" for r in rows)
+
+    def test_duplicate_assembly_takes_first(self, spark):
+        content = {
+            "HGVSlist": {
+                "HGVS": [
+                    {"NucleotideExpression": {"@Assembly": "GRCh38",
+                                              "Expression": {"$": "NC_1.1:g.1A>T"}}},
+                    {"NucleotideExpression": {"@Assembly": "GRCh38",
+                                              "Expression": {"$": "NC_1.1:g.2A>T"}}},
+                ]
+            },
+        }
+        rows = {r.rank: r for r in self._run(spark, content)}
+        assert set(rows) == {2, 4}
+        assert rows[2].expr == "NC_1.1:g.1A>T"
+        # no Location block → null location fields, accession still parsed
+        assert rows[2].accession == "NC_1.1" and rows[2].loc_start is None
+
+    def test_text_fallback_only(self, spark):
+        rows = self._run(spark, {}, vid=42)
+        assert [(r.rank, r.expr) for r in rows] == [(4, "clinvar:42")]
