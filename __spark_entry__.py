@@ -1562,6 +1562,23 @@ def q_alg_sparql_subselect(spark, sf_dir):
     )
 
 
+def q_alg_sparql_graph(spark, sf_dir):
+    # GRAPH <iri> scoping from query text (util/test_data.clj:67 named-
+    # graph extraction): per-predicate triple counts inside the
+    # dictionary named graph of the KG store — a constant GRAPH is a
+    # graph-column filter (partition prune on a graph-partitioned store)
+    from genegraph_spark.functions import iri as I2
+    from genegraph_spark.operators.sparql import sparql
+
+    t = _kg_triples_df(spark, sf_dir)
+    return sparql(
+        t,
+        "SELECT ?p (COUNT(*) AS ?n) WHERE { GRAPH <"
+        + I2.DICTIONARY_GRAPH
+        + "> { ?s ?p ?o } } GROUP BY ?p",
+    )
+
+
 def q_alg_describe(spark, sf_dir):
     # DESCRIBE ?page WHERE { ?page :mentions kge:SLOWNESS } — concise
     # bounded description: page triples + their mention bnodes' triples
@@ -1848,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q_text_pack_sequences,
         "alg_sparql_agg": q_alg_sparql_agg,
         "alg_sparql_subselect": q_alg_sparql_subselect,
+        "alg_sparql_graph": q_alg_sparql_graph,
         "join_salted_topk": q_join_salted_topk,
         "graph_pagerank": q_graph_pagerank,
         "graph_degrees": q_graph_degrees,
@@ -3425,6 +3443,9 @@ SELECT rn.rname AS rname, count(*) AS n_customers,
        arg_max(bal.bal, CAST(bal.bal AS DOUBLE)) AS max_bal
 FROM cn JOIN nr USING (n) JOIN rn ON rn.r = nr.r JOIN bal ON bal.c = cn.c
 GROUP BY 1 HAVING count(*) > 10""",
+        "alg_sparql_graph": f"""
+WITH dict AS ({_dict_triples_values()})
+SELECT predicate AS p, count(*) AS n FROM dict GROUP BY 1""",
         "alg_sparql_subselect": f"""
 WITH {_GEO_TRIPLES},
 cn AS (SELECT s AS c, o AS n FROM geo WHERE p = ':in-nation'),

@@ -101,7 +101,7 @@ _KEYWORDS = {
     "prefix", "select", "construct", "ask", "describe", "where", "optional",
     "filter", "bind", "values", "union", "minus", "not", "exists", "order",
     "by", "group", "having", "asc", "desc", "limit", "offset", "distinct",
-    "reduced", "as", "undef",
+    "reduced", "as", "undef", "graph",
 }
 
 
@@ -413,6 +413,16 @@ class _Parser:
             elif self.at_kw("minus"):
                 self.next()
                 elements.append(("minus", self.group()))
+            elif self.at_kw("graph"):
+                # GRAPH <iri>|?g { ... } — named-graph scoping over the
+                # store's graph column (util/test_data.clj:67 extracts a
+                # named graph this way). A constant graph is a pushable
+                # partition-prune filter; a variable binds per-solution.
+                self.next()
+                gterm = self.term()
+                if gterm[0] not in ("iri", "var"):
+                    raise SparqlSyntaxError("GRAPH takes an IRI or a variable")
+                elements.append(("graphpat", gterm, self.group()))
             elif self.at_op("{"):
                 alts = [self.group()]
                 while self.at_kw("union"):
@@ -784,9 +794,13 @@ def term_datatype(c: Column) -> Column:
 
 
 class _Compiler:
-    def __init__(self, triples: DataFrame):
+    def __init__(self, triples: DataFrame, graph_var: str | None = None):
         self.triples = triples
         self.spark = triples.sparkSession
+        # set inside GRAPH ?g { ... }: every simple-predicate scan also
+        # binds ?g from the store's graph column (NULL-graph rows — the
+        # default graph — are excluded, per SPARQL named-graph semantics)
+        self.graph_var = graph_var
 
     # -- patterns ------------------------------------------------------------
     def _unit(self) -> DataFrame:
@@ -827,7 +841,23 @@ class _Compiler:
                 cols.append(pred_tag.alias(path[1]))
             for f in filters:
                 df = df.where(f)
+            if self.graph_var:
+                df = df.where(F.col("graph").isNotNull())
+                gtag = F.concat(F.lit("I|"), F.col("graph"))
+                gv = self.graph_var
+                if (s[0] == "var" and s[1] == gv) or (o[0] == "var" and o[1] == gv):
+                    sel = _enc_subject() if s[0] == "var" and s[1] == gv else _enc_object()
+                    df = df.where(sel == gtag)
+                elif path[1] == gv:
+                    df = df.where(pred_tag == gtag)
+                else:
+                    cols.append(gtag.alias(gv))
             return df.select(*cols)
+        if self.graph_var:
+            raise SparqlSyntaxError(
+                "property paths inside GRAPH ?var are not supported; "
+                "use a constant graph IRI"
+            )
         pairs = self.path_pairs(path)
         out_cols: list[Column] = []
         df = pairs
@@ -851,6 +881,12 @@ class _Compiler:
         Scale shape: delegates to the inverted-index view — query-token
         postings only, broadcast df/N scalars, one grouped sum."""
         import re as _re
+
+        if self.graph_var:
+            raise SparqlSyntaxError(
+                "text:query inside GRAPH ?var is not supported; "
+                "use a constant graph IRI"
+            )
 
         if o[0] != "coll" or not 2 <= len(o[1]) <= 3:
             raise SparqlSyntaxError(
@@ -934,6 +970,16 @@ class _Compiler:
             # same var both ends: self-equality
             df = df.where(_enc_subject() == _enc_object())
             cols = [_enc_subject().alias(s[1])]
+        if self.graph_var:
+            df = df.where(F.col("graph").isNotNull())
+            gtag = F.concat(F.lit("I|"), F.col("graph"))
+            gv = self.graph_var
+            if s[0] == "var" and s[1] == gv:
+                df = df.where(_enc_subject() == gtag)
+            elif o[0] == "var" and o[1] == gv:
+                df = df.where(_enc_object() == gtag)
+            else:
+                cols.append(gtag.alias(gv))
         return df.select(*cols) if cols else df.select(F.lit(1).alias("_unit"))
 
     # -- property paths ------------------------------------------------------
@@ -1094,6 +1140,24 @@ class _Compiler:
                     cur = A.minus(cur, self.group(el[1]))
             elif kind == "group":
                 sub, sub_maybe = self._group(el[1])
+                cur = merge(sub)
+                maybe |= sub_maybe
+            elif kind == "graphpat":
+                # GRAPH scoping: a constant graph filters the scan (a
+                # partition prune when the store is graph-partitioned);
+                # a variable threads the graph column through every
+                # inner scan as a binding — solutions within one group
+                # element share one ?g binding via the natural joins.
+                gterm, inner = el[1], el[2]
+                if gterm[0] == "iri":
+                    sub_c = _Compiler(
+                        self.triples.where(F.col("graph") == gterm[1])
+                    )
+                elif gterm[0] == "var":
+                    sub_c = _Compiler(self.triples, graph_var=gterm[1])
+                else:
+                    raise SparqlSyntaxError("GRAPH takes an IRI or a variable")
+                sub, sub_maybe = sub_c._group(inner)
                 cur = merge(sub)
                 maybe |= sub_maybe
             elif kind == "subselect":

@@ -1203,3 +1203,61 @@ class TestClinvarResolverQueries:
         assert sorted((r.id, r.release_date) for r in out) == [
             ("urn:agg:a", "2021-01-01"), ("urn:agg:b", "2019-05-05"),
         ]
+
+
+class TestGraphPattern:
+    """GRAPH <iri>|?g { ... } named-graph scoping (util/test_data.clj:67
+    extracts the mondo named graph this way; the store is named-graph
+    partitioned so a constant GRAPH is a partition prune)."""
+
+    @pytest.fixture(scope="class")
+    def multi(self, spark):
+        rows = [
+            ("urn:g1", "urn:a", ":p", "x", False, None),
+            ("urn:g1", "urn:a", ":q", "urn:b", True, None),
+            ("urn:g2", "urn:a", ":p", "y", False, None),
+            (None, "urn:a", ":p", "default", False, None),  # default graph
+        ]
+        return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+    def test_constant_graph_scopes(self, spark, multi):
+        out = S.sparql(
+            multi, "SELECT ?v WHERE { GRAPH <urn:g1> { ?s :p ?v } }"
+        ).collect()
+        assert [r.v for r in out] == ["x"]
+
+    def test_construct_extract_named_graph(self, spark, multi):
+        """The test_data.clj:67 shape: copy one named graph's triples."""
+        out = S.sparql(
+            multi,
+            "CONSTRUCT { ?s ?p ?o } WHERE { GRAPH <urn:g1> { ?s ?p ?o } }",
+        )
+        got = {(r.subject, r.predicate, r.object) for r in out.collect()}
+        assert got == {("urn:a", ":p", "x"), ("urn:a", ":q", "urn:b")}
+
+    def test_graph_var_binds_and_excludes_default(self, spark, multi):
+        out = S.sparql(
+            multi, "SELECT ?g ?v WHERE { GRAPH ?g { ?s :p ?v } } ORDER BY ?g"
+        ).collect()
+        assert [(r.g, r.v) for r in out] == [("urn:g1", "x"), ("urn:g2", "y")]
+
+    def test_graph_var_joins_within_group(self, spark, multi):
+        # both patterns must match in the SAME graph: only g1 has :p and :q
+        out = S.sparql(
+            multi,
+            "SELECT ?g WHERE { GRAPH ?g { ?s :p ?v . ?s :q ?w } }",
+        ).collect()
+        assert [r.g for r in out] == ["urn:g1"]
+
+    def test_path_inside_graph_var_raises(self, spark, multi):
+        with pytest.raises(S.SparqlSyntaxError):
+            S.sparql(
+                multi, "SELECT ?g WHERE { GRAPH ?g { ?s :p/:q ?v } }"
+            ).collect()
+
+    def test_path_inside_constant_graph_works(self, spark, multi):
+        out = S.sparql(
+            multi,
+            'SELECT ?s WHERE { GRAPH <urn:g1> { ?s :q/:p* ?v } FILTER(?v = "urn:b") }',
+        ).collect()
+        assert [r.s for r in out] == ["urn:a"]
