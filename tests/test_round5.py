@@ -716,3 +716,46 @@ class TestVariationExpressions:
     def test_text_fallback_only(self, spark):
         rows = self._run(spark, {}, vid=42)
         assert [(r.rank, r.expr) for r in rows] == [(4, "clinvar:42")]
+
+
+def test_url_normalize_idempotent_property(spark):
+    """Property: normalize is IDEMPOTENT — normalize(normalize(u)) ==
+    normalize(u) for any url assembled from adversarial components
+    (mixed-case schemes/hosts, default + junk ports, tracking + real
+    params in any order, fragments, trailing slashes). One Spark round
+    over a hypothesis-generated batch (running Spark inside @given would
+    re-plan per example)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from genegraph_spark.functions import textstats as TS
+
+    urls = []
+    param = st.sampled_from(
+        ["a=1", "b=2", "utm_source=x", "utm_medium=y", "fbclid=z", "gclid=1", "c=3&d=4"]
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS", "Ftp"]),
+        host=st.sampled_from(["Ex.ORG", "a.b.example.com", "X1.net"]),
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        path=st.sampled_from(["", "/", "/p", "/p/", "/a/b.html", "//x/"]),
+        params=st.lists(param, max_size=4),
+        frag=st.sampled_from(["", "#f", "#a/b?c=1"]),
+    )
+    def collect(scheme, host, port, path, params, frag):
+        q = "?" + "&".join(params) if params else ""
+        urls.append(f"{scheme}://{host}{port}{path}{q}{frag}")
+
+    collect()
+
+    df = spark.createDataFrame([(u,) for u in set(urls)], "url string")
+    out = df.select(
+        TS.normalize_url(F.col("url")).alias("once")
+    ).select(
+        F.col("once"), TS.normalize_url(F.col("once")).alias("twice")
+    )
+    bad = out.where(F.col("once") != F.col("twice")).collect()
+    assert not bad, bad[:5]
