@@ -1447,6 +1447,69 @@ def q_cur_region_features(spark, sf_dir):
     return R.region_feature_cards(m)
 
 
+# assertion.clj:22-27 / evidence_item.clj:9-14 — VERBATIM (the reference
+# pre-binds ?curation; the driver variant leaves it open so every
+# (ancestor, line) pair materializes, multiplicities per SPARQL bag
+# semantics)
+_RECURSIVE_EVIDENCE_SPARQL = """select ?evidence_line where {
+    ?curation ( :sepio/has-evidence-line | :sepio/has-evidence-item ) + ?evidence_line .
+    ?evidence_line ( a / :rdfs/sub-class-of * ) :sepio/EvidenceLine .
+    ?evidence_line ( a / :rdfs/sub-class-of * ) ?class }"""
+
+
+def q_alg_recursive_evidence(spark, sf_dir):
+    # the recursive evidence-line query both assertion.clj and
+    # evidence_item.clj embed, executed VERBATIM through the SPARQL
+    # front-end over a nested evidence forest: alternation path +,
+    # class-tier filter via a/sub-class-of*, bag-semantics
+    # multiplicities (2 class bindings for the subclassed line; 2
+    # ancestors for the nested line)
+    from genegraph_spark.operators import sparql as S
+    from genegraph_spark.plans import resolvers as R
+
+    m = R.recursive_evidence_model(_read(spark, sf_dir, "events"))
+    return S.sparql(m, _RECURSIVE_EVIDENCE_SPARQL)
+
+
+def q_cur_resource_cards(spark, sf_dir):
+    # generic-resource cards (resource.clj:14-37): label precedence
+    # prefLabel→rdfs:label→foaf:name, website-display-label precedence,
+    # alt label, description, direct super/subclass counts — the
+    # per-resource point resolvers collapsed into one grouped pivot +
+    # one co-keyed join
+    from genegraph_spark.plans import resolvers as R
+
+    return R.resource_cards(R.resource_model(_read(spark, sf_dir, "events")))
+
+
+def q_cur_gene_features(spark, sf_dir):
+    # gene-feature cards (gene_feature.clj): hgnc id/symbol, sorted
+    # comma-joined previous/alias symbol collections, chromosomal band —
+    # one grouped pass over the events-derived gene dimension
+    from genegraph_spark.plans import resolvers as R
+
+    return R.gene_features(_read(spark, sf_dir, "events"))
+
+
+def q_cur_drugs(spark, sf_dir):
+    # the drugs list resolver (drug.clj:19-36): distinct drugs + label +
+    # alias rollup, lower-cased text filter, and the reference's second
+    # count-mode run of the same query folded in as a window count
+    from genegraph_spark.plans import resolvers as R
+
+    return R.drugs(_read(spark, sf_dir, "events"), text="oral")
+
+
+def q_cur_gene_validity_reports(spark, sf_dir):
+    # gene-validity assertion report cards (gene_validity.clj): report
+    # date, classification enum, proposition hops, ApproverRole
+    # attribution, trailing-uuid report id, animal-model tri-state —
+    # all as column expressions in one map-only pass
+    from genegraph_spark.plans import resolvers as R
+
+    return R.gene_validity_reports(_read(spark, sf_dir, "events"))
+
+
 _CLINSIG_TERMS = [
     "Benign", "benign/likely benign", "Pathogenic", "LIKELY PATHOGENIC",
     "uncertain significance", "drug response", "association", "WEIRD_UNKNOWN",
@@ -1849,6 +1912,12 @@ def _verdict_ordering(base_names):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        # round-5 additions (never driver-verified → front of the window)
+        "alg_recursive_evidence": q_alg_recursive_evidence,
+        "cur_resource_cards": q_cur_resource_cards,
+        "cur_gene_features": q_cur_gene_features,
+        "cur_drugs": q_cur_drugs,
+        "cur_gene_validity_reports": q_cur_gene_validity_reports,
         # round-4 additions
         "alg_sparql_select": q_alg_sparql_select,
         "alg_sparql_construct": q_alg_sparql_construct,
@@ -3360,6 +3429,86 @@ SELECT coalesce(lk.code, 'oth') AS clinsig_code,
        count(*) AS n
 FROM raw LEFT JOIN lk ON lk.term = lower(raw.clinsig) CROSS JOIN fb
 GROUP BY 1, 2, 3, 4""",
+        "alg_recursive_evidence": """
+WITH b AS (SELECT CAST(event_id // 5 AS BIGINT) AS b FROM events
+           WHERE event_id % 5 = 0),
+m AS (SELECT * FROM (VALUES (1), (2)) t(i))
+SELECT el AS evidence_line FROM (
+  SELECT 'urn:el1:' || CAST(b AS VARCHAR) AS el FROM b CROSS JOIN m
+  UNION ALL
+  SELECT 'urn:el2:' || CAST(b AS VARCHAR) AS el FROM b CROSS JOIN m
+) s""",
+        "cur_resource_cards": """
+WITH u AS (SELECT DISTINCT user_id AS uid FROM events),
+sub AS (SELECT uid // 2 AS puid, count(*) AS n FROM u WHERE uid > 0 GROUP BY 1)
+SELECT 'urn:res:' || CAST(u.uid AS VARCHAR) AS resource,
+       COALESCE(CASE WHEN u.uid % 3 = 0 THEN 'Pref ' || CAST(u.uid AS VARCHAR) END,
+                CASE WHEN u.uid % 2 = 0 THEN 'Rdfs ' || CAST(u.uid AS VARCHAR) END,
+                'Name ' || CAST(u.uid AS VARCHAR)) AS label,
+       COALESCE(CASE WHEN u.uid % 5 = 0 THEN 'Display ' || CAST(u.uid AS VARCHAR) END,
+                CASE WHEN u.uid % 3 = 0 THEN 'Pref ' || CAST(u.uid AS VARCHAR) END,
+                CASE WHEN u.uid % 2 = 0 THEN 'Rdfs ' || CAST(u.uid AS VARCHAR) END,
+                'Name ' || CAST(u.uid AS VARCHAR)) AS website_display_label,
+       CASE WHEN u.uid % 2 = 1 THEN 'Alt ' || CAST(u.uid AS VARCHAR) END
+         AS alternative_label,
+       CASE WHEN u.uid % 4 = 0 THEN 'Desc ' || CAST(u.uid AS VARCHAR) END
+         AS description,
+       CAST(CASE WHEN u.uid > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_superclasses,
+       CAST(COALESCE(sub.n, 0) AS BIGINT) AS n_subclasses
+FROM u LEFT JOIN sub ON sub.puid = u.uid""",
+        "cur_gene_features": """
+WITH e AS (SELECT user_id % 20 AS g, event_id, event_type FROM events),
+prev AS (SELECT DISTINCT g,
+           'GENE' || CAST(g AS VARCHAR) || 'v' || CAST(event_id % 3 AS VARCHAR) AS p
+         FROM e),
+al AS (SELECT DISTINCT g,
+         'G' || CAST(g AS VARCHAR) || '-' || event_type AS a
+       FROM e),
+pj AS (SELECT g, string_agg(p, ', ' ORDER BY p) AS previous_symbols
+       FROM prev GROUP BY g),
+aj AS (SELECT g, string_agg(a, ', ' ORDER BY a) AS alias_symbols
+       FROM al GROUP BY g)
+SELECT 'urn:gene:' || CAST(pj.g AS VARCHAR) AS gene,
+       'HGNC:' || CAST(pj.g + 1000 AS VARCHAR) AS hgnc_id,
+       'GENE' || CAST(pj.g AS VARCHAR) AS hgnc_symbol,
+       CAST(pj.g % 22 + 1 AS VARCHAR)
+         || (CASE WHEN pj.g % 2 = 0 THEN 'p' ELSE 'q' END)
+         || CAST(pj.g % 3 + 1 AS VARCHAR) AS chromosomal_band,
+       pj.previous_symbols, aj.alias_symbols
+FROM pj JOIN aj ON pj.g = aj.g""",
+        "cur_drugs": """
+WITH d AS (SELECT user_id % 15 AS d, event_type FROM events),
+g AS (SELECT d, count(DISTINCT event_type) AS n_aliases FROM d GROUP BY d),
+l AS (SELECT 'urn:drug:' || CAST(d AS VARCHAR) AS drug,
+        'Drug ' || CAST(d AS VARCHAR)
+          || (CASE WHEN d % 3 = 0 THEN ' ophthalmic'
+                   WHEN d % 3 = 1 THEN ' oral'
+                   ELSE ' topical' END) AS label,
+        CAST(n_aliases AS BIGINT) AS n_aliases
+      FROM g),
+f AS (SELECT * FROM l WHERE lower(label) LIKE '%oral%')
+SELECT *, CAST(count(*) OVER () AS BIGINT) AS total FROM f""",
+        "cur_gene_validity_reports": """
+SELECT 'urn:curation:' || CAST(event_id AS VARCHAR) AS assertion,
+       'urn:gene:' || CAST(user_id % 20 AS VARCHAR) AS gene,
+       'urn:disease:' || CAST(user_id % 7 AS VARCHAR) AS disease,
+       CASE event_type WHEN 'purchase' THEN 'DEFINITIVE'
+                       WHEN 'signup' THEN 'MODERATE'
+                       WHEN 'click' THEN 'LIMITED'
+                       WHEN 'view' THEN 'STRONG'
+                       WHEN 'error' THEN 'REFUTED' END AS classification,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS report_date,
+       CASE WHEN event_id % 2 = 0
+            THEN 'urn:aff:' || CAST(user_id % 10 AS VARCHAR) END AS attributed_to,
+       substr(md5(CAST(event_id AS VARCHAR)), 1, 8) || '-'
+         || substr(md5(CAST(event_id AS VARCHAR)), 9, 4) || '-'
+         || substr(md5(CAST(event_id AS VARCHAR)), 13, 4) || '-'
+         || substr(md5(CAST(event_id AS VARCHAR)), 17, 4) || '-'
+         || substr(md5(CAST(event_id AS VARCHAR)), 21, 12) AS report_id,
+       CASE WHEN CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 = 0 THEN TRUE
+            WHEN CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 = 1 THEN FALSE
+       END AS animal_model
+FROM events""",
         "cur_region_features": """
 SELECT 'urn:region:' || CAST(p_partkey % 40 AS VARCHAR) AS feature,
        'urn:coord:' || CAST(p_partkey AS VARCHAR) AS coordinate,

@@ -759,3 +759,215 @@ def test_url_normalize_idempotent_property(spark):
     )
     bad = out.where(F.col("once") != F.col("twice")).collect()
     assert not bad, bad[:5]
+
+
+def _full_events(spark, rows):
+    """rows: (event_id, ts, user_id, event_type, value, props)."""
+    from pyspark.sql import functions as F
+
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+
+class TestResourceCards:
+    """resource.clj:14-37 — label precedence, display-label precedence,
+    description, direct super/subclass counts, computed for every
+    resource in one grouped pass."""
+
+    def _cards(self, spark, uids):
+        from genegraph_spark.plans import resolvers as R
+
+        ev = _full_events(
+            spark,
+            [(i, "2024-01-01 00:00:00", u, "view", 1.0, '{"k": 0}')
+             for i, u in enumerate(uids)],
+        )
+        return {r.resource: r for r in R.resource_cards(R.resource_model(ev)).collect()}
+
+    def test_label_precedence(self, spark):
+        out = self._cards(spark, [0, 1, 2, 3, 4, 5])
+        # uid 0: pref+rdfs+name present → prefLabel wins
+        assert out["urn:res:0"].label == "Pref 0"
+        # uid 1: only foaf:name (odd, not %3) → name fallback
+        assert out["urn:res:1"].label == "Name 1"
+        # uid 2: rdfs:label but no prefLabel → rdfs wins
+        assert out["urn:res:2"].label == "Rdfs 2"
+        # uid 3: prefLabel (3%3=0) wins over name
+        assert out["urn:res:3"].label == "Pref 3"
+
+    def test_display_label_precedence_and_fields(self, spark):
+        out = self._cards(spark, [0, 1, 2, 4, 5])
+        # display label present only for %5 == 0
+        assert out["urn:res:0"].website_display_label == "Display 0"
+        assert out["urn:res:5"].website_display_label == "Display 5"
+        # without display: falls through the same chain as label
+        assert out["urn:res:2"].website_display_label == "Rdfs 2"
+        assert out["urn:res:1"].alternative_label == "Alt 1"
+        assert out["urn:res:2"].alternative_label is None
+        assert out["urn:res:4"].description == "Desc 4"
+
+    def test_subclass_counts(self, spark):
+        out = self._cards(spark, [0, 1, 2, 3, 4, 5])
+        # halving hierarchy: children of res:1 are uids 2 and 3
+        assert out["urn:res:1"].n_subclasses == 2
+        assert out["urn:res:2"].n_subclasses == 2  # uids 4, 5
+        assert out["urn:res:0"].n_superclasses == 0  # root
+        assert out["urn:res:3"].n_superclasses == 1
+        assert out["urn:res:5"].n_subclasses == 0
+
+
+class TestGeneFeatures:
+    """gene_feature.clj — comma-joined, deterministically sorted symbol
+    collections + band arithmetic in one grouped pass."""
+
+    def test_card_fields(self, spark):
+        from genegraph_spark.plans import resolvers as R
+
+        ev = _full_events(
+            spark,
+            [
+                (0, "2024-01-01 00:00:00", 2, "view", 1.0, "{}"),
+                (1, "2024-01-01 00:00:00", 2, "click", 1.0, "{}"),
+                (4, "2024-01-01 00:00:00", 2, "view", 1.0, "{}"),
+                (2, "2024-01-01 00:00:00", 25, "signup", 1.0, "{}"),
+            ],
+        )
+        out = {r.gene: r for r in R.gene_features(ev).collect()}
+        g2 = out["urn:gene:2"]
+        assert g2.hgnc_id == "HGNC:1002"
+        assert g2.hgnc_symbol == "GENE2"
+        # events 0,1,4 → v0, v1, v1 → distinct sorted v0, v1
+        assert g2.previous_symbols == "GENE2v0, GENE2v1"
+        assert g2.alias_symbols == "G2-click, G2-view"
+        assert g2.chromosomal_band == "3p3"  # 2%22+1=3, even→p, 2%3+1=3
+        g5 = out["urn:gene:5"]  # user 25 % 20
+        assert g5.previous_symbols == "GENE5v2"
+        assert g5.chromosomal_band == "6q3"
+
+
+class TestDrugs:
+    """drug.clj:19-36 — list + optional text filter + folded-in count."""
+
+    def _events(self, spark):
+        rows = [
+            (i, "2024-01-01 00:00:00", u, t, 1.0, "{}")
+            for i, (u, t) in enumerate(
+                [(0, "view"), (0, "click"), (1, "view"), (3, "view"),
+                 (4, "view"), (4, "view")]
+            )
+        ]
+        return _full_events(spark, rows)
+
+    def test_unfiltered_list(self, spark):
+        from genegraph_spark.plans import resolvers as R
+
+        out = {r.drug: r for r in R.drugs(self._events(spark)).collect()}
+        assert out["urn:drug:0"].label == "Drug 0 ophthalmic"
+        assert out["urn:drug:0"].n_aliases == 2
+        assert out["urn:drug:1"].label == "Drug 1 oral"
+        assert out["urn:drug:4"].n_aliases == 1
+        assert all(r.total == 4 for r in out.values())
+
+    def test_text_filter_and_count(self, spark):
+        from genegraph_spark.plans import resolvers as R
+
+        out = R.drugs(self._events(spark), text="ORAL").collect()
+        # only d % 3 == 1 labels contain 'oral' ('ophthalmic' does not)
+        assert sorted(r.drug for r in out) == ["urn:drug:1", "urn:drug:4"]
+        assert all(r.total == 2 for r in out)
+
+
+class TestGeneValidityReports:
+    """gene_validity.clj report cards: enum classification, ApproverRole
+    attribution, trailing-uuid report id, animal-model tri-state."""
+
+    def test_fields(self, spark):
+        import hashlib
+        import re as _re
+
+        from genegraph_spark.plans import resolvers as R
+
+        ev = _full_events(
+            spark,
+            [
+                (0, "2024-01-01 00:00:01", 3, "purchase", 1.0, '{"k": 0}'),
+                (1, "2024-01-02 00:00:02", 10, "error", 1.0, '{"k": 1}'),
+                (2, "2024-01-03 00:00:03", 5, "view", 1.0, '{"k": 2}'),
+            ],
+        )
+        out = {r.assertion: r for r in R.gene_validity_reports(ev).collect()}
+        a0 = out["urn:curation:0"]
+        assert a0.classification == "DEFINITIVE"
+        assert a0.gene == "urn:gene:3" and a0.disease == "urn:disease:3"
+        assert a0.attributed_to == "urn:aff:3"  # even event → ApproverRole
+        assert a0.animal_model is True
+        a1 = out["urn:curation:1"]
+        assert a1.classification == "REFUTED"
+        assert a1.attributed_to is None  # odd event → no approver
+        assert a1.animal_model is False
+        a2 = out["urn:curation:2"]
+        assert a2.classification == "STRONG"
+        assert a2.animal_model is None
+        # report id: the trailing-uuid regex over the proposition IRI
+        # (gene_validity.clj:120-126) recovers the md5-derived uuid
+        for eid, r in [(0, a0), (1, a1), (2, a2)]:
+            h = hashlib.md5(str(eid).encode()).hexdigest()
+            uuid = f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+            assert r.report_id == uuid
+            assert _re.fullmatch(
+                r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}", r.report_id
+            )
+        assert a0.report_date == "2024-01-01 00:00:01.000000"
+
+
+class TestRecursiveEvidence:
+    """assertion.clj:22-27 / evidence_item.clj:9-14 — the recursive
+    evidence-line query executed VERBATIM (alternation path +, class
+    tier via a/sub-class-of*), with the reference's pre-bound
+    ?curation parameter."""
+
+    VERBATIM = """select ?evidence_line where {
+    ?curation ( :sepio/has-evidence-line | :sepio/has-evidence-item ) + ?evidence_line .
+    ?evidence_line ( a / :rdfs/sub-class-of * ) :sepio/EvidenceLine .
+    ?evidence_line ( a / :rdfs/sub-class-of * ) ?class }"""
+
+    def _model(self, spark, n_blocks=2):
+        from genegraph_spark.plans import resolvers as R
+
+        ev = _full_events(
+            spark,
+            [(i * 5, "2024-01-01 00:00:00", 1, "view", 1.0, "{}")
+             for i in range(n_blocks)],
+        )
+        return R.recursive_evidence_model(ev)
+
+    def test_prebound_curation(self, spark):
+        from genegraph_spark.operators import sparql as S
+
+        m = self._model(spark)
+        out = [
+            r.evidence_line
+            for r in S.sparql(m, self.VERBATIM, curation=("iri", "urn:as:0")).collect()
+        ]
+        # el1 has 2 class bindings (Overall + its superclass); el2 one
+        # class but is reached only through el1 from as:0 → 1 row here
+        assert sorted(out) == ["urn:el1:0", "urn:el1:0", "urn:el2:0"]
+
+    def test_open_curation_multiplicities(self, spark):
+        from genegraph_spark.operators import sparql as S
+
+        m = self._model(spark, n_blocks=3)
+        out = [r.evidence_line for r in S.sparql(m, self.VERBATIM).collect()]
+        # per block: el1 ×2 (one ancestor × two classes),
+        # el2 ×2 (two ancestors × one class); items excluded by the tier
+        assert len(out) == 12
+        assert sorted(set(out)) == sorted(
+            [f"urn:el{j}:{b}" for j in (1, 2) for b in range(3)]
+        )
+        assert not any("it" in x for x in out)
+        for b in range(3):
+            assert out.count(f"urn:el1:{b}") == 2
+            assert out.count(f"urn:el2:{b}") == 2
