@@ -746,6 +746,143 @@ class TestGeneValidityVariantDir:
         assert item[":rdfs/label"] == {("Family 1", False)}
 
 
+class TestVariantEvidenceLevelAssertion:
+    """The variant-dir ``construct_evidence_level_assertion.sparql`` —
+    the full SOP classification points-tree traversal: one
+    provisional-classification node fans out into the genetic tier
+    (6 criterion sublines) and the experimental tier (3 sublines),
+    every line IRI composed from ?gcibase + the GDM uuid. Verified
+    output for the whole constructed hierarchy."""
+
+    VDIR = "/root/reference/src/genegraph/transform/gene_validity"
+    BASE = "http://gci.example/"
+
+    @pytest.fixture(scope="class")
+    def model(self, spark):
+        cls = GCI + "class1"
+        rows = [
+            iri(cls, RDF + "type", GCI + "provisionalClassification"),
+            lit(cls, GCI + "uuid", "cls-uuid"),
+            iri(cls, GCI + "autoClassification", GCX + "Moderate"),
+            iri(cls, GCI + "classificationPoints", "_:pt"),
+            lit("_:pt", GCI + "evidencePointsTotal", "12.5", "xsd:decimal"),
+            lit("_:pt", GCI + "experimentalEvidenceTotal", "4", "xsd:decimal"),
+            lit("_:pt", GCI + "geneticEvidenceTotal", "8.5", "xsd:decimal"),
+            iri("_:pt", GCI + "autosomalDominantOrXlinkedDisorder", "_:ad"),
+            iri("_:ad", GCI + "probandWithOtherVariantTypeWithGeneImpact", "_:adO"),
+            lit("_:adO", GCI + "pointsCounted", "1", "xsd:decimal"),
+            iri("_:ad", GCI + "probandWithPredictedOrProvenNullVariant", "_:adN"),
+            lit("_:adN", GCI + "pointsCounted", "2", "xsd:decimal"),
+            iri("_:ad", GCI + "variantIsDeNovo", "_:adD"),
+            lit("_:adD", GCI + "pointsCounted", "3", "xsd:decimal"),
+            iri("_:pt", GCI + "autosomalRecessiveDisorder", "_:ar"),
+            lit("_:ar", GCI + "pointsCounted", "0.5", "xsd:decimal"),
+            iri("_:pt", GCI + "caseControl", "_:cc"),
+            lit("_:cc", GCI + "pointsCounted", "1.5", "xsd:decimal"),
+            iri("_:pt", GCI + "function", "_:fn"),
+            lit("_:fn", GCI + "pointsCounted", "2", "xsd:decimal"),
+            iri("_:pt", GCI + "functionalAlteration", "_:fa"),
+            lit("_:fa", GCI + "pointsCounted", "1", "xsd:decimal"),
+            iri("_:pt", GCI + "modelsRescue", "_:mr"),
+            lit("_:mr", GCI + "pointsCounted", "1", "xsd:decimal"),
+            iri("_:pt", GCI + "segregation", "_:sg"),
+            lit("_:sg", GCI + "pointsCounted", "2.5", "xsd:decimal"),
+            iri(GCI + "gdm1", RDF + "type", GCI + "gdm"),
+            lit(GCI + "gdm1", GCI + "uuid", "gdm-uuid"),
+        ]
+        pq = S.PreparedQuery(
+            open(
+                os.path.join(self.VDIR, "construct_evidence_level_assertion.sparql")
+            ).read()
+        )
+        return by_subject(pq.run(T(spark, rows), gcibase=self.BASE).collect())
+
+    def test_assertion_head(self, model):
+        a = model[self.BASE + "assertion_cls-uuid"]
+        assert (":sepio/GeneValidityEvidenceLevelAssertion", True) in a[A_TYPE]
+        assert a[":sepio/has-subject"] == {(self.BASE + "proposition_gdm-uuid", True)}
+        assert a[":sepio/has-predicate"] == {(":sepio/HasEvidenceLevel", True)}
+        assert a[":sepio/has-object"] == {(GCX + "Moderate", True)}
+        assert a[":sepio/evidence-line-strength-score"] == {("12.5", False)}
+        assert a[":sepio/has-evidence-line"] == {
+            (self.BASE + "experimental_evidence_linegdm-uuid", True),
+            (self.BASE + "genetic_evidence_linegdm-uuid", True),
+        }
+
+    def test_genetic_tier(self, model):
+        g = model[self.BASE + "genetic_evidence_linegdm-uuid"]
+        assert (":sepio/GeneticEvidenceLine", True) in g[A_TYPE]
+        assert g[":sepio/evidence-line-strength-score"] == {("8.5", False)}
+        assert g[":sepio/has-evidence-item"] == {
+            (self.BASE + "genetic_evidence_criterion_assessmentgdm-uuid", True)
+        }
+        ga = model[self.BASE + "genetic_evidence_criterion_assessmentgdm-uuid"]
+        assert ga[":sepio/has-evidence-line"] == {
+            (self.BASE + name + "gdm-uuid", True)
+            for name in [
+                "autosomal_dominant_other_variant_evidence_line",
+                "autosomal_dominant_null_variant_evidence_line",
+                "autosomal_dominant_de_novo_variant_evidence_line",
+                "autosomal_recessive_variant_evidence_line",
+                "case_control_evidence_line",
+                "segregation_evidence_line",
+            ]
+        }
+        scores = {
+            "autosomal_dominant_other_variant_evidence_line": "1",
+            "autosomal_dominant_null_variant_evidence_line": "2",
+            "autosomal_dominant_de_novo_variant_evidence_line": "3",
+            "autosomal_recessive_variant_evidence_line": "0.5",
+            "case_control_evidence_line": "1.5",
+            "segregation_evidence_line": "2.5",
+        }
+        for name, score in scores.items():
+            line = model[self.BASE + name + "gdm-uuid"]
+            assert line[":sepio/evidence-line-strength-score"] == {(score, False)}, name
+
+    def test_experimental_tier(self, model):
+        x = model[self.BASE + "experimental_evidence_linegdm-uuid"]
+        assert (":sepio/ExperimentalEvidenceLine", True) in x[A_TYPE]
+        assert x[":sepio/evidence-line-strength-score"] == {("4", False)}
+        xa = model[self.BASE + "experimental_evidence_criterion_assessmentgdm-uuid"]
+        assert (":sepio/ExperimentalEvidenceCriterionAssessment", True) in xa[A_TYPE]
+        assert xa[":sepio/has-evidence-line"] == {
+            (self.BASE + name + "gdm-uuid", True)
+            for name in [
+                "functional_evidence_line",
+                "functional_alteration_evidence_line",
+                "model_and_rescue_evidence_line",
+            ]
+        }
+        for name, score, tp in [
+            ("functional_evidence_line", "2", ":sepio/FunctionalEvidenceLine"),
+            (
+                "functional_alteration_evidence_line",
+                "1",
+                ":sepio/FunctionalAlterationEvidenceLine",
+            ),
+            ("model_and_rescue_evidence_line", "1", ":sepio/ModelAndRescueEvidenceLine"),
+        ]:
+            line = model[self.BASE + name + "gdm-uuid"]
+            assert (tp, True) in line[A_TYPE]
+            assert line[":sepio/evidence-line-strength-score"] == {(score, False)}
+
+    def test_five_genes_select(self, spark):
+        """five_genes.sparql (unique to the variant dir): a plain typed
+        SELECT with LIMIT 5 — returns 5 of the typed genes and only
+        typed genes."""
+        rows = [
+            iri(f"urn:gene:{i}", RDF + "type", ":so/ProteinCodingGene")
+            for i in range(7)
+        ] + [iri("urn:other:1", RDF + "type", ":so/Pseudogene")]
+        pq = S.PreparedQuery(
+            open(os.path.join(self.VDIR, "five_genes.sparql")).read()
+        )
+        out = [r.x for r in pq.run(T(spark, rows)).collect()]
+        assert len(out) == 5
+        assert set(out) <= {f"urn:gene:{i}" for i in range(7)}
+
+
 class TestExperimentalEvidenceConstructs:
     """The four experimental-evidence constructors + proband segregation
     + unscoreable evidence — all dictionary-driven (`gcixform:usedIn`
