@@ -1598,6 +1598,17 @@ class PreparedQuery:
         }
         pattern = _subst(q.pattern, mapping) if mapping else q.pattern
         templates = _subst(q.templates, mapping) if mapping else q.templates
+        if mapping:
+            # a pre-bound var the TOP-LEVEL query projects or groups by
+            # no longer appears in the substituted pattern — re-introduce
+            # it as a BIND of the constant so it stays visible in the
+            # result, the way Jena's QuerySolutionMap bindings do
+            # (clinical_assertion.clj projects its pre-bound ?subject)
+            pattern = pattern + [
+                ("bind", mapping[v], v)
+                for v in dict.fromkeys([*q.select_vars, *q.group_by])
+                if v in mapping
+            ]
         c = _Compiler(triples)
         bindings = c.group(pattern)
         if q.form == "ask":

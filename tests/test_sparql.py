@@ -1204,6 +1204,80 @@ class TestClinvarResolverQueries:
             ("urn:agg:a", "2021-01-01"), ("urn:agg:b", "2019-05-05"),
         ]
 
+    CLINICAL_SPQL = """PREFIX dc: <http://purl.org/dc/terms/>
+              PREFIX sepio: <http://purl.obolibrary.org/obo/SEPIO_>
+              PREFIX cg: <http://dataexchange.clinicalgenome.org/terms/>
+              SELECT ?iri ?id ?subject ?release_date ?max_release_date
+              WHERE {
+                {
+                  SELECT ?id (max(?release_date) AS ?max_release_date)
+                  WHERE {
+                    ?subiri a cg:VariantClinicalSignificanceAssertion ;
+                            dc:isVersionOf ?id ;
+                            cg:release_date ?release_date .
+                  }
+                  GROUP BY ?id
+                }
+                ?iri a cg:VariantClinicalSignificanceAssertion ;
+                     dc:isVersionOf ?id ;
+                     sepio:0000388 ?subject ;
+                     cg:release_date ?release_date .
+                {{date_filter}}
+              }
+              ORDER BY ASC(?id)"""
+
+    @pytest.fixture(scope="class")
+    def clinical_graph(self, spark):
+        """SCV assertions versioned like clinical_assertion.clj expects:
+        two point at variant v1 (one with two versions), one at a
+        different subject."""
+        CG, DC = self.CG, self.DC
+        SEPIO = "http://purl.obolibrary.org/obo/SEPIO_"
+        rows = []
+        for aid, subject, dates in [
+            ("scv1", "urn:cv:v1", ["2020-01-01", "2020-06-01"]),
+            ("scv2", "urn:cv:v1", ["2020-03-03"]),
+            ("scv3", "urn:cv:OTHER", ["2020-04-04"]),
+        ]:
+            for d in dates:
+                a = f"urn:cv:{aid}.{d}"
+                rows += [
+                    iri(a, "rdf:type", CG + "VariantClinicalSignificanceAssertion"),
+                    iri(a, DC + "isVersionOf", "urn:cv:" + aid),
+                    iri(a, SEPIO + "0000388", subject),
+                    lit(a, CG + "release_date", d),
+                ]
+        return T(spark, rows)
+
+    def test_clinical_assertions_by_subject_latest(self, spark, clinical_graph):
+        """clinical_assertion.clj:25-56 — the assertions-by-subject
+        template with the LATEST date_filter substituted exactly the way
+        clinical-assertions-by-subject does, ?subject pre-bound."""
+        q = self.CLINICAL_SPQL.replace(
+            "{{date_filter}}", "FILTER(?release_date = ?max_release_date)"
+        )
+        out = S.sparql(clinical_graph, q, subject=("iri", "urn:cv:v1")).collect()
+        assert [(r.iri, r.id, r.subject, r.release_date, r.max_release_date)
+                for r in out] == [
+            ("urn:cv:scv1.2020-06-01", "urn:cv:scv1", "urn:cv:v1",
+             "2020-06-01", "2020-06-01"),
+            ("urn:cv:scv2.2020-03-03", "urn:cv:scv2", "urn:cv:v1",
+             "2020-03-03", "2020-03-03"),
+        ]
+
+    def test_clinical_assertions_by_subject_all(self, spark, clinical_graph):
+        """Same template with the ALL timeframe (empty date_filter):
+        every version row joins its id's max."""
+        q = self.CLINICAL_SPQL.replace("{{date_filter}}", "")
+        out = S.sparql(clinical_graph, q, subject=("iri", "urn:cv:v1")).collect()
+        assert sorted((r.iri, r.release_date, r.max_release_date) for r in out) == [
+            ("urn:cv:scv1.2020-01-01", "2020-01-01", "2020-06-01"),
+            ("urn:cv:scv1.2020-06-01", "2020-06-01", "2020-06-01"),
+            ("urn:cv:scv2.2020-03-03", "2020-03-03", "2020-03-03"),
+        ]
+        # ORDER BY ASC(?id): scv1 rows precede scv2
+        assert [r.id for r in out] == ["urn:cv:scv1", "urn:cv:scv1", "urn:cv:scv2"]
+
 
 class TestGraphPattern:
     """GRAPH <iri>|?g { ... } named-graph scoping (util/test_data.clj:67
