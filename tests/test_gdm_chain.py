@@ -746,6 +746,236 @@ class TestGeneValidityVariantDir:
         assert item[":rdfs/label"] == {("Family 1", False)}
 
 
+class TestChainConstructsStandalone:
+    """Standalone output verification for the five refactor-dir files
+    previously asserted only inside ``TestFullGdmChain`` — with these,
+    all 26 refactor ``.sparql`` files carry per-file verified-execution
+    tests."""
+
+    def test_ar_variant_assertions(self, spark):
+        """construct_ar_variant_assertions: approved classifications
+        only; the AR subtree total becomes an
+        OverallAutosomalRecessiveVariantEvidenceLine under the overall
+        genetic evidence line."""
+        cls, cls2 = GCI + "c1", GCI + "c2"
+        rows = [
+            iri(cls, RDF + "type", GCI + "provisionalClassification"),
+            lit(cls, GCI + "approvedClassification", "true", "xsd:boolean"),
+            iri(cls, GCI + "classificationPoints", "_:pt"),
+            iri("_:pt", GCI + "autosomalRecessiveDisorder", "_:ar"),
+            lit("_:ar", GCI + "pointsCounted", "1.5", "xsd:decimal"),
+            # unapproved classification: excluded by the boolean gate
+            iri(cls2, RDF + "type", GCI + "provisionalClassification"),
+            lit(cls2, GCI + "approvedClassification", "false", "xsd:boolean"),
+            iri(cls2, GCI + "classificationPoints", "_:p2"),
+            iri("_:p2", GCI + "autosomalRecessiveDisorder", "_:a2"),
+            lit("_:a2", GCI + "pointsCounted", "9", "xsd:decimal"),
+        ]
+        out = by_subject(
+            q("construct_ar_variant_assertions.sparql").run(T(spark, rows)).collect()
+        )
+        gel = out[cls + "_overall_genetic_evidence_line"]
+        assert gel[":sepio/has-evidence"] == {(cls + "_ar_el", True)}
+        line = out[cls + "_ar_el"]
+        assert (":sepio/OverallAutosomalRecessiveVariantEvidenceLine", True) in line[
+            A_TYPE
+        ]
+        assert line[":sepio/evidence-line-strength-score"] == {("1.5", False)}
+        assert cls2 + "_ar_el" not in out
+
+    def test_cc_and_seg_assertions(self, spark):
+        """construct_cc_and_seg_assertions: case-control + segregation
+        subtree totals become two sibling lines under the overall
+        genetic evidence line."""
+        cls = GCI + "c1"
+        rows = [
+            iri(cls, RDF + "type", GCI + "provisionalClassification"),
+            lit(cls, GCI + "approvedClassification", "true", "xsd:boolean"),
+            iri(cls, GCI + "classificationPoints", "_:pt"),
+            iri("_:pt", GCI + "segregation", "_:sg"),
+            lit("_:sg", GCI + "pointsCounted", "2.5", "xsd:decimal"),
+            iri("_:pt", GCI + "caseControl", "_:cc"),
+            lit("_:cc", GCI + "pointsCounted", "0.5", "xsd:decimal"),
+        ]
+        out = by_subject(
+            q("construct_cc_and_seg_assertions.sparql").run(T(spark, rows)).collect()
+        )
+        gel = out[cls + "_overall_genetic_evidence_line"]
+        assert gel[":sepio/has-evidence"] == {
+            (cls + "_cc_el", True),
+            (cls + "_seg_el", True),
+        }
+        cc = out[cls + "_cc_el"]
+        assert (":sepio/OverallCaseControlEvidenceLine", True) in cc[A_TYPE]
+        assert cc[":sepio/evidence-line-strength-score"] == {("0.5", False)}
+        sg = out[cls + "_seg_el"]
+        assert (":sepio/SegregationEvidenceLine", True) in sg[A_TYPE]
+        assert sg[":sepio/evidence-line-strength-score"] == {("2.5", False)}
+
+    def test_evidence_connections(self, spark, dictionary):
+        """construct_evidence_connections: the dictionary's
+        hasEvidenceLineType edges connect every criterion-assessment
+        node to every evidence-line node of the matching type."""
+        rows = [
+            iri("urn:ca1", RDF + "type", GCI + "VARIANT_IS_DE_NOVO"),
+            iri("urn:el1", RDF + "type", SEPIO + "0004078"),
+            iri("urn:el2", RDF + "type", SEPIO + "0004078"),
+            # a line of an unrelated type: not connected
+            iri("urn:el3", RDF + "type", SEPIO + "0004079"),
+        ]
+        out = by_subject(
+            q("construct_evidence_connections.sparql")
+            .run(T(spark, rows).unionByName(dictionary))
+            .collect()
+        )
+        assert out["urn:ca1"][":sepio/has-evidence"] == {
+            ("urn:el1", True),
+            ("urn:el2", True),
+        }
+
+    def test_evidence_level_assertion_refactor(self, spark):
+        """construct_evidence_level_assertion (refactor dir): the
+        NoModification / altered evidence-level switch, SOP-version
+        inference from the exome segregation count vs a declared
+        version, the description+reasons concat, and the
+        approvalReviewDate-first date COALESCE."""
+        gdm = GCI + "gdm1"
+        base = [
+            iri(gdm, RDF + "type", GCI + "gdm"),
+            iri(gdm, GCI + "gene", GCI + "gene1"),
+            lit(GCI + "gene1", GCI + "hgncId", "HGNC:1100"),
+        ]
+        c1, c2 = GCI + "c1", GCI + "c2"
+        rows = base + [
+            # c1: NoModification → auto level wins; exome count → SOP v6
+            # IRI; reasons → concatenated description; review date wins
+            iri(c1, RDF + "type", GCI + "provisionalClassification"),
+            lit(c1, GCI + "approvedClassification", "true", "xsd:boolean"),
+            lit(c1, GCI + "publishClassification", "true", "xsd:boolean"),
+            iri(c1, GCI + "autoClassification", GCX + "Moderate"),
+            iri(c1, GCI + "alteredClassification", GCX + "NoModification"),
+            iri(c1, GCI + "classificationPoints", "_:p1"),
+            lit("_:p1", GCI + "evidencePointsTotal", "11", "xsd:decimal"),
+            iri("_:p1", GCI + "segregation", "_:s1"),
+            lit("_:s1", GCI + "evidenceCountExome", "2", "xsd:integer"),
+            lit(c1, GCI + "evidenceSummary", "summary one"),
+            lit(c1, GCI + "reasons", "changed score"),
+            lit(c1, GCI + "classificationDate", "2020-01-01"),
+            lit(c1, GCI + "approvalDate", "2020-02-02"),
+            lit(c1, GCI + "approvalReviewDate", "2020-03-03"),
+            # c2: altered level wins; declared SOP version; no reasons;
+            # only classificationDate
+            iri(c2, RDF + "type", GCI + "provisionalClassification"),
+            lit(c2, GCI + "approvedClassification", "true", "xsd:boolean"),
+            lit(c2, GCI + "publishClassification", "true", "xsd:boolean"),
+            iri(c2, GCI + "autoClassification", GCX + "Limited"),
+            iri(c2, GCI + "alteredClassification", GCX + "Definitive"),
+            iri(c2, GCI + "classificationPoints", "_:p2"),
+            lit("_:p2", GCI + "evidencePointsTotal", "18", "xsd:decimal"),
+            iri(c2, GCI + "sopVersion", SEPIO + "0004092"),
+            lit(c2, GCI + "evidenceSummary", "summary two"),
+            lit(c2, GCI + "classificationDate", "2021-05-05"),
+        ]
+        out = by_subject(
+            q("construct_evidence_level_assertion.sparql").run(T(spark, rows)).collect()
+        )
+        a1 = out[c1]
+        assert (":sepio/GeneValidityEvidenceLevelAssertion", True) in a1[A_TYPE]
+        assert a1[":sepio/has-object"] == {(GCX + "Moderate", True)}
+        assert a1[":sepio/is-specified-by"] == {
+            ("http://purl.obolibrary.org/obo/SEPIO_0004094", True)
+        }
+        assert a1[":dc/description"] == {("summary one\nchanged score", False)}
+        assert a1[":sepio/evidence-line-strength-score"] == {("11", False)}
+        contrib1 = out[c1 + "_contrib"]
+        assert contrib1[":sepio/activity-date"] == {("2020-03-03", False)}
+        assert contrib1[":bfo/realizes"] == {(":sepio/ApproverRole", True)}
+        auto1 = out[c1 + "_auto_classification"]
+        assert (
+            ":sepio/GeneValidityEvidenceLevelAutoClassification",
+            True,
+        ) in auto1[A_TYPE]
+        assert auto1[":sepio/has-object"] == {(GCX + "Moderate", True)}
+        a2 = out[c2]
+        assert a2[":sepio/has-object"] == {(GCX + "Definitive", True)}
+        assert a2[":sepio/is-specified-by"] == {(SEPIO + "0004092", True)}
+        assert a2[":dc/description"] == {("summary two", False)}
+        assert out[c2 + "_contrib"][":sepio/activity-date"] == {("2021-05-05", False)}
+        # auto classification keeps the UNALTERED level as its object
+        assert out[c2 + "_auto_classification"][":sepio/has-object"] == {
+            (GCX + "Limited", True)
+        }
+
+    def test_variant_score(self, spark, dictionary):
+        """construct_variant_score: dictionary-typed line/item, de-novo
+        allele origin, adjusted-score COALESCE, the homozygous
+        score-doubling fix, positional rdf:rest{n} genotyping methods,
+        the inverse-optional annotation→article path, and family
+        membership."""
+        vs, ind, m = GCI + "vs1", GCI + "ind1", GCI + "m1"
+        rows = [
+            iri(vs, RDF + "type", GCI + "variantScore"),
+            iri(vs, GCI + "variantScored", "urn:var1"),
+            lit(vs, GCI + "deNovo", "Yes"),
+            iri(vs, GCI + "scoreStatus", GCI + "Score"),
+            lit(vs, GCI + "date_created", "2020-06-06"),
+            iri(vs, GCI + "affiliation", GCI + "aff1"),
+            iri(vs, GCI + "variantType", GCI + "VARIANT_IS_DE_NOVO"),
+            lit(vs, GCI + "calculatedScore", "0.5", "xsd:decimal"),
+            lit(vs, GCI + "score", "1.5", "xsd:decimal"),
+            lit(vs, GCI + "scoreExplanation", "because"),
+            iri(ind, GCI + "variantScores", vs),
+            lit(ind, GCI + "label", "Proband 1"),
+            lit(ind, GCI + "proband", "true", "xsd:boolean"),
+            # homozygous → both scores double (SOPv8 Slack-derived fix)
+            iri(ind, GCI + "recessiveZygosity", ":geno/Homozygous"),
+            iri(ind, GCI + "method", m),
+            iri(m, GCI + "genotypingMethods", "_:l0"),
+            lit("_:l0", RDF + "first", "Chip"),
+            iri("_:l0", RDF + "rest", "_:l1"),
+            lit("_:l1", RDF + "first", "WES"),
+            iri("_:l1", RDF + "rest", RDF + "nil"),
+            iri(GCI + "ann1", GCI + "individuals", ind),
+            iri(GCI + "ann1", GCI + "article", GCI + "pub1"),
+            lit(GCI + "pub1", GCI + "pmid", "31001"),
+            iri(GCI + "fam1", GCI + "individualIncluded", ind),
+            lit(GCI + "fam1", GCI + "label", "Fam 1"),
+            iri(GCI + "fam1", RDF + "type", GCI + "family"),
+        ]
+        out = by_subject(
+            q("construct_variant_score.sparql")
+            .run(T(spark, rows).unionByName(dictionary), pmbase=PM)
+            .collect()
+        )
+        line = out[vs]
+        assert (SEPIO + "0004078", True) in line[A_TYPE]  # dictionary line type
+        [(score, _)] = line[":sepio/evidence-line-strength-score"]
+        assert float(score) == 3.0  # adjusted 1.5 doubled
+        [(calc, _)] = line[":sepio/calculated-score"]
+        assert float(calc) == 1.0  # calculated 0.5 doubled
+        assert line[":dc/description"] == {("because", False)}
+        assert line[":sepio/has-evidence"] == {
+            (vs + "_variant_evidence_item", True)
+        }
+        item = out[vs + "_variant_evidence_item"]
+        assert (SEPIO + "0004033", True) in item[A_TYPE]  # dictionary item type
+        assert item[":sepio/is-about-allele"] == {("urn:var1", True)}
+        assert item[":geno/allele-origin"] == {(":geno/DeNovoAlleleOrigin", True)}
+        assert item[":geno/has-zygosity"] == {(":geno/Homozygous", True)}
+        assert item[":dc/source"] == {(PM + "31001", True)}
+        proband = out[ind]
+        assert (":sepio/ProbandWithVariantEvidenceItem", True) in proband[A_TYPE]
+        assert proband[":sepio/first-testing-method"] == {("Chip", False)}
+        assert proband[":sepio/second-testing-method"] == {("WES", False)}
+        assert proband[":sepio/has-variant"] == {
+            (vs + "_variant_evidence_item", True)
+        }
+        fam = out[GCI + "fam1"]
+        assert (":pco/Family", True) in fam[A_TYPE]
+        assert fam[":rdfs/label"] == {("Fam 1", False)}
+        assert fam[":ro/has-member"] == {(ind, True)}
+
+
 class TestVariantEvidenceLevelAssertion:
     """The variant-dir ``construct_evidence_level_assertion.sparql`` —
     the full SOP classification points-tree traversal: one
