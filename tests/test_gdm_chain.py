@@ -746,6 +746,197 @@ class TestGeneValidityVariantDir:
         assert item[":rdfs/label"] == {("Family 1", False)}
 
 
+class TestVariantProbandScore:
+    """The variant-dir ``construct_proband_score.sparql`` (OLD
+    ``http://gci.clinicalgenome.org/`` data namespace): dictionary
+    line/item typing, the ClinGen-AR vs ClinVar allele-source switch,
+    and the adjusted-vs-calculated score COALESCE — verified output."""
+
+    VDIR = "/root/reference/src/genegraph/transform/gene_validity"
+    OGCI = "http://gci.clinicalgenome.org/"
+    ARB = "http://reg.genome.network/allele/"
+    CVB = "https://www.ncbi.nlm.nih.gov/clinvar/variation/"
+
+    def test_verified_output(self, spark):
+        from genegraph_spark.functions.serialize import read_turtle
+
+        O = self.OGCI
+        vdict = read_turtle(
+            spark, os.path.join(self.VDIR, "gdm_sepio_relationships.ttl"), graph="g"
+        )
+        case_type = GCI + "VARIANT_IS_DE_NOVO"  # dictionary subject (NEW ns)
+
+        def score_block(n, source, adjusted):
+            rows = [
+                iri(O + f"s{n}", RDF + "type", O + "evidenceScore"),
+                iri(O + f"s{n}", O + "caseInfoType", case_type),
+                lit(O + f"s{n}", O + "uuid", f"case-{n}"),
+                lit(O + f"s{n}", O + "calculatedScore", "0.5", "xsd:decimal"),
+                lit(O + f"s{n}", O + "scoreExplanation", f"expl {n}"),
+                iri(O + f"i{n}", O + "scores", O + f"s{n}"),
+                lit(O + f"i{n}", O + "uuid", f"ind-{n}"),
+                iri(O + f"i{n}", O + "variants", O + f"v{n}"),
+                lit(O + f"i{n}", O + "label", f"Proband {n}"),
+                iri(O + f"a{n}", O + "individuals", O + f"i{n}"),
+                iri(O + f"a{n}", O + "article", O + f"p{n}"),
+                lit(O + f"p{n}", O + "pmid", f"3100{n}"),
+                lit(O + f"v{n}", O + "carId", f"CA{n}"),
+                lit(O + f"v{n}", O + "clinvarVariantId", f"CV{n}"),
+                lit(O + f"v{n}", O + "source", source),
+            ]
+            if adjusted:
+                rows.append(lit(O + f"s{n}", O + "score", adjusted, "xsd:decimal"))
+            return rows
+
+        rows = score_block(1, "ClinGen AR", "2") + score_block(2, "ClinVar", None)
+        pq = S.PreparedQuery(
+            open(os.path.join(self.VDIR, "construct_proband_score.sparql")).read()
+        )
+        out = by_subject(
+            pq.run(
+                T(spark, rows).unionByName(vdict),
+                gcibase="http://gci.example/", pmbase=PM,
+                arbase=self.ARB, cvbase=self.CVB,
+            ).collect()
+        )
+        l1 = out["http://gci.example/evidence_line/case-1"]
+        assert (SEPIO + "0004078", True) in l1[A_TYPE]  # dictionary line type
+        assert l1[":sepio/evidence-line-strength-score"] == {("2", False)}  # adjusted
+        assert l1[":dc/description"] == {("expl 1", False)}
+        assert l1[":sepio/has-evidence-item"] == {
+            ("http://gci.example/evidence_item/ind-1", True)
+        }
+        i1 = out["http://gci.example/evidence_item/ind-1"]
+        assert (SEPIO + "0004033", True) in i1[A_TYPE]  # dictionary item type
+        # ClinGen AR source → arbase + carId
+        assert i1[":sepio/is-about-allele"] == {(self.ARB + "CA1", True)}
+        assert i1[":dc/source"] == {(PM + "31001", True)}
+        assert i1[":rdfs/label"] == {("Proband 1", False)}
+        l2 = out["http://gci.example/evidence_line/case-2"]
+        assert l2[":sepio/evidence-line-strength-score"] == {("0.5", False)}  # calc
+        i2 = out["http://gci.example/evidence_item/ind-2"]
+        # non-AR source → cvbase + clinvarVariantId
+        assert i2[":sepio/is-about-allele"] == {(self.CVB + "CV2", True)}
+
+
+class TestVariantCaseControl:
+    """The variant-dir ``construct_case_control_evidence.sparql``: the
+    INVERSE dictionary lookup (?evidenceLineType gcixform:hasGCIType
+    ?gciType) resolves the study type, score comes straight from
+    gci:score, and the score description comes from the evidence
+    item's gci:comments — verified output for both study types."""
+
+    VDIR = "/root/reference/src/genegraph/transform/gene_validity"
+    OGCI = "http://gci.clinicalgenome.org/"
+
+    def test_verified_output(self, spark):
+        from genegraph_spark.functions.serialize import read_turtle
+
+        O = self.OGCI
+        vdict = read_turtle(
+            spark, os.path.join(self.VDIR, "gdm_sepio_relationships.ttl"), graph="g"
+        )
+
+        def cc_block(n, study_type):
+            return [
+                iri(O + f"s{n}", RDF + "type", O + "evidenceScore"),
+                lit(O + f"s{n}", O + "score", f"{n}.5", "xsd:decimal"),
+                lit(O + f"s{n}", O + "uuid", f"score-{n}"),
+                iri(O + f"s{n}", O + "caseControl_scored", O + f"cc{n}"),
+                lit(O + f"cc{n}", O + "label", f"Study {n}"),
+                lit(O + f"cc{n}", O + "comments", f"comment {n}"),
+                iri(O + f"cc{n}", O + "studyType", GCX + study_type),
+                lit(O + f"cc{n}", O + "uuid", f"ev-{n}"),
+                iri(O + f"a{n}", O + "caseControlStudies", O + f"cc{n}"),
+                iri(O + f"a{n}", O + "article", O + f"p{n}"),
+                lit(O + f"p{n}", O + "pmid", f"4100{n}"),
+            ]
+
+        rows = cc_block(1, "SingleVariantAnalysis") + cc_block(
+            2, "AggregateVariantAnalysis"
+        )
+        pq = S.PreparedQuery(
+            open(
+                os.path.join(self.VDIR, "construct_case_control_evidence.sparql")
+            ).read()
+        )
+        out = by_subject(
+            pq.run(
+                T(spark, rows).unionByName(vdict),
+                gcibase="http://gci.example/", pmbase=PM,
+            ).collect()
+        )
+        l1 = out["http://gci.example/evidence_line/score-1"]
+        # SingleVariantAnalysis resolves INVERSELY to line sepio:0004020
+        assert (SEPIO + "0004020", True) in l1[A_TYPE]
+        assert l1[":sepio/evidence-line-strength-score"] == {("1.5", False)}
+        assert l1[":dc/description"] == {("comment 1", False)}
+        i1 = out["http://gci.example/evidence_item/ev-1"]
+        assert (SEPIO + "0004039", True) in i1[A_TYPE]
+        assert i1[":rdfs/label"] == {("Study 1", False)}
+        assert i1[":dc/source"] == {(PM + "41001", True)}
+        l2 = out["http://gci.example/evidence_line/score-2"]
+        assert (SEPIO + "0004021", True) in l2[A_TYPE]
+        i2 = out["http://gci.example/evidence_item/ev-2"]
+        assert (SEPIO + "0004040", True) in i2[A_TYPE]
+
+
+class TestVariantModelSystems:
+    """The variant-dir ``construct_model_systems_evidence.sparql``:
+    inverse dictionary lookup gated by ``gcixform:usedIn
+    gcixform:ModelSystems`` (the same GCI type names are reused by the
+    Rescue tier), adjusted-over-calculated score COALESCE, and the
+    model-system node carrying the item description."""
+
+    VDIR = "/root/reference/src/genegraph/transform/gene_validity"
+    OGCI = "http://gci.clinicalgenome.org/"
+
+    def test_verified_output(self, spark):
+        from genegraph_spark.functions.serialize import read_turtle
+
+        O = self.OGCI
+        vdict = read_turtle(
+            spark, os.path.join(self.VDIR, "gdm_sepio_relationships.ttl"), graph="g"
+        )
+        rows = [
+            iri(O + "s1", RDF + "type", O + "evidenceScore"),
+            lit(O + "s1", O + "calculatedScore", "1", "xsd:decimal"),
+            lit(O + "s1", O + "scoreExplanation", "why"),
+            lit(O + "s1", O + "uuid", "score-1"),
+            iri(O + "s1", O + "experimental_scored", O + "ex1"),
+            iri(O + "ex1", O + "modelSystems", O + "ms1"),
+            lit(O + "ex1", O + "label", "Mouse model"),
+            lit(O + "ex1", O + "uuid", "ev-1"),
+            lit(O + "ms1", O + "descriptionOfGeneAlteration", "knockout"),
+            iri(O + "ms1", O + "modelSystemsType", GCX + "NonHumanModel"),
+            iri(O + "a1", O + "experimentalData", O + "ex1"),
+            iri(O + "a1", O + "article", O + "p1"),
+            lit(O + "p1", O + "pmid", "51001"),
+            # no adjusted score → calculated wins the COALESCE
+        ]
+        pq = S.PreparedQuery(
+            open(
+                os.path.join(self.VDIR, "construct_model_systems_evidence.sparql")
+            ).read()
+        )
+        out = by_subject(
+            pq.run(
+                T(spark, rows).unionByName(vdict),
+                gcibase="http://gci.example/", pmbase=PM,
+            ).collect()
+        )
+        line = out["http://gci.example/evidence_line/score-1"]
+        # NonHumanModel + usedIn ModelSystems → line sepio:0004027
+        assert (SEPIO + "0004027", True) in line[A_TYPE]
+        assert line[":sepio/evidence-line-strength-score"] == {("1", False)}
+        assert line[":dc/description"] == {("why", False)}
+        item = out["http://gci.example/evidence_item/ev-1"]
+        assert (SEPIO + "0004046", True) in item[A_TYPE]
+        assert item[":dc/description"] == {("knockout", False)}
+        assert item[":rdfs/label"] == {("Mouse model", False)}
+        assert item[":dc/source"] == {(PM + "51001", True)}
+
+
 class TestChainConstructsStandalone:
     """Standalone output verification for the five refactor-dir files
     previously asserted only inside ``TestFullGdmChain`` — with these,
