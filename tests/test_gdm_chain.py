@@ -1477,3 +1477,160 @@ class TestExperimentalEvidenceConstructs:
         item = out[ann + "_evidence_item"]
         assert (":sepio/EvidenceItem", True) in item[A_TYPE]
         assert item[":dc/source"] == {(PM + "31001", True)}
+
+
+class TestVariantExperimentalConstructs:
+    """The four remaining variant-dir experimental constructors —
+    functional (OLD gci ns, with a template variable the WHERE never
+    binds), functional-alteration + rescue (NEW gci ns,
+    ``gci:experimental_scored`` score→evidence direction), and
+    evidence_connections (type-to-type ``gcixform:hasEvidenceLineType``
+    join) — verified output. Completes variant-dir 11/11.
+
+    Reference: /root/reference/src/genegraph/transform/gene_validity/
+    construct_{functional_evidence,functional_alteration_evidence,
+    rescue_evidence,evidence_connections}.sparql
+    """
+
+    VDIR = "/root/reference/src/genegraph/transform/gene_validity"
+    OGCI = "http://gci.clinicalgenome.org/"
+
+    @pytest.fixture(scope="class")
+    def vdict(self, spark):
+        from genegraph_spark.functions.serialize import read_turtle
+
+        return read_turtle(
+            spark, os.path.join(self.VDIR, "gdm_sepio_relationships.ttl"), graph="g"
+        )
+
+    def _vq(self, fname):
+        return S.PreparedQuery(open(os.path.join(self.VDIR, fname)).read())
+
+    def _score_rows(self, ns, ev, adjusted=None):
+        """evidenceScore → gci:experimental_scored → item + annotation."""
+        sc = ns + "sc1"
+        rows = [
+            iri(sc, RDF + "type", ns + "evidenceScore"),
+            lit(sc, ns + "calculatedScore", "2", "xsd:decimal"),
+            lit(sc, ns + "scoreExplanation", "because"),
+            lit(sc, ns + "uuid", "score-1"),
+            iri(sc, ns + "experimental_scored", ev),
+            lit(ev, ns + "label", "Exp 1"),
+            lit(ev, ns + "uuid", "evid-1"),
+            iri(ns + "ann1", ns + "experimentalData", ev),
+            iri(ns + "ann1", ns + "article", ns + "pub1"),
+            lit(ns + "pub1", ns + "pmid", "31001"),
+        ]
+        if adjusted:
+            rows.append(lit(sc, ns + "score", adjusted, "xsd:decimal"))
+        return rows
+
+    def test_functional_unbound_template_description(self, spark, vdict):
+        """OLD-namespace functional: BiochemicalFunction resolves via
+        the dictionary under usedIn=Functional (line 0004022, item
+        0004041); ?evidenceDescription is NEVER bound in the WHERE, so
+        the item's :dc/description triple must be OMITTED (SPARQL
+        unbound-template-var semantics); adjusted score wins COALESCE."""
+        O = self.OGCI
+        ev = O + "ev1"
+        rows = self._score_rows(O, ev, adjusted="1.5") + [
+            iri(ev, O + "evidenceType", GCX + "BiochemicalFunction"),
+        ]
+        out = by_subject(
+            self._vq("construct_functional_evidence.sparql")
+            .run(T(spark, rows).unionByName(vdict),
+                 gcibase="http://gci.example/", pmbase=PM)
+            .collect()
+        )
+        line = out["http://gci.example/evidence_line/score-1"]
+        assert (SEPIO + "0004022", True) in line[A_TYPE]
+        assert line[":sepio/evidence-line-strength-score"] == {("1.5", False)}
+        assert line[":dc/description"] == {("because", False)}
+        item = out["http://gci.example/evidence_item/evid-1"]
+        assert (SEPIO + "0004041", True) in item[A_TYPE]
+        assert ":dc/description" not in item  # unbound template var
+        assert item[":dc/source"] == {(PM + "31001", True)}
+        assert item[":rdfs/label"] == {("Exp 1", False)}
+
+    def test_functional_alteration_patient_cells(self, spark, vdict):
+        """NEW-namespace functional alteration: PatientCells under
+        usedIn=FunctionalAlteration → line 0004025 / item 0004044 (the
+        SAME GCI type maps to 0004032/0004051 under Rescue — usedIn
+        must discriminate); description = evidenceForNormalFunction;
+        no adjusted score → calculatedScore wins."""
+        ev = GCI + "ev1"
+        rows = self._score_rows(GCI, ev) + [
+            iri(ev, GCI + "functionalAlteration", "_:fa"),
+            iri("_:fa", GCI + "functionalAlterationType", GCX + "PatientCells"),
+            lit("_:fa", GCI + "evidenceForNormalFunction", "normal in controls"),
+        ]
+        out = by_subject(
+            self._vq("construct_functional_alteration_evidence.sparql")
+            .run(T(spark, rows).unionByName(vdict),
+                 gcibase="http://gci.example/", pmbase=PM)
+            .collect()
+        )
+        line = out["http://gci.example/evidence_line/score-1"]
+        assert line[A_TYPE] == {(SEPIO + "0004025", True)}
+        assert line[":sepio/evidence-line-strength-score"] == {("2", False)}
+        item = out["http://gci.example/evidence_item/evid-1"]
+        assert item[A_TYPE] == {(SEPIO + "0004044", True)}
+        assert item[":dc/description"] == {("normal in controls", False)}
+
+    def test_rescue_human(self, spark, vdict):
+        """NEW-namespace rescue: rescueType Human → line 0004029 /
+        item 0004048; description = rescueMethod."""
+        ev = GCI + "ev1"
+        rows = self._score_rows(GCI, ev, adjusted="0.5") + [
+            iri(ev, GCI + "rescue", "_:r"),
+            iri("_:r", GCI + "rescueType", GCX + "Human"),
+            lit("_:r", GCI + "rescueMethod", "gene therapy"),
+        ]
+        out = by_subject(
+            self._vq("construct_rescue_evidence.sparql")
+            .run(T(spark, rows).unionByName(vdict),
+                 gcibase="http://gci.example/", pmbase=PM)
+            .collect()
+        )
+        line = out["http://gci.example/evidence_line/score-1"]
+        assert line[A_TYPE] == {(SEPIO + "0004029", True)}
+        assert line[":sepio/evidence-line-strength-score"] == {("0.5", False)}
+        item = out["http://gci.example/evidence_item/evid-1"]
+        assert item[A_TYPE] == {(SEPIO + "0004048", True)}
+        assert item[":dc/description"] == {("gene therapy", False)}
+
+    def test_evidence_connections_type_join(self, spark, vdict):
+        """evidence_connections: instances connect when the TYPE of the
+        criterion assessment maps via gcixform:hasEvidenceLineType to
+        the TYPE of the evidence line (sepio:0004058 → sepio:0004080 in
+        the variant dictionary). The join is type-level, so EVERY
+        assessment of a mapped type links to EVERY line of the mapped
+        type (in the reference this runs over one curation's model, so
+        the cross-product is the intended wiring); lines of a
+        non-mapped type never appear as objects."""
+        rows = [
+            iri(GCI + "ca1", RDF + "type", SEPIO + "0004058"),
+            iri(GCI + "el1", RDF + "type", SEPIO + "0004080"),
+            iri(GCI + "ca2", RDF + "type", SEPIO + "0004058"),
+            # a line whose type has no hasEvidenceLineType mapping: no edge
+            iri(GCI + "el2", RDF + "type", SEPIO + "0004041"),
+        ]
+        out = by_subject(
+            self._vq("construct_evidence_connections.sparql")
+            .run(T(spark, rows).unionByName(vdict))
+            .collect()
+        )
+        # both assessments of the mapped type link to the mapped line
+        assert out[GCI + "ca1"][":sepio/has-evidence-line"] == {
+            (GCI + "el1", True)
+        }
+        assert out[GCI + "ca2"][":sepio/has-evidence-line"] == {
+            (GCI + "el1", True)
+        }
+        # the non-mapped line is never an object
+        objs = {
+            o
+            for props in out.values()
+            for o, _ in props.get(":sepio/has-evidence-line", set())
+        }
+        assert GCI + "el2" not in objs
