@@ -1510,6 +1510,15 @@ def q_cur_gene_validity_reports(spark, sf_dir):
     return R.gene_validity_reports(_read(spark, sf_dir, "events"))
 
 
+def q_cur_users_groups(spark, sf_dir):
+    # the FOAF user/group admin views (user.clj mbox lookup + email
+    # regex + member-of, group.clj enumeration, admin-role check) as a
+    # ZERO-shuffle projection over the user dimension
+    from genegraph_spark.plans import curation as CUR
+
+    return CUR.users_groups(_read(spark, sf_dir, "customer"))
+
+
 _CLINSIG_TERMS = [
     "Benign", "benign/likely benign", "Pathogenic", "LIKELY PATHOGENIC",
     "uncertain significance", "drug response", "association", "WEIRD_UNKNOWN",
@@ -1918,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_gene_features": q_cur_gene_features,
         "cur_drugs": q_cur_drugs,
         "cur_gene_validity_reports": q_cur_gene_validity_reports,
+        "cur_users_groups": q_cur_users_groups,
         # round-4 additions
         "alg_sparql_select": q_alg_sparql_select,
         "alg_sparql_construct": q_alg_sparql_construct,
@@ -3509,6 +3519,17 @@ SELECT 'urn:curation:' || CAST(event_id AS VARCHAR) AS assertion,
             WHEN CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 = 1 THEN FALSE
        END AS animal_model
 FROM events""",
+        "cur_users_groups": """
+SELECT 'urn:user:' || CAST(c_custkey AS VARCHAR) AS user_iri,
+       regexp_extract('mailto:user' || CAST(c_custkey AS VARCHAR)
+                      || '@clinicalgenome.org', 'mailto:(.*)', 1) AS email,
+       array_to_string(list_sort(
+         CASE WHEN c_custkey % 50 = 0
+              THEN ['urn:group:' || lower(c_mktsegment),
+                    'urn:group:genegraph-admin']
+              ELSE ['urn:group:' || lower(c_mktsegment)] END), ',') AS member_of,
+       (c_custkey % 50 = 0) AS is_admin
+FROM customer""",
         "cur_region_features": """
 SELECT 'urn:region:' || CAST(p_partkey % 40 AS VARCHAR) AS feature,
        'urn:coord:' || CAST(p_partkey AS VARCHAR) AS coordinate,

@@ -616,3 +616,47 @@ def classifications(assertions: DataFrame) -> DataFrame:
             F.countDistinct("disease").alias("n_diseases"),
         )
     )
+
+
+# the admin role IRI the reference's role-controlled resolvers check
+# (``source/graphql/common/secure.clj`` / ``user.clj:33-35``:
+# ``:cgagent/genegraph-admin``)
+ADMIN_GROUP = "urn:group:genegraph-admin"
+
+
+def users_groups(customers: DataFrame) -> DataFrame:
+    """The ``user.clj`` + ``group.clj`` FOAF admin views collapsed into
+    one frame: per-user mailto mbox (``?user :foaf/mbox ?email``,
+    ``user.clj:6-12``), the email field's ``mailto:(.*)`` regex
+    extraction (``user.clj:14-18``), group membership
+    (``member-of`` = ``:foaf/member``, ``user.clj:24-27``) and the
+    admin check (membership in ``:cgagent/genegraph-admin``,
+    ``user.clj:32-35``; ``group.clj`` enumerates ``:foaf/Group``).
+
+    Spark-first / 100 TB: a ZERO-SHUFFLE projection — mbox, the email
+    regex, the membership array and the admin flag are all pure column
+    expressions over the user dimension; no join, no aggregation. The
+    reference answers each field with a per-user point query; here the
+    whole admin directory is one codegen'd map stage. ``member_of`` is
+    emitted sorted-and-joined so the value is deterministic for
+    cross-engine comparison."""
+    mbox = F.concat(
+        F.lit("mailto:user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@clinicalgenome.org"),
+    )
+    seg_group = F.concat(F.lit("urn:group:"), F.lower(F.col("c_mktsegment")))
+    is_admin = F.col("c_custkey") % 50 == 0
+    member_of = F.array_sort(
+        F.when(is_admin, F.array(seg_group, F.lit(ADMIN_GROUP))).otherwise(
+            F.array(seg_group)
+        )
+    )
+    return customers.select(
+        F.concat(F.lit("urn:user:"), F.col("c_custkey").cast("string")).alias(
+            "user_iri"
+        ),
+        F.regexp_extract(mbox, "mailto:(.*)", 1).alias("email"),
+        F.array_join(member_of, ",").alias("member_of"),
+        is_admin.alias("is_admin"),
+    )

@@ -971,3 +971,44 @@ class TestRecursiveEvidence:
         for b in range(3):
             assert out.count(f"urn:el1:{b}") == 2
             assert out.count(f"urn:el2:{b}") == 2
+
+
+class TestUsersGroups:
+    """user.clj:6-35 + group.clj — mbox lookup, mailto email regex,
+    member-of collection, admin-role membership check; zero-shuffle
+    projection (plan-asserted)."""
+
+    def _users(self, spark, custkeys):
+        from genegraph_spark.plans import curation as CUR
+
+        c = spark.createDataFrame(
+            [(k, f"Customer#{k}", k % 25, 0.0, seg)
+             for k, seg in custkeys],
+            "c_custkey long, c_name string, c_nationkey long, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        return {r.user_iri: r for r in CUR.users_groups(c).collect()}
+
+    def test_email_regex_and_membership(self, spark):
+        out = self._users(spark, [(1, "BUILDING"), (50, "MACHINERY")])
+        u1 = out["urn:user:1"]
+        # the user.clj:16-18 mailto:(.*) extraction
+        assert u1.email == "user1@clinicalgenome.org"
+        assert u1.member_of == "urn:group:building"
+        assert u1.is_admin is False
+        # custkey % 50 == 0 → also a member of the admin group, and the
+        # membership string is sorted for determinism
+        u50 = out["urn:user:50"]
+        assert u50.member_of == "urn:group:genegraph-admin,urn:group:machinery"
+        assert u50.is_admin is True
+
+    def test_zero_shuffle_plan(self, spark):
+        from genegraph_spark.plans import curation as CUR
+
+        c = spark.createDataFrame(
+            [(1, "x", 1, 0.0, "SEG")],
+            "c_custkey long, c_name string, c_nationkey long, "
+            "c_acctbal double, c_mktsegment string",
+        )
+        plan = CUR.users_groups(c)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # pure projection, no shuffle
