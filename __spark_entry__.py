@@ -1510,6 +1510,19 @@ def q_cur_gene_validity_reports(spark, sf_dir):
     return R.gene_validity_reports(_read(spark, sf_dir, "events"))
 
 
+def q_kg_dosage_jira(spark, sf_dir):
+    # the JIRA → gene-dosage curation transform (dosage_jira.clj, the
+    # reference's largest domain transform): synthetic JIRA payloads
+    # derived from events → from_json parse → spec gate → SEPIO dosage
+    # report triples, all column expressions, one explode, zero shuffles
+    from genegraph_spark.sources import dosage_jira as DJ
+
+    pay = fixtures.dosage_jira_payloads(_read(spark, sf_dir, "events"))
+    return DJ.dosage_jira_triples(
+        DJ.parse_dosage_jira(pay), fixtures.OMIM_MONDO
+    )
+
+
 def q_cur_users_groups(spark, sf_dir):
     # the FOAF user/group admin views (user.clj mbox lookup + email
     # regex + member-of, group.clj enumeration, admin-role check) as a
@@ -1928,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_drugs": q_cur_drugs,
         "cur_gene_validity_reports": q_cur_gene_validity_reports,
         "cur_users_groups": q_cur_users_groups,
+        "kg_dosage_jira": q_kg_dosage_jira,
         # round-4 additions
         "alg_sparql_select": q_alg_sparql_select,
         "alg_sparql_construct": q_alg_sparql_construct,
@@ -2343,6 +2357,189 @@ WITH base AS (SELECT doc_id,
        ELSE text END AS text
   FROM documents)
 SELECT doc_id, {scrub} AS scrubbed, {counts} FROM base"""
+
+
+def _dosage_jira_oracle() -> str:
+    """DuckDB replica of the dosage JIRA transform: derives the same
+    logical fields straight from the events columns (the Spark side
+    goes through the JSON round-trip + from_json + instant parsing, so
+    the derivation chains are genuinely independent) and UNION ALLs one
+    SELECT per triple pattern."""
+    from genegraph_spark.sources.dosage_jira import (
+        CG_PREFIX, CHR_TO_REF, DEFAULT_MONDO, PUBMED,
+    )
+
+    RT, XS, XI = I.RDF_TYPE, I.XSD_STRING, I.XSD_INTEGER
+    chr_rows = ", ".join(
+        f"('{c}', '{CHR_TO_REF['grch37'][c]}', '{CHR_TO_REF['grch38'][c]}')"
+        for c in CHR_TO_REF["grch37"]
+    )
+
+    def bn(*parts: str) -> str:
+        arg = " || '|' || ".join(parts)
+        return f"'_:' || substr(sha256({arg}), 1, 32)"
+
+    cte = f"""
+WITH dj AS (
+  SELECT event_id AS e, user_id AS u,
+         'ISCA-' || CAST(event_id AS VARCHAR) AS k,
+         CASE WHEN event_id % 2 = 0
+              THEN date_trunc('second', ts) + INTERVAL 4 HOUR
+              ELSE date_trunc('second', ts) - INTERVAL 1 HOUR END AS rts,
+         CASE WHEN event_id % 3 = 0 THEN '.120' ELSE '' END AS mil
+  FROM events
+  WHERE event_id % 13 <> 0 AND event_id % 17 <> 0),
+chrmap(chrom, ref37, ref38) AS (SELECT * FROM (VALUES {chr_rows})),
+d2 AS (
+  SELECT dj.*,
+    strftime(rts, '%Y-%m-%dT%H:%M:%S') || mil || 'Z' AS ri,
+    strftime(rts + INTERVAL 1 DAY, '%Y-%m-%dT%H:%M:%S') || mil || 'Z' AS ui,
+    CASE WHEN u % 3 <> 0
+         THEN 'https://www.ncbi.nlm.nih.gov/gene/' || CAST(u AS VARCHAR)
+    END AS gene,
+    '{CG_PREFIX}' || k AS base,
+    '{CG_PREFIX}region-' || k AS region,
+    CASE WHEN u % 24 = 22 THEN 'X' WHEN u % 24 = 23 THEN 'Y'
+         ELSE CAST(u % 24 + 1 AS VARCHAR) END AS chrom
+  FROM dj),
+d4 AS (
+  SELECT d2.*,
+    base || '-' || ui AS report,
+    '{CG_PREFIX}contribution-' || k || '-' || ui AS contrib,
+    COALESCE(gene, region) AS subj,
+    ref37, ref38,
+    base || 'x1-' || ui AS a1, base || 'x1' AS p1,
+    base || 'x3-' || ui AS a3, base || 'x3' AS p3,
+    {bn('k', "'variant'", "'1'")} AS vb1,
+    {bn('k', "'variant'", "'3'")} AS vb3,
+    (e % 7 < 6) AS pr1, (e % 5 < 4) AS pr3,
+    CASE e % 7 WHEN 0 THEN ':sepio/DosageSufficientEvidence'
+               WHEN 1 THEN ':sepio/DosageModerateEvidence'
+               WHEN 2 THEN ':sepio/DosageMinimalEvidence'
+               WHEN 3 THEN ':sepio/DosageNoEvidence'
+               WHEN 4 THEN ':sepio/GeneAssociatedWithAutosomalRecessivePhenotype'
+               WHEN 5 THEN ':sepio/DosageSufficientEvidence' END AS lv1,
+    CASE e % 5 WHEN 0 THEN ':sepio/DosageSufficientEvidence'
+               WHEN 1 THEN ':sepio/DosageNoEvidence'
+               WHEN 2 THEN ':sepio/DosageSufficientEvidence'
+               WHEN 3 THEN ':sepio/DosageModerateEvidence' END AS lv3,
+    (e % 7 = 4) AS sc1,
+    CASE WHEN e % 7 = 5 THEN ':geno/BenignForCondition'
+         ELSE ':geno/PathogenicForCondition' END AS pd1,
+    CASE WHEN e % 5 = 2 THEN ':geno/BenignForCondition'
+         ELSE ':geno/PathogenicForCondition' END AS pd3,
+    CASE WHEN e % 5 <> 0 THEN 'haplo notes ' || CAST(e AS VARCHAR)
+         ELSE '' END AS ds1,
+    CASE WHEN e % 4 <> 0 THEN 'triplo notes ' || CAST(e AS VARCHAR)
+         ELSE '' END AS ds3,
+    COALESCE(CASE WHEN e % 6 = 0 THEN 'MONDO:0000123' END,
+             CASE WHEN e % 6 = 1 THEN 'MONDO:0024086' END,
+             CASE WHEN e % 3 = 0 THEN 'MONDO:0040003' END,
+             '{DEFAULT_MONDO}') AS obj1,
+    COALESCE(CASE WHEN e % 5 = 0 THEN 'MONDO:0000456' END,
+             CASE WHEN e % 5 = 1 THEN 'MONDO:0024086' END,
+             CASE WHEN e % 4 = 0 THEN 'MONDO:0040004' END,
+             '{DEFAULT_MONDO}') AS obj3,
+    (u % 2 = 0) AS fp_1_0, (u % 3 = 0) AS fp_1_1, (u % 5 = 0) AS fp_3_0,
+    {bn('k', "'finding'", "'1'", "'0'")} AS fb_1_0,
+    {bn('k', "'finding'", "'1'", "'1'")} AS fb_1_1,
+    {bn('k', "'finding'", "'3'", "'0'")} AS fb_3_0,
+    '{PUBMED}' || '3100' || CAST(u AS VARCHAR) AS fsrc_1_0,
+    '{PUBMED}' || '3200' || CAST(u AS VARCHAR) AS fsrc_1_1,
+    '{PUBMED}' || '33' || CAST(u AS VARCHAR) AS fsrc_3_0,
+    CASE WHEN u % 4 <> 0 THEN 'finding A ' || CAST(u AS VARCHAR)
+         ELSE '' END AS fd_1_0,
+    'finding B ' || CAST(u AS VARCHAR) AS fd_1_1,
+    'finding C ' || CAST(u AS VARCHAR) AS fd_3_0,
+    {bn('k', "'grch37'", "'loc'")} AS lb37,
+    {bn('k', "'grch37'", "'interval'")} AS ib37,
+    {bn('k', "'grch38'", "'loc'")} AS lb38,
+    {bn('k', "'grch38'", "'interval'")} AS ib38,
+    (gene IS NULL AND e % 2 = 0) AS on37,
+    (gene IS NULL AND e % 3 = 0) AS on38,
+    CAST(u * 1000 AS VARCHAR) AS st37,
+    CAST((u + 5) * 1000 + 500 AS VARCHAR) AS en37,
+    CAST((u + 1) * 1000 AS VARCHAR) AS st38,
+    CAST((u + 7) * 1000 AS VARCHAR) AS en38
+  FROM d2 JOIN chrmap USING (chrom))
+"""
+
+    def q(s, p, o, is_iri, dt=None, cond=None):
+        dtv = f"'{dt}'" if dt else "CAST(NULL AS VARCHAR)"
+        w = f" WHERE {cond}" if cond else ""
+        return (
+            f"SELECT base AS graph, {s} AS subject, '{p}' AS predicate, "
+            f"{o} AS object, {str(is_iri).upper()} AS object_is_iri, "
+            f"{dtv} AS object_datatype FROM d4{w}"
+        )
+
+    rows = [
+        q("report", RT, "':sepio/GeneDosageReport'", True),
+        q("report", ":dc/is-version-of", "base", True),
+        q("report", ":sepio/qualified-contribution", "contrib", True),
+        q("base", RT, "':sepio/GeneDosageRecord'", True),
+        q("contrib", ":sepio/activity-date", "ri", False, XS),
+        q("contrib", ":bfo/realizes", "':sepio/InterpreterRole'", True),
+        q("report", ":iao/is-about", "gene", True, cond="gene IS NOT NULL"),
+        q("report", ":iao/is-about", "region", True, cond="gene IS NULL"),
+        q("region", ":rdfs/label", "'region ISCA-' || CAST(e AS VARCHAR)",
+          False, XS, cond="gene IS NULL"),
+        q("region", RT, "':so/SequenceFeature'", True, cond="gene IS NULL"),
+    ]
+    for b, ref in (("37", "ref37"), ("38", "ref38")):
+        on = f"on{b}"
+        rows += [
+            q("region", ":geno/has-location", f"lb{b}", True, cond=on),
+            q(f"lb{b}", RT, "':geno/SequenceFeatureLocation'", True, cond=on),
+            q(f"lb{b}", ":geno/has-reference-sequence", ref, True, cond=on),
+            q(f"lb{b}", ":geno/has-interval", f"ib{b}", True, cond=on),
+            q(f"ib{b}", RT, "':geno/SequenceInterval'", True, cond=on),
+            q(f"ib{b}", ":geno/start-position", f"st{b}", False, XI, cond=on),
+            q(f"ib{b}", ":geno/end-position", f"en{b}", False, XI, cond=on),
+        ]
+    for d in (1, 3):
+        pr, a, p, vb = f"pr{d}", f"a{d}", f"p{d}", f"vb{d}"
+        rows += [
+            q(a, ":sepio/is-specified-by",
+              "':sepio/DosageSensitivityEvaluationGuideline'", True, cond=pr),
+            q(a, ":sepio/qualified-contribution", "contrib", True, cond=pr),
+            q(a, ":sepio/has-subject", p, True, cond=pr),
+            q(a, ":dc/description", f"ds{d}", False, XS, cond=pr),
+            q(p, RT, "':sepio/DosageSensitivityProposition'", True, cond=pr),
+            q(p, ":sepio/has-predicate", f"pd{d}", True, cond=pr),
+            q(p, ":sepio/has-subject", vb, True, cond=pr),
+            q(p, ":sepio/has-object", f"obj{d}", True, cond=pr),
+            q(vb, RT, "':geno/FunctionalCopyNumberComplement'", True, cond=pr),
+            q(vb, ":geno/has-member-count", f"'{d}'", False, XI, cond=pr),
+            q(vb, ":geno/has-location", "subj", True, cond=pr),
+            q("report", ":bfo/has-part", a, True, cond=pr),
+        ]
+        scope = "sc1" if d == 1 else "FALSE"
+        rows += [
+            q(a, ":sepio/has-predicate", "':sepio/DosageScopeAssertion'",
+              True, cond=f"{pr} AND {scope}"),
+            q(a, ":sepio/has-object",
+              "':sepio/GeneAssociatedWithAutosomalRecessivePhenotype'",
+              True, cond=f"{pr} AND {scope}"),
+            q(a, RT, "':sepio/PropositionScopeAssertion'", True,
+              cond=f"{pr} AND {scope}"),
+            q(a, RT, "':sepio/EvidenceLevelAssertion'", True,
+              cond=f"{pr} AND NOT {scope}"),
+            q(a, ":sepio/has-predicate", "':sepio/HasEvidenceLevel'", True,
+              cond=f"{pr} AND NOT {scope}"),
+            q(a, ":sepio/has-object", f"lv{d}", True,
+              cond=f"{pr} AND NOT {scope}"),
+        ]
+    for d, i in ((1, 0), (1, 1), (3, 0)):
+        c = f"pr{d} AND fp_{d}_{i}"
+        rows += [
+            q(f"a{d}", ":sepio/has-evidence", f"fb_{d}_{i}", True, cond=c),
+            q(f"fb_{d}_{i}", RT, "':sepio/StudyFinding'", True, cond=c),
+            q(f"fb_{d}_{i}", ":dc/source", f"fsrc_{d}_{i}", True, cond=c),
+            q(f"fb_{d}_{i}", ":dc/description", f"fd_{d}_{i}", False, XS,
+              cond=c),
+        ]
+    return cte + "\n" + "\nUNION ALL\n".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3519,6 +3716,7 @@ SELECT 'urn:curation:' || CAST(event_id AS VARCHAR) AS assertion,
             WHEN CAST(regexp_extract(props, '[0-9]+') AS INT) % 3 = 1 THEN FALSE
        END AS animal_model
 FROM events""",
+        "kg_dosage_jira": _dosage_jira_oracle(),
         "cur_users_groups": """
 SELECT 'urn:user:' || CAST(c_custkey AS VARCHAR) AS user_iri,
        regexp_extract('mailto:user' || CAST(c_custkey AS VARCHAR)

@@ -335,3 +335,124 @@ def pages_sql(with_html: bool = False) -> str:
     )
     v3 = base.format(epoch=EPOCH, day=2, text="''", version=3, tomb="TRUE", where="WHERE doc_id % 50 = 0")
     return f"{v1} UNION ALL {v2} UNION ALL {v3}"
+
+
+# ── gene-dosage JIRA payload fixture ──────────────────────────────────
+# Deterministic synthetic JIRA issues derived from the events table,
+# exercising every branch of the dosage transform
+# (transform/dosage_jira.clj → sources/dosage_jira.py): spec-invalid
+# rows, gene vs region curations, single/dual-build locations with
+# comma-grouped coordinates, all six evidence-level values, the AR
+# scope-assertion switch, the "dosage sensitivity unlikely" benign
+# predicate, the MONDO/OMIM/legacy/default object chain, absent
+# descriptions, and 0-2 study findings per dosage.
+
+# the OMIM→MONDO equivalence the reference resolves via a skos
+# exact-match graph lookup (dosage_jira.clj:205-211); one mapped and
+# one unmapped OMIM id appear in the fixture phenotypes
+OMIM_MONDO: dict[str, str] = {"OMIM:123456": "MONDO:0024086"}
+
+# haplo (customfield_10165) value by event_id % 7 (None = field absent);
+# triplo (customfield_10166) value by event_id % 5
+DOSAGE_HAPLO_VALUES: list[str | None] = [
+    "3", "2", "1", "0",
+    "30: Gene associated with autosomal recessive phenotype",
+    "40: Dosage sensitivity unlikely", None,
+]
+DOSAGE_TRIPLO_VALUES: list[str | None] = [
+    "3", "0", "40: Dosage sensitivity unlikely", "2", None,
+]
+
+
+def dosage_jira_payloads(events: DataFrame) -> DataFrame:
+    """events → one JIRA issue JSON string per row (column ``value``)."""
+    e, u = F.col("event_id"), F.col("user_id")
+    sec = F.date_trunc("second", F.col("ts"))
+    off = F.when(e % 2 == 0, F.lit("-0400")).otherwise(F.lit("+0100"))
+    mil = F.when(e % 3 == 0, F.lit("120")).otherwise(F.lit("000"))
+
+    def dtstr(t):
+        return F.concat(
+            F.date_format(t, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("."), mil, off
+        )
+
+    def vstruct(col):
+        return F.when(col.isNotNull(), F.struct(col.alias("value")))
+
+    def pick(values, idx):
+        arr = F.array(*[F.lit(v).cast("string") for v in values])
+        return F.element_at(arr, (idx + 1).cast("int"))
+
+    estr, ustr = e.cast("string"), u.cast("string")
+    chrom = (
+        F.when(u % 24 == 22, F.lit("X"))
+        .when(u % 24 == 23, F.lit("Y"))
+        .otherwise((u % 24 + 1).cast("string"))
+    )
+    gene = F.when(
+        u % 3 != 0,
+        F.concat(F.lit("https://www.ncbi.nlm.nih.gov/gene/"), ustr),
+    )
+    loc37 = F.when(
+        e % 2 == 0,
+        F.concat(F.lit("chr"), chrom, F.lit(":"), ustr, F.lit(",000-"),
+                 (u + 5).cast("string"), F.lit(",500")),
+    )
+    loc38 = F.when(
+        e % 3 == 0,
+        F.concat(F.lit("chr"), chrom, F.lit(":"), (u + 1).cast("string"),
+                 F.lit(",000-"), (u + 7).cast("string"), F.lit(",000")),
+    )
+    fields = F.struct(
+        F.struct(
+            F.when(e % 13 == 0, F.lit("Open")).otherwise(F.lit("Closed")).alias("name")
+        ).alias("status"),
+        F.struct(
+            F.when(e % 17 == 0, F.lit("Incomplete")).otherwise(F.lit("Complete")).alias("name")
+        ).alias("resolution"),
+        dtstr(sec).alias("resolutiondate"),
+        dtstr(sec + F.expr("INTERVAL 1 DAY")).alias("updated"),
+        gene.alias("customfield_10157"),
+        F.concat(F.lit("region ISCA-"), estr).alias("customfield_10202"),
+        loc37.alias("customfield_10160"),
+        loc38.alias("customfield_10532"),
+        vstruct(pick(DOSAGE_HAPLO_VALUES, e % 7)).alias("customfield_10165"),
+        vstruct(pick(DOSAGE_TRIPLO_VALUES, e % 5)).alias("customfield_10166"),
+        vstruct(
+            F.when(e % 5 != 0, F.concat(F.lit("haplo notes "), estr))
+        ).alias("customfield_10198"),
+        vstruct(
+            F.when(e % 4 != 0, F.concat(F.lit("triplo notes "), estr))
+        ).alias("customfield_10199"),
+        pick(
+            ["MONDO:0000123", "123456", "654321", "descriptive text", None, None],
+            e % 6,
+        ).alias("customfield_10200"),
+        pick(["MONDO:0000456", "123456", None, None, None], e % 5).alias(
+            "customfield_10201"
+        ),
+        F.when(e % 3 == 0, F.lit("legacy MONDO:0040003 note")).alias(
+            "customfield_11631"
+        ),
+        F.when(e % 4 == 0, F.lit("see MONDO:0040004")).alias("customfield_11633"),
+        F.when(u % 2 == 0, F.concat(F.lit("PMID: 3100"), ustr)).alias(
+            "customfield_10183"
+        ),
+        F.when((u % 2 == 0) & (u % 4 != 0), F.concat(F.lit("finding A "), ustr)).alias(
+            "customfield_10184"
+        ),
+        F.when(u % 3 == 0, F.concat(F.lit("3200"), ustr)).alias(
+            "customfield_10185"
+        ),
+        F.when(u % 3 == 0, F.concat(F.lit("finding B "), ustr)).alias(
+            "customfield_10186"
+        ),
+        F.when(u % 5 == 0, F.concat(F.lit("pm 33"), ustr)).alias(
+            "customfield_10189"
+        ),
+        F.when(u % 5 == 0, F.concat(F.lit("finding C "), ustr)).alias(
+            "customfield_10190"
+        ),
+    )
+    issue = F.struct(F.concat(F.lit("ISCA-"), estr).alias("key"), fields.alias("fields"))
+    return events.select(F.to_json(issue).alias("value"))

@@ -1012,3 +1012,158 @@ class TestUsersGroups:
         )
         plan = CUR.users_groups(c)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan  # pure projection, no shuffle
+
+
+class TestDosageJira:
+    """The JIRA → gene-dosage transform (transform/dosage_jira.clj →
+    sources/dosage_jira.py): spec gate, instant fixup, AR scope switch,
+    benign predicate, object COALESCE chain, region locations,
+    finding gating — hand-built payloads, hand-derived triples."""
+
+    CG = "http://dx.clinicalgenome.org/entities/"
+
+    def _triples(self, spark, issues, omim=None):
+        import json
+
+        from genegraph_spark.sources import dosage_jira as DJ
+
+        df = spark.createDataFrame(
+            [(json.dumps(i),) for i in issues], "value string"
+        )
+        out = {}
+        for r in DJ.dosage_jira_triples(
+            DJ.parse_dosage_jira(df), omim or {}
+        ).collect():
+            out.setdefault(r.subject, {}).setdefault(r.predicate, set()).add(
+                (r.object, r.object_is_iri)
+            )
+        return out
+
+    @staticmethod
+    def _issue(key="ISCA-1", **fields):
+        base = {
+            "status": {"name": "Closed"},
+            "resolution": {"name": "Complete"},
+            "resolutiondate": "2018-03-27T09:55:41.000-0400",
+            "updated": "2018-03-28T10:00:00.120-0400",
+        }
+        base.update(fields)
+        return {"key": key, "fields": base}
+
+    def test_spec_gate_and_instants(self, spark):
+        """Open/incomplete/undated issues produce NO triples; the JIRA
+        offset-colon flaw is repaired and instants print UTC the way
+        java.time.Instant does (millis only when nonzero)."""
+        out = self._triples(spark, [
+            self._issue(key="ISCA-BAD1", status={"name": "Open"}),
+            self._issue(key="ISCA-BAD2", resolution={"name": "Duplicate"}),
+            {"key": "ISCA-BAD3", "fields": {
+                "status": {"name": "Closed"},
+                "resolution": {"name": "Complete"}}},
+            self._issue(customfield_10157="https://g/1"),
+        ])
+        subs = set(out)
+        assert not any("BAD" in s for s in subs)
+        report = self.CG + "ISCA-1-2018-03-28T14:00:00.120Z"  # -0400 → UTC
+        contrib = self.CG + "contribution-ISCA-1-2018-03-28T14:00:00.120Z"
+        assert out[report][":sepio/qualified-contribution"] == {(contrib, True)}
+        # zero millis → seconds-precision instant (Instant.toString)
+        assert out[contrib][":sepio/activity-date"] == {
+            ("2018-03-27T13:55:41Z", False)
+        }
+        assert out[report][":iao/is-about"] == {("https://g/1", True)}
+
+    def test_scope_vs_strength_and_benign(self, spark):
+        """Haplo '30:' → PropositionScopeAssertion; triplo '40:' →
+        EvidenceLevelAssertion with the benign predicate and the
+        sufficient-evidence object (the reference's deliberate map)."""
+        ar = "30: Gene associated with autosomal recessive phenotype"
+        out = self._triples(spark, [
+            self._issue(
+                customfield_10157="https://g/1",
+                customfield_10165={"value": ar},
+                customfield_10166={"value": "40: Dosage sensitivity unlikely"},
+            )
+        ])
+        a1 = self.CG + "ISCA-1x1-2018-03-28T14:00:00.120Z"
+        assert (":sepio/PropositionScopeAssertion", True) in out[a1][
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"]
+        assert out[a1][":sepio/has-object"] == {
+            (":sepio/GeneAssociatedWithAutosomalRecessivePhenotype", True)}
+        a3 = self.CG + "ISCA-1x3-2018-03-28T14:00:00.120Z"
+        assert (":sepio/EvidenceLevelAssertion", True) in out[a3][
+            "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"]
+        assert out[a3][":sepio/has-object"] == {
+            (":sepio/DosageSufficientEvidence", True)}
+        p3 = self.CG + "ISCA-1x3"
+        assert out[p3][":sepio/has-predicate"] == {
+            (":geno/BenignForCondition", True)}
+
+    def test_object_chain(self, spark):
+        """MONDO-bearing phenotype > OMIM equivalence > legacy MONDO >
+        MONDO_0000001 root."""
+        issues = [
+            self._issue(key="ISCA-A", customfield_10157="https://g/1",
+                        customfield_10165={"value": "3"},
+                        customfield_10200="MONDO:0000123"),
+            self._issue(key="ISCA-B", customfield_10157="https://g/1",
+                        customfield_10165={"value": "3"},
+                        customfield_10200="123456",
+                        customfield_11631="old MONDO:0040003"),
+            self._issue(key="ISCA-C", customfield_10157="https://g/1",
+                        customfield_10165={"value": "3"},
+                        customfield_10200="999999",
+                        customfield_11631="old MONDO:0040003"),
+            self._issue(key="ISCA-D", customfield_10157="https://g/1",
+                        customfield_10165={"value": "3"}),
+        ]
+        out = self._triples(spark, issues, omim={"OMIM:123456": "MONDO:0024086"})
+        get = lambda k: out[self.CG + k + "x1"][":sepio/has-object"]
+        assert get("ISCA-A") == {("MONDO:0000123", True)}
+        assert get("ISCA-B") == {("MONDO:0024086", True)}   # OMIM mapped
+        assert get("ISCA-C") == {("MONDO:0040003", True)}   # legacy fallback
+        assert get("ISCA-D") == {
+            ("http://purl.obolibrary.org/obo/MONDO_0000001", True)}
+
+    def test_region_locations_and_findings(self, spark):
+        """No gene → region topic with dual-build locations (comma-
+        grouped coordinates stripped, chr prefix cut, RefSeq accession
+        resolved per build); findings emit only for bound pmids and the
+        pubmed IRI keeps only the digits."""
+        out = self._triples(spark, [
+            self._issue(
+                customfield_10202="17p13.3 region",
+                customfield_10160="chr17:1,234-5,678",
+                customfield_10532="chrX:2,000-9,000",
+                customfield_10165={"value": "2"},
+                customfield_10183="PMID: 31001",
+                customfield_10185=None,
+            )
+        ])
+        region = self.CG + "region-ISCA-1"
+        assert out[region][":rdfs/label"] == {("17p13.3 region", False)}
+        locs = out[region][":geno/has-location"]
+        assert len(locs) == 2
+        ref_seqs = set()
+        starts = set()
+        for loc, _ in locs:
+            ref_seqs |= {o for o, _ in out[loc][":geno/has-reference-sequence"]}
+            (iv, _), = out[loc][":geno/has-interval"]
+            starts |= {o for o, _ in out[iv][":geno/start-position"]}
+        assert ref_seqs == {
+            "https://www.ncbi.nlm.nih.gov/nuccore/NC_000017.10",  # 37 chr17
+            "https://www.ncbi.nlm.nih.gov/nuccore/NC_000023.11",  # 38 chrX
+        }
+        assert starts == {"1234", "2000"}
+        a1 = self.CG + "ISCA-1x1-2018-03-28T14:00:00.120Z"
+        evs = out[a1].get(":sepio/has-evidence", set())
+        assert len(evs) == 1  # only the bound pair
+        (fb, _), = evs
+        assert out[fb][":dc/source"] == {
+            ("https://pubmed.ncbi.nlm.nih.gov/31001", True)}
+        assert out[fb][":dc/description"] == {("", False)}
+        # the variant subject locates at the REGION for region curations
+        p1 = self.CG + "ISCA-1x1"
+        (vb, _), = out[p1][":sepio/has-subject"]
+        assert out[vb][":geno/has-location"] == {(region, True)}
+        assert out[vb][":geno/has-member-count"] == {("1", False)}
