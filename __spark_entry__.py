@@ -1523,6 +1523,22 @@ def q_kg_dosage_jira(spark, sf_dir):
     )
 
 
+def q_kg_actionability_docs(spark, sf_dir):
+    # the actionability curation-document transform (actionability.clj):
+    # synthetic JSON docs from events → from_json + spec gate → SEPIO
+    # actionability report triples; two broadcast dimension lookups
+    # (gene dictionary, condition equivalence), set semantics via
+    # array_distinct, no shuffle-distinct
+    from genegraph_spark.sources import actionability as AC
+
+    pay = fixtures.actionability_payloads(_read(spark, sf_dir, "events"))
+    return AC.actionability_triples(
+        AC.parse_actionability(pay),
+        fixtures.act_gene_map(spark),
+        fixtures.act_condition_map(spark),
+    )
+
+
 def q_cur_users_groups(spark, sf_dir):
     # the FOAF user/group admin views (user.clj mbox lookup + email
     # regex + member-of, group.clj enumeration, admin-role check) as a
@@ -1942,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_gene_validity_reports": q_cur_gene_validity_reports,
         "cur_users_groups": q_cur_users_groups,
         "kg_dosage_jira": q_kg_dosage_jira,
+        "kg_actionability_docs": q_kg_actionability_docs,
         # round-4 additions
         "alg_sparql_select": q_alg_sparql_select,
         "alg_sparql_construct": q_alg_sparql_construct,
@@ -2539,6 +2556,136 @@ d4 AS (
             q(f"fb_{d}_{i}", ":dc/description", f"fd_{d}_{i}", False, XS,
               cond=c),
         ]
+    return cte + "\n" + "\nUNION ALL\n".join(rows)
+
+
+def _actionability_oracle() -> str:
+    """DuckDB replica of the actionability transform — fields derived
+    straight from events (the Spark side goes through the JSON
+    round-trip, from_json, broadcast lookups)."""
+    from genegraph_spark.sources.actionability import VOCAB
+
+    RT, XS, XI = I.RDF_TYPE, I.XSD_STRING, I.XSD_INTEGER
+    G = "'https://actionability.clinicalgenome.org/ac/doc-' || CAST(e AS VARCHAR)"
+    lbl_case = " ".join(
+        f"WHEN {i} THEN '{VOCAB[s]}'"
+        for i, s in enumerate(fixtures.ACT_ASSERTION_LABELS)
+    )
+
+    def bn(*parts: str) -> str:
+        arg = " || '|' || ".join(parts)
+        return f"'_:' || substr(sha256({arg}), 1, 32)"
+
+    cte = f"""
+WITH d2 AS (
+  SELECT event_id AS e, user_id AS u,
+    {G} AS g,
+    {bn(G, "'contrib'")} AS cb,
+    CASE WHEN event_id % 2 = 0
+      THEN 'http://dataexchange.clinicalgenome.org/terms/PediatricActionabilityWorkingGroup'
+      ELSE 'http://dataexchange.clinicalgenome.org/terms/AdultActionabilityWorkingGroup'
+    END AS agent,
+    strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') || 'Z' AS dt,
+    '2020-01-0' || CAST(event_id % 9 + 1 AS VARCHAR) AS sd1,
+    '2021-02-0' || CAST(event_id % 9 + 1 AS VARCHAR) AS sd2,
+    CASE WHEN event_id % 4 = 0
+      THEN 'http://purl.obolibrary.org/obo/OMIM_' || CAST(u % 100 + 100000 AS VARCHAR)
+      ELSE 'http://purl.obolibrary.org/obo/MONDO_00' || CAST(u % 100 + 10000 AS VARCHAR)
+    END AS c1iri,
+    CASE WHEN event_id % 4 = 0 AND u % 2 <> 0 THEN NULL
+      ELSE 'http://purl.obolibrary.org/obo/MONDO_00' || CAST(u % 100 + 10000 AS VARCHAR)
+    END AS mondo1,
+    'Condition ' || CAST(u % 100 AS VARCHAR) AS lab1,
+    'HGNC:' || CAST(u % 50 + 1000 AS VARCHAR) AS gene1,
+    'https://www.ncbi.nlm.nih.gov/gene/' || CAST(u % 50 + 1000 AS VARCHAR) AS giri1,
+    'GENE' || CAST(u % 50 + 1000 AS VARCHAR) AS sym1,
+    'http://purl.obolibrary.org/obo/MONDO_00' || CAST((u + 1) % 100 + 10000 AS VARCHAR) AS c2iri,
+    'Condition ' || CAST((u + 1) % 100 AS VARCHAR) AS lab2,
+    'HGNC:' || CAST((u + 1) % 50 + 1000 AS VARCHAR) AS gene2,
+    'https://www.ncbi.nlm.nih.gov/gene/' || CAST((u + 1) % 50 + 1000 AS VARCHAR) AS giri2,
+    'GENE' || CAST((u + 1) % 50 + 1000 AS VARCHAR) AS sym2
+  FROM events WHERE event_id % 11 <> 0 AND event_id % 13 <> 0),
+conds AS (
+  SELECT d2.*, c1iri AS ciri, mondo1 AS mondo, lab1 AS lab, gene1 AS cgene,
+         giri1 AS cgiri, sym1 AS csym, TRUE AS is_c1 FROM d2
+  UNION ALL
+  SELECT d2.*, c2iri, c2iri, lab2, gene2, giri2, sym2, FALSE FROM d2
+  WHERE e % 5 = 0),
+asserts AS (
+  SELECT e, g, c1iri AS airi, gene1 AS agene, giri1 AS agiri, TRUE AS is_c1,
+         CASE u % 6 {lbl_case} END AS pred,
+         CASE u % 6 WHEN 0 THEN 'Definitive Actionability'
+                    WHEN 1 THEN 'Strong Actionability'
+                    WHEN 2 THEN 'Moderate Actionability'
+                    WHEN 3 THEN 'Limited Actionability'
+                    WHEN 4 THEN 'No Actionability'
+                    ELSE 'N/A - Insufficient evidence: expert review' END AS albl
+  FROM d2 WHERE e % 3 = 0
+  UNION ALL
+  SELECT e, g, ciri, cgene, cgiri, is_c1,
+         CASE WHEN e % 7 = 0 THEN '{VOCAB["Insufficient Evidence"]}'
+              ELSE '{VOCAB["Assertion Pending"]}' END,
+         CASE WHEN e % 7 = 0 THEN 'Insufficient Evidence'
+              ELSE 'Assertion Pending' END
+  FROM conds WHERE e % 3 <> 0),
+a2 AS (
+  SELECT asserts.*, {bn('g', "'assert'", 'airi', 'agene', 'albl')} AS ab
+  FROM asserts),
+gc AS (
+  SELECT conds.*, {bn('g', "'gc'", 'ciri', 'cgene')} AS gcb
+  FROM conds WHERE mondo IS NOT NULL),
+totals AS (
+  SELECT DISTINCT g, CAST(v AS VARCHAR) AS tv
+  FROM d2, UNNEST(list_concat([u % 12, u % 5],
+                              CASE WHEN e % 6 = 0 THEN [0]
+                                   ELSE [] END)) AS t(v)),
+searches AS (
+  SELECT d2.*, sd1 AS sd, {bn('g', "'search'", 'sd1', "'0'")} AS sb FROM d2
+  UNION ALL
+  SELECT d2.*, sd2, {bn('g', "'search'", 'sd2', "'1'")} FROM d2
+  WHERE e % 2 = 0)
+"""
+
+    def q(src, s, p, o, is_iri, dt=None, cond=None):
+        dtv = f"'{dt}'" if dt else "CAST(NULL AS VARCHAR)"
+        w = f" WHERE {cond}" if cond else ""
+        return (
+            f"SELECT g AS graph, {s} AS subject, '{p}' AS predicate, "
+            f"{o} AS object, {str(is_iri).upper()} AS object_is_iri, "
+            f"{dtv} AS object_datatype FROM {src}{w}"
+        )
+
+    rows = [
+        q("d2", "g", RT, "':sepio/ActionabilityReport'", True),
+        q("d2", "g", ":sepio/qualified-contribution", "cb", True),
+        q("d2", "g", ":dc/source",
+          "'https://ac.example/doc/' || CAST(e AS VARCHAR)", False, XS),
+        q("d2", "g", ":dc/has-version",
+          "'1.' || CAST(e % 5 AS VARCHAR)", False, XS),
+        q("d2", "g", ":rdfs/label", "'AC doc ' || CAST(e AS VARCHAR)",
+          False, XS),
+        q("d2", "cb", ":sepio/activity-date", "dt", False, XS),
+        q("d2", "cb", ":bfo/realizes", "':sepio/ApproverRole'", True),
+        q("d2", "cb", ":sepio/has-agent", "agent", True),
+        q("searches", "g", ":sepio/qualified-contribution", "sb", True),
+        q("searches", "sb", ":sepio/activity-date", "sd", False, XS),
+        q("searches", "sb", ":bfo/realizes", "':sepio/EvidenceRole'", True),
+        q("searches", "sb", ":sepio/has-agent", "agent", True),
+        q("totals", "g", ":cg/has-total-actionability-score", "tv", False, XI),
+        q("gc", "g", ":sepio/is-about-condition", "gcb", True),
+        q("gc", "gcb", RT, "':sepio/GeneticCondition'", True),
+        q("gc", "gcb", RT, "':cg/ActionabilityGeneticCondition'", True),
+        q("gc", "gcb", ":rdfs/sub-class-of", "mondo", True),
+        q("gc", "gcb", ":sepio/is-about-gene", "cgiri", True),
+        q("gc", "gcb", ":rdfs/label", "lab || ', ' || csym", False, XS),
+        q("a2", "g", ":bfo/has-part", "ab", True),
+        q("a2", "ab", RT, "':sepio/ActionabilityAssertion'", True),
+        q("a2", "ab", ":sepio/has-subject", "agiri", True),
+        q("a2", "ab", ":sepio/has-predicate", "pred", True),
+        q("a2", "ab", ":sepio/has-object", "airi", True),
+        q("a2", "ab", RT, "':cg/ActionabilityAssertionForPreferredCondition'",
+          True, cond="e % 2 = 0 AND is_c1"),
+    ]
     return cte + "\n" + "\nUNION ALL\n".join(rows)
 
 
@@ -3717,6 +3864,7 @@ SELECT 'urn:curation:' || CAST(event_id AS VARCHAR) AS assertion,
        END AS animal_model
 FROM events""",
         "kg_dosage_jira": _dosage_jira_oracle(),
+        "kg_actionability_docs": _actionability_oracle(),
         "cur_users_groups": """
 SELECT 'urn:user:' || CAST(c_custkey AS VARCHAR) AS user_iri,
        regexp_extract('mailto:user' || CAST(c_custkey AS VARCHAR)

@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "dedup_spans",
     "graph_pagerank",
     "text_decontaminate",
+    # round 5
+    "kg_dosage_jira",
 ]
 
 

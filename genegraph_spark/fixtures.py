@@ -456,3 +456,158 @@ def dosage_jira_payloads(events: DataFrame) -> DataFrame:
     )
     issue = F.struct(F.concat(F.lit("ISCA-"), estr).alias("key"), fields.alias("fields"))
     return events.select(F.to_json(issue).alias("value"))
+
+
+# ── actionability curation-document fixture ───────────────────────────
+# Deterministic synthetic actionability JSON docs derived from events
+# (transform/actionability.clj → sources/actionability.py): invalid
+# status flags + malformed condition IRIs (spec gate), OMIM-vs-MONDO
+# condition resolution, the three-way assertion fallback, preferred
+# conditions, multi-entry search dates, and 4-level-nested score groups
+# with noisy totals.
+
+ACT_ASSERTION_LABELS: list[str] = [
+    "Definitive Actionability", "Strong Actionability",
+    "Moderate Actionability", "Limited Actionability",
+    "No Actionability", "N/A - Insufficient evidence: expert review",
+]
+
+# HGNC gene dictionary (the owl:same-as per-row lookup as a broadcast
+# dimension): curie → (gene iri, symbol)
+ACT_GENES: list[tuple[str, str, str]] = [
+    (f"HGNC:{1000 + i}", f"https://www.ncbi.nlm.nih.gov/gene/{1000 + i}",
+     f"GENE{1000 + i}")
+    for i in range(50)
+]
+
+# condition equivalence + labels: both the MONDO curie (label lookup for
+# directly-resolved conditions) and — for EVEN indexes only, so the
+# unresolved-skip branch is observable — the OMIM curie exact-match
+ACT_CONDITIONS: list[tuple[str, str, str]] = [
+    (f"MONDO:00{10000 + i}",
+     f"http://purl.obolibrary.org/obo/MONDO_00{10000 + i}", f"Condition {i}")
+    for i in range(100)
+] + [
+    (f"OMIM:{100000 + i}",
+     f"http://purl.obolibrary.org/obo/MONDO_00{10000 + i}", f"Condition {i}")
+    for i in range(0, 100, 2)
+]
+
+
+def act_gene_map(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        ACT_GENES, "gene_curie string, gene_iri string, symbol string"
+    )
+
+
+def act_condition_map(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        ACT_CONDITIONS, "curie string, mondo_iri string, label string"
+    )
+
+
+def actionability_payloads(events: DataFrame) -> DataFrame:
+    """events → one actionability curation JSON per row (col ``value``)."""
+    e, u = F.col("event_id"), F.col("user_id")
+    estr = e.cast("string")
+    sec = F.date_trunc("second", F.col("ts"))
+    omim_branch = e % 4 == 0
+    mnum = (u % 100 + 10000).cast("string")
+    onum = (u % 100 + 100000).cast("string")
+    c1_iri = F.when(
+        e % 13 == 0, F.lit("urn:bogus:1")  # spec-invalid condition IRI
+    ).when(
+        omim_branch, F.concat(F.lit("http://purl.obolibrary.org/obo/OMIM_"), onum)
+    ).otherwise(F.concat(F.lit("http://purl.obolibrary.org/obo/MONDO_00"), mnum))
+    c1_curie = F.when(omim_branch, F.concat(F.lit("OMIM:"), onum)).otherwise(
+        F.concat(F.lit("MONDO:00"), mnum)
+    )
+    c1_gene = F.concat(F.lit("HGNC:"), (u % 50 + 1000).cast("string"))
+    c2_iri = F.concat(
+        F.lit("http://purl.obolibrary.org/obo/MONDO_00"),
+        ((u + 1) % 100 + 10000).cast("string"),
+    )
+    c2_curie = F.concat(F.lit("MONDO:00"), ((u + 1) % 100 + 10000).cast("string"))
+    c2_gene = F.concat(F.lit("HGNC:"), ((u + 1) % 50 + 1000).cast("string"))
+
+    def cond(iri, curie, gene):
+        return F.struct(iri.alias("iri"), curie.alias("curie"), gene.alias("gene"))
+
+    conditions = F.when(
+        e % 5 == 0,
+        F.array(cond(c1_iri, c1_curie, c1_gene), cond(c2_iri, c2_curie, c2_gene)),
+    ).otherwise(F.array(cond(c1_iri, c1_curie, c1_gene)))
+    sd1 = F.concat(F.lit("2020-01-0"), (e % 9 + 1).cast("string"))
+    sd2 = F.concat(F.lit("2021-02-0"), (e % 9 + 1).cast("string"))
+    search_dates = F.when(e % 2 == 0, F.array(sd1, sd2)).otherwise(F.array(sd1))
+
+    def group(total):
+        return F.struct(
+            F.array(
+                F.struct(
+                    F.array(
+                        F.struct(
+                            F.array(F.struct(total.alias("Total")))
+                            .alias("ScoringGroups")
+                        )
+                    ).alias("Interventions")
+                )
+            ).alias("ScoringGroups")
+        )
+
+    t1 = F.array(
+        F.concat(F.lit("Outcome: "), (u % 12).cast("string"), F.lit(" points")),
+        F.concat(F.lit("0"), (u % 5).cast("string")),
+    )
+    scores = F.when(
+        e % 6 == 0, F.array(group(t1), group(F.array(F.lit("nothing"))))
+    ).otherwise(F.array(group(t1)))
+
+    doc = F.struct(
+        F.concat(
+            F.lit("https://actionability.clinicalgenome.org/ac/doc-"), estr
+        ).alias("iri"),
+        F.when(e % 11 == 0, F.lit("In Progress"))
+        .otherwise(
+            F.element_at(
+                F.array(*[F.lit(s) for s in
+                          ["Released", "Released - Under Revision", "Retracted"]]),
+                (e % 3 + 1).cast("int"),
+            )
+        ).alias("statusFlag"),
+        F.concat(F.lit("AC doc "), estr).alias("title"),
+        F.concat(F.lit("1."), (e % 5).cast("string")).alias("curationVersion"),
+        F.concat(F.lit("https://ac.example/doc/"), estr).alias("scoreDetails"),
+        F.concat(F.date_format(sec, "yyyy-MM-dd'T'HH:mm:ss"), F.lit("Z")).alias(
+            "dateISO8601"
+        ),
+        F.when(e % 7 == 0, F.lit("Failed")).alias("earlyRuleOutStatus"),
+        search_dates.alias("searchDates"),
+        F.array(
+            F.struct(
+                F.when(e % 2 == 0, F.lit("Pediatric AWG"))
+                .otherwise(F.lit("Adult AWG")).alias("id"),
+                F.concat(F.lit("AWG "), (e % 2).cast("string")).alias("name"),
+            )
+        ).alias("affiliations"),
+        conditions.alias("conditions"),
+        F.when(
+            e % 2 == 0,
+            F.array(F.struct(c1_iri.alias("iri"), c1_gene.alias("gene"))),
+        ).alias("preferred_conditions"),
+        F.when(
+            e % 3 == 0,
+            F.array(
+                F.struct(
+                    c1_iri.alias("iri"), c1_curie.alias("curie"),
+                    c1_gene.alias("gene"),
+                    F.element_at(
+                        F.array(*[F.lit(s) for s in ACT_ASSERTION_LABELS]),
+                        (u % 6 + 1).cast("int"),
+                    ).alias("assertion"),
+                )
+            ),
+        ).alias("assertions"),
+        scores.alias("scores"),
+    )
+    return events.select(F.to_json(doc).alias("value"))

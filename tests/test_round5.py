@@ -1167,3 +1167,149 @@ class TestDosageJira:
         (vb, _), = out[p1][":sepio/has-subject"]
         assert out[vb][":geno/has-location"] == {(region, True)}
         assert out[vb][":geno/has-member-count"] == {("1", False)}
+
+
+class TestActionability:
+    """The actionability document transform (transform/actionability.clj
+    → sources/actionability.py): spec gate, assertion fallback chain,
+    preferred-condition marker, unresolved-OMIM skip, distinct totals."""
+
+    AC = "https://actionability.clinicalgenome.org/ac/"
+
+    def _triples(self, spark, docs):
+        import json
+
+        from genegraph_spark import fixtures
+        from genegraph_spark.sources import actionability as A
+
+        df = spark.createDataFrame(
+            [(json.dumps(d),) for d in docs], "value string"
+        )
+        gm = spark.createDataFrame(
+            [("HGNC:7", "https://g/7", "ABC7")],
+            "gene_curie string, gene_iri string, symbol string",
+        )
+        cm = spark.createDataFrame(
+            [("OMIM:100", "http://purl.obolibrary.org/obo/MONDO_0000100",
+              "Cond 100"),
+             ("MONDO:0000200", "http://purl.obolibrary.org/obo/MONDO_0000200",
+              "Cond 200")],
+            "curie string, mondo_iri string, label string",
+        )
+        out = {}
+        for r in A.actionability_triples(
+            A.parse_actionability(df), gm, cm
+        ).collect():
+            out.setdefault(r.graph, {}).setdefault(
+                (r.subject, r.predicate), set()
+            ).add(r.object)
+        return out
+
+    @staticmethod
+    def _doc(iri, **kw):
+        base = {
+            "iri": iri,
+            "statusFlag": "Released",
+            "title": "t",
+            "curationVersion": "1",
+            "scoreDetails": "sd",
+            "dateISO8601": "2021-01-01T00:00:00Z",
+            "searchDates": ["2020-01-01"],
+            "affiliations": [{"id": "Adult AWG", "name": "n"}],
+            "conditions": [
+                {"iri": "http://purl.obolibrary.org/obo/MONDO_0000200",
+                 "curie": "MONDO:0000200", "gene": "HGNC:7"}
+            ],
+        }
+        base.update(kw)
+        return base
+
+    def test_spec_gate(self, spark):
+        out = self._triples(spark, [
+            self._doc(self.AC + "bad1", statusFlag="In Progress"),
+            self._doc(self.AC + "bad2",
+                      conditions=[{"iri": "urn:x", "curie": "c",
+                                   "gene": "HGNC:7"}]),
+            self._doc(self.AC + "bad3", conditions=[
+                {"iri": "http://purl.obolibrary.org/obo/MONDO_0000200",
+                 "curie": "MONDO:0000200", "gene": "not-hgnc"}]),
+            self._doc(self.AC + "ok"),
+        ])
+        assert set(out) == {self.AC + "ok"}
+
+    def test_fallback_chain_and_preferred(self, spark):
+        mondo = "http://purl.obolibrary.org/obo/MONDO_0000200"
+        d_pending = self._doc(self.AC + "p")
+        d_failed = self._doc(self.AC + "f", earlyRuleOutStatus="Failed")
+        d_explicit = self._doc(
+            self.AC + "x",
+            assertions=[{"iri": mondo, "curie": "MONDO:0000200",
+                         "gene": "HGNC:7",
+                         "assertion": "Strong Actionability"}],
+            preferred_conditions=[{"iri": mondo, "gene": "HGNC:7"}],
+        )
+        out = self._triples(spark, [d_pending, d_failed, d_explicit])
+
+        def preds(g):
+            return {
+                o for (s, p), objs in out[g].items()
+                if p == ":sepio/has-predicate" for o in objs
+                if "SEPIO_00035" in o
+            }
+        assert preds(self.AC + "p") == {
+            "http://purl.obolibrary.org/obo/SEPIO_0003541"}  # pending
+        assert preds(self.AC + "f") == {
+            "http://purl.obolibrary.org/obo/SEPIO_0003539"}  # insufficient
+        assert preds(self.AC + "x") == {
+            "http://purl.obolibrary.org/obo/SEPIO_0003536"}  # strong
+        # preferred marker only on the explicit doc
+        types = {
+            o for g in out for (s, p), objs in out[g].items()
+            if p.endswith("#type") for o in objs
+        }
+        assert ":cg/ActionabilityAssertionForPreferredCondition" in types
+        x_types = {
+            o for (s, p), objs in out[self.AC + "x"].items()
+            if p.endswith("#type") for o in objs
+        }
+        p_types = {
+            o for (s, p), objs in out[self.AC + "p"].items()
+            if p.endswith("#type") for o in objs
+        }
+        assert ":cg/ActionabilityAssertionForPreferredCondition" in x_types
+        assert ":cg/ActionabilityAssertionForPreferredCondition" not in p_types
+
+    def test_omim_resolution_and_totals(self, spark):
+        """OMIM curie resolving through the equivalence map gets a
+        genetic-condition node; an unmapped OMIM does NOT (but its
+        assertion still emits with the raw OMIM PURL object); totals
+        flatten 4 levels, normalize digits, and dedupe."""
+        omim_ok = self._doc(
+            self.AC + "a",
+            conditions=[{"iri": "http://purl.obolibrary.org/obo/OMIM_100",
+                         "curie": "OMIM:100", "gene": "HGNC:7"}],
+            scores=[{"ScoringGroups": [{"Interventions": [{"ScoringGroups": [
+                {"Total": ["Outcome: 7 points", "07", "no digits"]}]}]}]}],
+        )
+        omim_miss = self._doc(
+            self.AC + "b",
+            conditions=[{"iri": "http://purl.obolibrary.org/obo/OMIM_999",
+                         "curie": "OMIM:999", "gene": "HGNC:7"}],
+        )
+        out = self._triples(spark, [omim_ok, omim_miss])
+        a = out[self.AC + "a"]
+        gcs = a.get((self.AC + "a", ":sepio/is-about-condition"))
+        assert gcs and len(gcs) == 1
+        (gc,) = gcs
+        assert a[(gc, ":rdfs/sub-class-of")] == {
+            "http://purl.obolibrary.org/obo/MONDO_0000100"}
+        assert a[(gc, ":rdfs/label")] == {"Cond 100, ABC7"}
+        totals = a[(self.AC + "a", ":cg/has-total-actionability-score")]
+        assert totals == {"7", "0"}  # "07"→7 deduped with 7; no-digit→0
+        b = out[self.AC + "b"]
+        assert (self.AC + "b", ":sepio/is-about-condition") not in b
+        objs = {
+            o for (s, p), objs in b.items()
+            if p == ":sepio/has-object" for o in objs
+        }
+        assert "http://purl.obolibrary.org/obo/OMIM_999" in objs
