@@ -1539,6 +1539,23 @@ def q_kg_actionability_docs(spark, sf_dir):
     )
 
 
+def q_kg_clinvar_statements(spark, sf_dir):
+    # ClinVar clinical-assertion → GA4GH statement assembly
+    # (clinical_assertion.clj): clinsig typing via the reference CSVs,
+    # predicate/direction maps, comment assembly, and the trait-set
+    # resolved as-of the release date with ONE union-merge as-of join
+    # (the reference issues a per-row point SPARQL query)
+    from genegraph_spark.sources import clinvar_statements as CS
+    from genegraph_spark.sources.clinsig import clinsig_tables
+
+    ev = _read(spark, sf_dir, "events")
+    ts = CS.parse_trait_set_messages(fixtures.clinvar_trait_set_payloads(ev))
+    n, c = clinsig_tables(spark)
+    return CS.clinvar_statements(
+        fixtures.clinvar_assertion_payloads(ev), ts, n, c
+    )
+
+
 def q_cur_users_groups(spark, sf_dir):
     # the FOAF user/group admin views (user.clj mbox lookup + email
     # regex + member-of, group.clj enumeration, admin-role check) as a
@@ -1959,6 +1976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_users_groups": q_cur_users_groups,
         "kg_dosage_jira": q_kg_dosage_jira,
         "kg_actionability_docs": q_kg_actionability_docs,
+        "kg_clinvar_statements": q_kg_clinvar_statements,
         # round-4 additions
         "alg_sparql_select": q_alg_sparql_select,
         "alg_sparql_construct": q_alg_sparql_construct,
@@ -3865,6 +3883,107 @@ SELECT 'urn:curation:' || CAST(event_id AS VARCHAR) AS assertion,
 FROM events""",
         "kg_dosage_jira": _dosage_jira_oracle(),
         "kg_actionability_docs": _actionability_oracle(),
+        "kg_clinvar_statements": """
+WITH n AS (SELECT * FROM read_csv(
+  '/root/reference/resources/clinvar_clinsig_normalized.csv', header=true)),
+c AS (SELECT * FROM read_csv(
+  '/root/reference/resources/clinvar_clinsig_classes.csv', header=true)),
+lk AS (
+  SELECT n.scv_term AS term, n.normalized AS code, n.label AS lbl,
+         c.clinvar_prop_type AS pt
+  FROM n LEFT JOIN c ON c.code = n.normalized),
+fb AS (SELECT normalized AS code, n.label AS lbl, c.clinvar_prop_type AS pt
+       FROM n JOIN c ON c.code = n.normalized WHERE n.scv_term = 'other'),
+tsv AS (
+  SELECT 'http://dataexchange.clinicalgenome.org/terms/trait_set_'
+           || CAST(user_id % 30 AS VARCHAR) AS vof,
+         strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') AS version,
+         'http://dataexchange.clinicalgenome.org/terms/trait_set_'
+           || CAST(user_id % 30 AS VARCHAR) || '.'
+           || strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') AS ts_id,
+         CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END AS n_members
+  FROM events WHERE event_id % 3 = 0 AND event_id % 19 <> 0),
+a AS (
+  SELECT event_id AS e, user_id AS u,
+         strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') AS rd,
+         CASE CAST(event_id % 12 AS INT)
+           WHEN 0 THEN 'Pathogenic' WHEN 1 THEN 'benign'
+           WHEN 2 THEN 'Likely pathogenic' WHEN 3 THEN 'uncertain significance'
+           WHEN 4 THEN 'drug response' WHEN 5 THEN 'association'
+           WHEN 6 THEN 'WEIRD_TERM' WHEN 7 THEN 'Established risk allele'
+           WHEN 8 THEN 'protective' WHEN 9 THEN 'Pathogenic/Likely pathogenic'
+           WHEN 10 THEN 'conflicting data from submitters'
+           ELSE 'not provided' END AS raw
+  FROM events),
+a2 AS (
+  SELECT a.*, coalesce(lk.code, fb.code) AS code,
+         coalesce(lk.lbl, fb.lbl) AS lbl, coalesce(lk.pt, fb.pt) AS pt
+  FROM a LEFT JOIN lk ON lk.term = lower(a.raw) CROSS JOIN fb),
+a3 AS (
+  SELECT a2.*,
+    CASE pt WHEN 'path' THEN 'VariationGermlinePathogenicityStatement'
+            WHEN 'dr' THEN 'ClinVarDrugResponseStatement'
+            ELSE 'ClinVarOtherStatement' END AS st,
+    CASE WHEN e % 4 <> 0
+         THEN 'http://dataexchange.clinicalgenome.org/terms/trait_set_'
+              || CAST(u % 30 AS VARCHAR) END AS vof
+  FROM a2),
+res AS (
+  SELECT a3.*, tsv.ts_id, tsv.n_members
+  FROM a3 ASOF LEFT JOIN tsv
+    ON a3.vof = tsv.vof AND a3.rd >= tsv.version)
+SELECT vof AS object_vof,
+  'https://identifiers.org/clinvar.submission:SCV' || CAST(e AS VARCHAR)
+    || '.' || rd AS id,
+  rd AS release_date,
+  CAST(u % 500 AS VARCHAR) AS subject,
+  CASE WHEN e % 2 = 0 THEN 'c1 ' || CAST(e AS VARCHAR) || chr(10) || 'c2'
+       ELSE '' END AS description,
+  CASE WHEN e % 5 <> 0
+       THEN '2023-0' || CAST(e % 9 + 1 AS VARCHAR) || '-01'
+  END AS approver_date,
+  CASE WHEN e % 3 <> 0
+       THEN '2024-0' || CAST(e % 9 + 1 AS VARCHAR) || '-02'
+  END AS submitter_date,
+  st AS stmt_type,
+  CASE st WHEN 'VariationGermlinePathogenicityStatement'
+            THEN 'VariationGermlinePathogenicityProposition'
+          WHEN 'ClinVarDrugResponseStatement'
+            THEN 'ClinVarDrugResponseProposition'
+          ELSE 'ClinVarOtherProposition' END AS prop_type_out,
+  CASE WHEN st = 'VariationGermlinePathogenicityStatement'
+            AND lbl IN ('Benign', 'Benign/Likely benign', 'Likely benign',
+                        'Likely pathogenic',
+                        'Likely pathogenic, low penetrance', 'Pathogenic',
+                        'Pathogenic, low penetrance',
+                        'Pathogenic/Likely pathogenic',
+                        'Uncertain significance')
+            THEN 'causes_mendelian_condition'
+       WHEN st = 'VariationGermlinePathogenicityStatement'
+            AND lbl IN ('Established risk allele', 'Likely risk allele',
+                        'Uncertain risk allele')
+            THEN 'increases_risk_for_condition'
+       WHEN st = 'ClinVarDrugResponseStatement'
+            THEN 'has_clinvar_drug_response'
+       WHEN st = 'ClinVarOtherStatement' THEN 'has_clinvar_other'
+  END AS predicate,
+  CASE WHEN lbl IN ('Benign', 'Benign/Likely benign', 'Likely benign')
+            THEN 'opposes'
+       WHEN lbl IN ('Likely pathogenic',
+                    'Likely pathogenic, low penetrance', 'Pathogenic',
+                    'Pathogenic, low penetrance',
+                    'Pathogenic/Likely pathogenic')
+            THEN 'supports'
+       ELSE 'uncertain' END AS direction,
+  'http://dataexchange.clinicalgenome.org/terms/' || code
+    AS classification_id,
+  replace(replace(lbl, ' ', '_'), '/', '_') AS classification_label,
+  coalesce(ts_id,
+           'http://dataexchange.clinicalgenome.org/terms/ConditionNotFound')
+    AS object_id,
+  coalesce(n_members, 0) AS object_n_members,
+  coalesce(n_members = 1, FALSE) AS object_compact
+FROM res""",
         "cur_users_groups": """
 SELECT 'urn:user:' || CAST(c_custkey AS VARCHAR) AS user_iri,
        regexp_extract('mailto:user' || CAST(c_custkey AS VARCHAR)

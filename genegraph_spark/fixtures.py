@@ -611,3 +611,83 @@ def actionability_payloads(events: DataFrame) -> DataFrame:
         scores.alias("scores"),
     )
     return events.select(F.to_json(doc).alias("value"))
+
+
+# ── ClinVar clinical-assertion stream fixture ─────────────────────────
+# Deterministic clinical-assertion + trait-set messages derived from
+# events (transform/clinvar/clinical_assertion.clj →
+# sources/clinvar_statements.py). Raw clinsig terms cover every
+# statement-type class (path / dr / other-fallback), both predicate
+# lists, the unknown-term fallback, and mixed case; trait-set versions
+# are second-granular (unique per message) so the as-of resolution is
+# deterministic; ~1/19 trait-set messages are deletes.
+
+CLINVAR_RAW_TERMS: list[str] = [
+    "Pathogenic", "benign", "Likely pathogenic", "uncertain significance",
+    "drug response", "association", "WEIRD_TERM", "Established risk allele",
+    "protective", "Pathogenic/Likely pathogenic",
+    "conflicting data from submitters", "not provided",
+]
+
+
+def _sec_str():
+    return F.date_format(F.date_trunc("second", F.col("ts")),
+                         "yyyy-MM-dd'T'HH:mm:ss")
+
+
+def clinvar_trait_set_payloads(events: DataFrame) -> DataFrame:
+    e, u = F.col("event_id"), F.col("user_id")
+    tid1 = (u % 40).cast("string")
+    tid2 = ((u + 1) % 40).cast("string")
+    doc = F.struct(
+        _sec_str().alias("release_date"),
+        F.when(e % 19 == 0, F.lit("delete")).otherwise(F.lit("create")).alias(
+            "event_type"
+        ),
+        F.struct(
+            (u % 30).cast("string").alias("id"),
+            F.lit("TraitSet").alias("type"),
+            F.when(e % 2 == 0, F.array(tid1, tid2)).otherwise(
+                F.array(tid1)
+            ).alias("trait_ids"),
+        ).alias("content"),
+    )
+    return events.where(e % 3 == 0).select(F.to_json(doc).alias("value"))
+
+
+def clinvar_assertion_payloads(events: DataFrame) -> DataFrame:
+    e, u = F.col("event_id"), F.col("user_id")
+    estr = e.cast("string")
+    comments = F.when(
+        e % 2 == 0,
+        F.array(
+            F.concat(F.lit('{"text":"c1 '), estr, F.lit('"}')),
+            F.lit('{"text":"c2"}'),
+        ),
+    )
+    doc = F.struct(
+        _sec_str().alias("release_date"),
+        F.lit("create").alias("event_type"),
+        F.struct(
+            F.concat(F.lit("SCV"), estr).alias("id"),
+            (u % 500).cast("string").alias("variation_id"),
+            F.when(e % 4 != 0, (u % 30).cast("string")).alias("trait_set_id"),
+            (u % 20).cast("string").alias("submitter_id"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in CLINVAR_RAW_TERMS]),
+                (e % 12 + 1).cast("int"),
+            ).alias("interpretation_description"),
+            F.when(
+                e % 5 != 0,
+                F.concat(F.lit("2023-0"), (e % 9 + 1).cast("string"),
+                         F.lit("-01")),
+            ).alias("interpretation_date_last_evaluated"),
+            F.when(
+                e % 3 != 0,
+                F.concat(F.lit("2024-0"), (e % 9 + 1).cast("string"),
+                         F.lit("-02")),
+            ).alias("date_last_updated"),
+            comments.alias("interpretation_comments"),
+        ).alias("content"),
+    )
+    return events.select(F.to_json(doc).alias("value"))

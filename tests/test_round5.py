@@ -1313,3 +1313,99 @@ class TestActionability:
             if p == ":sepio/has-object" for o in objs
         }
         assert "http://purl.obolibrary.org/obo/OMIM_999" in objs
+
+
+class TestClinvarStatements:
+    """The ClinVar clinical-assertion → GA4GH statement assembly
+    (clinical_assertion.clj → sources/clinvar_statements.py): as-of
+    trait-set resolution vs deletes, ConditionNotFound sentinel,
+    xref CURIE normalization, single-member compaction."""
+
+    CG = "http://dataexchange.clinicalgenome.org/terms/"
+
+    def test_asof_delete_and_sentinel(self, spark):
+        import json
+
+        from genegraph_spark.sources import clinvar_statements as CS
+        from genegraph_spark.sources.clinsig import clinsig_tables
+
+        def msg(**kw):
+            return (json.dumps(kw),)
+
+        ts = CS.parse_trait_set_messages(spark.createDataFrame([
+            msg(release_date="2024-01-01", event_type="create",
+                content={"id": "9", "type": "TraitSet", "trait_ids": ["1"]}),
+            msg(release_date="2024-02-01", event_type="create",
+                content={"id": "9", "type": "TraitSet",
+                         "trait_ids": ["1", "2"]}),
+            # a delete version: filtered out of as-of resolution
+            msg(release_date="2024-03-01", event_type="delete",
+                content={"id": "9", "type": "TraitSet", "trait_ids": []}),
+        ], "value string"))
+        n, c = clinsig_tables(spark)
+        asserts = spark.createDataFrame([
+            # before any version → sentinel
+            msg(release_date="2023-12-01", event_type="create",
+                content={"id": "SCV1", "variation_id": "5",
+                         "trait_set_id": "9",
+                         "interpretation_description": "Pathogenic"}),
+            # between v1 and v2 → v1 (single member → compact)
+            msg(release_date="2024-01-15", event_type="create",
+                content={"id": "SCV2", "variation_id": "5",
+                         "trait_set_id": "9",
+                         "interpretation_description": "Pathogenic"}),
+            # after the delete → still v2 (deletes excluded)
+            msg(release_date="2024-04-01", event_type="create",
+                content={"id": "SCV3", "variation_id": "5",
+                         "trait_set_id": "9",
+                         "interpretation_description": "Pathogenic"}),
+            # no trait set at all → sentinel
+            msg(release_date="2024-04-01", event_type="create",
+                content={"id": "SCV4", "variation_id": "5",
+                         "interpretation_description": "Pathogenic"}),
+        ], "value string")
+        out = {
+            r.id.split(":")[-1].split(".")[0]: r
+            for r in CS.clinvar_statements(asserts, ts, n, c).collect()
+        }
+        nf = self.CG + "ConditionNotFound"
+        assert out["SCV1"].object_id == nf
+        assert out["SCV2"].object_id == self.CG + "trait_set_9.2024-01-01"
+        assert out["SCV2"].object_compact is True   # 1 member
+        assert out["SCV3"].object_id == self.CG + "trait_set_9.2024-02-01"
+        assert out["SCV3"].object_n_members == 2
+        assert out["SCV3"].object_compact is False
+        assert out["SCV4"].object_id == nf
+        assert out["SCV2"].predicate == "causes_mendelian_condition"
+        assert out["SCV2"].direction == "supports"
+
+    def test_trait_xref_normalization(self, spark):
+        import json
+
+        from genegraph_spark.sources import clinvar_statements as CS
+
+        df = spark.createDataFrame([
+            (json.dumps({
+                "release_date": "2024-01-01", "event_type": "create",
+                "content": {
+                    "id": "7", "type": "Disease", "name": "Some disease",
+                    "medgen_id": "C123",
+                    "xrefs": [
+                        json.dumps({"id": "D000123", "db": "MeSH"}),
+                        # id already starts with db → kept as-is
+                        json.dumps({"id": "OMIM:600123", "db": "OMIM"}),
+                    ],
+                    "alternate_names": ["alt"]}}),),
+            (json.dumps({
+                "release_date": "2024-02-01", "event_type": "delete",
+                "content": {"id": "7", "type": "Phenotype"}}),),
+        ], "value string")
+        rows = {r.id: r for r in CS.parse_trait_messages(df).collect()}
+        t1 = rows[self.CG + "trait_7.2024-01-01"]
+        assert t1.type == "Disease"
+        assert t1.xrefs == ["MeSH:D000123", "OMIM:600123"]
+        assert t1.deleted is False
+        t2 = rows[self.CG + "trait_7.2024-02-01"]
+        assert t2.type == "Phenotype"
+        assert t2.deleted is True
+        assert t2.is_version_of == t1.is_version_of
