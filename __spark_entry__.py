@@ -1556,6 +1556,190 @@ def q_kg_clinvar_statements(spark, sf_dir):
     )
 
 
+def q_kg_hgnc_genes(spark, sf_dir):
+    # the HGNC gene dictionary loader (transform/gene.clj:42-88):
+    # pref/alt/hidden label tiers, SO locus-type classes (unknown types
+    # skipped), owl:same-as bridges — pure projection + one explode
+    from genegraph_spark.sources import basedata as BD
+
+    return BD.hgnc_gene_triples(_hgnc_fixture(_read(spark, sf_dir, "part")))
+
+
+def _hgnc_fixture(part):
+    pk = F.col("p_partkey")
+    pks = pk.cast("string")
+    return part.select(
+        pk.alias("entrez_id"),
+        F.concat(F.lit("HGNC:"), pks).alias("hgnc_id"),
+        F.concat(F.lit("ENSG0000"), pks).alias("ensembl_gene_id"),
+        F.concat(F.lit("G"), pks).alias("symbol"),
+        F.col("p_name").alias("name"),
+        F.when(
+            pk % 3 != 0,
+            F.concat(F.lit("17p13."), (pk % 3).cast("string")),
+        ).alias("location"),
+        F.element_at(
+            F.array(
+                F.lit("gene with protein product"), F.lit("pseudogene"),
+                F.lit("RNA, micro"), F.lit("weird type"),
+            ),
+            (pk % 4 + 1).cast("int"),
+        ).alias("locus_type"),
+        F.when(pk % 2 == 0, F.array(F.concat(F.lit("GA"), pks))).alias(
+            "alias_symbol"
+        ),
+        F.array().cast("array<string>").alias("prev_name"),
+        F.when(pk % 5 == 0, F.array(F.concat(F.lit("GP"), pks))).alias(
+            "prev_symbol"
+        ),
+    )
+
+
+def q_kg_gene_scores(spark, sf_dir):
+    # DECIPHER HI + gnomAD pLI score loaders (hi_index.clj /
+    # loss_intolerance.clj / common_score.clj): the per-row SPARQL
+    # symbol-query (pref OR hidden label) as a broadcast label-union
+    # join; unresolved symbols and NA scores drop
+    from genegraph_spark.sources import basedata as BD
+
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    pks = pk.cast("string")
+    uri = F.concat(F.lit(BD.GENE_PREFIX), pks)
+    labels = (
+        part.select(F.concat(F.lit("G"), pks).alias("label"), uri.alias("gene_uri"))
+        .unionByName(
+            part.where(pk % 2 == 0).select(
+                F.concat(F.lit("GA"), pks).alias("label"), uri.alias("gene_uri")
+            )
+        )
+    )
+    # HI: symbols hit the PREFERRED label; ~1/11 are unknown (dropped)
+    hi = part.where(pk % 7 < 5).select(
+        F.when(pk % 11 == 0, F.concat(F.lit("GX"), pks))
+        .otherwise(F.concat(F.lit("G"), pks)).alias("symbol"),
+        F.concat(F.lit("0."), (pk % 10).cast("string")).alias("score"),
+    )
+    # loss: symbols hit the HIDDEN label (even keys only); NA drops
+    loss = part.where((pk % 2 == 0) & (pk % 9 != 0)).select(
+        F.concat(F.lit("GA"), pks).alias("symbol"),
+        F.when(pk % 6 == 0, F.lit("NA"))
+        .otherwise(F.concat(F.lit("0.9"), (pk % 10).cast("string"))).alias(
+            "score"
+        ),
+    ).where(F.col("score") != "NA")
+    date = "2024-06-01T00:00:00Z"
+    return BD.gene_score_triples(
+        hi, ":cg/HaploinsufficiencyScore", "http://www.decipher.org",
+        labels, date, "http://www.decipher.org/",
+    ).unionByName(
+        BD.gene_score_triples(
+            loss, ":cg/TriplosensitivityScore", "http://www.gnomad.org",
+            labels, date, "http://www.gnomad.org/",
+        )
+    )
+
+
+def q_kg_cytoband_features(spark, sf_dir):
+    # UCSC cytoband (both assemblies) + NCBI gene-feature loaders
+    # (ucsc_cytoband.clj / features.clj): located intervals with
+    # deterministic bnodes; non-gene feature rows drop
+    from genegraph_spark.sources import basedata as BD
+
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    chrom = F.concat(
+        F.lit("chr"),
+        F.when(pk % 24 == 22, F.lit("X"))
+        .when(pk % 24 == 23, F.lit("Y"))
+        .otherwise((pk % 24 + 1).cast("string")),
+    )
+    bands = part.select(
+        chrom.alias("chrom"),
+        (pk * 100000).alias("start"),
+        ((pk + 1) * 100000).alias("end"),
+        F.concat(
+            F.when(pk % 2 == 0, F.lit("p")).otherwise(F.lit("q")),
+            (pk % 3 + 1).cast("string"), F.lit("."),
+            (pk % 4 + 1).cast("string"),
+        ).alias("cytoband"),
+    )
+    cyto = BD.cytoband_triples(
+        bands.where(pk % 2 == 0), "hg19"
+    ).unionByName(BD.cytoband_triples(bands.where(pk % 2 != 0), "hg38"))
+    feats = part.select(
+        F.when(pk % 6 == 0, F.lit("mRNA")).otherwise(F.lit("gene")).alias(
+            "feature_type"
+        ),
+        F.concat(F.lit("NC_0000"), (pk % 24 + 1).cast("string"), F.lit(".5")).alias(
+            "assembly_acc"
+        ),
+        (pk * 10).cast("string").alias("start"),
+        (pk * 10 + 999).cast("string").alias("end"),
+        F.when(pk % 3 == 0, F.lit("-")).otherwise(F.lit("+")).alias("strand"),
+        pk.alias("gene_id"),
+    )
+    return cyto.unionByName(
+        BD.feature_triples(feats, "https://www.ncbi.nlm.nih.gov/feature/")
+    )
+
+
+def q_kg_omim_conditions(spark, sf_dir):
+    # OMIM genemap2 loader (omim.clj): every phenotype MIM in the text
+    # column pairs with the gene; single-gene phenotypes with a MONDO
+    # equivalent type the MONDO condition — one grouped pass + a
+    # broadcast equivalence join
+    from genegraph_spark.sources import basedata as BD
+
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    pks = pk.cast("string")
+    rows = part.select(
+        F.when(pk % 13 != 0, (pk % 300).cast("string"))
+        .otherwise(F.lit("")).alias("ncbi_gene_id"),
+        F.concat(
+            F.lit("Condition A, 6100"), (pk % 90).cast("string"), F.lit(" (3)"),
+            F.when(pk % 4 == 0, F.concat(F.lit(", other 6200"),
+                                         (pk % 90).cast("string"))).otherwise(
+                F.lit("")
+            ),
+            # ~1/17 rows carry a row-unique MIM (zero-padded so the
+            # \\d{4,} extractor always matches) → the single-gene rule
+            F.when(pk % 17 == 0, F.concat(F.lit(", rare 90"), pks, F.lit("9"))).otherwise(
+                F.lit("")
+            ),
+        ).alias("phenotypes_text"),
+    )
+    equiv = part.where((pk % 17 == 0) & (pk % 2 == 0)).select(
+        F.concat(F.lit(BD.MIM_PREFIX), F.lit("90"), pks, F.lit("9")).alias(
+            "omim_iri"
+        ),
+        F.concat(F.lit("MONDO:9"), pks).alias("mondo_iri"),
+    )
+    return BD.omim_genetic_condition_triples(
+        BD.genemap2_pairs(rows), equiv, "https://omim.org/"
+    )
+
+
+def q_kg_affiliations_csv(spark, sf_dir):
+    # ClinGen affiliations CSV loader (affiliations.clj): up to three
+    # (id,label) agent pairs per row, blanks dropped, labels trimmed
+    from genegraph_spark.sources import basedata as BD
+
+    sup = _read(spark, sf_dir, "supplier")
+    sk = F.col("s_suppkey")
+    sks = sk.cast("string")
+    rows = sup.select(
+        F.when(sk % 5 != 0, sks).otherwise(F.lit("")).alias("aff_id"),
+        F.concat(F.lit(" CGAGENT "), sks, F.lit(" ")).alias("aff_label"),
+        F.when(sk % 2 == 0, F.concat(F.lit("4"), sks)).alias("vcep_id"),
+        F.when(sk % 2 == 0, F.concat(F.lit("VCEP "), sks)).alias("vcep_label"),
+        F.when(sk % 3 == 0, F.concat(F.lit("5"), sks)).alias("gcep_id"),
+        F.when(sk % 3 == 0, F.concat(F.lit("GCEP "), sks)).alias("gcep_label"),
+    )
+    return BD.affiliation_triples(rows, "https://www.clinicalgenome.org/affiliations/")
+
+
 def q_cur_users_groups(spark, sf_dir):
     # the FOAF user/group admin views (user.clj mbox lookup + email
     # regex + member-of, group.clj enumeration, admin-role check) as a
@@ -1977,6 +2161,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dosage_jira": q_kg_dosage_jira,
         "kg_actionability_docs": q_kg_actionability_docs,
         "kg_clinvar_statements": q_kg_clinvar_statements,
+        "kg_hgnc_genes": q_kg_hgnc_genes,
+        "kg_gene_scores": q_kg_gene_scores,
+        "kg_cytoband_features": q_kg_cytoband_features,
+        "kg_omim_conditions": q_kg_omim_conditions,
+        "kg_affiliations_csv": q_kg_affiliations_csv,
         # round-4 additions
         "alg_sparql_select": q_alg_sparql_select,
         "alg_sparql_construct": q_alg_sparql_construct,
@@ -2705,6 +2894,226 @@ searches AS (
           True, cond="e % 2 = 0 AND is_c1"),
     ]
     return cte + "\n" + "\nUNION ALL\n".join(rows)
+
+
+def _basedata_oracles() -> dict[str, str]:
+    """DuckDB replicas of the base-data flat-file loaders."""
+    from genegraph_spark.sources.dosage_jira import CHR_TO_REF
+
+    RT, XS, XI = I.RDF_TYPE, I.XSD_STRING, I.XSD_INTEGER
+    GP = "https://www.ncbi.nlm.nih.gov/gene/"
+
+    def bn(*parts: str) -> str:
+        sep = " || '|' || "
+        return f"'_:' || substr(sha256({sep.join(parts)}), 1, 32)"
+
+    def q(src, g, s, p, o, is_iri, dt=None, cond=None):
+        dtv = f"'{dt}'" if dt else "CAST(NULL AS VARCHAR)"
+        w = f" WHERE {cond}" if cond else ""
+        return (
+            f"SELECT {g} AS graph, {s} AS subject, '{p}' AS predicate, "
+            f"{o} AS object, {str(is_iri).upper()} AS object_is_iri, "
+            f"{dtv} AS object_datatype FROM {src}{w}"
+        )
+
+    out: dict[str, str] = {}
+
+    # ── kg_hgnc_genes ────────────────────────────────────────────────
+    cte = f"""
+WITH g AS (
+  SELECT p_partkey AS pk, p_name,
+         '{GP}' || CAST(p_partkey AS VARCHAR) AS uri,
+         'HGNC:' || CAST(p_partkey AS VARCHAR) AS hgnc,
+         'http://rdf.ebi.ac.uk/resource/ensembl/ENSG0000'
+           || CAST(p_partkey AS VARCHAR) AS ens,
+         'https://identifiers.org/hgnc:' || CAST(p_partkey AS VARCHAR) AS hiri
+  FROM part)
+"""
+    G = "'https://www.genenames.org/'"
+    rows = [
+        q("g", G, "uri", ":skos/preferred-label",
+          "'G' || CAST(pk AS VARCHAR)", False, XS),
+        q("g", G, "uri", ":skos/alternative-label", "p_name", False, XS),
+        q("g", G, "uri", RT, "':so/Gene'", True),
+        q("g", G, "uri", ":owl/same-as", "hgnc", True),
+        q("g", G, "hgnc", ":dc/source", "'https://www.genenames.org'", True),
+        q("g", G, "uri", ":owl/same-as", "ens", True),
+        q("g", G, "uri", ":owl/same-as", "hiri", True),
+        q("g", G, "ens", ":dc/source", "'https://www.ensembl.org'", True),
+        q("g", G, "uri", ":so/chromosome-band",
+          "'17p13.' || CAST(pk % 3 AS VARCHAR)", False, XS, cond="pk % 3 <> 0"),
+        q("g", G, "uri", RT,
+          "CASE pk % 4 WHEN 0 THEN 'http://purl.obolibrary.org/obo/SO_0001217'"
+          " WHEN 1 THEN 'http://purl.obolibrary.org/obo/SO_0000336'"
+          " ELSE 'http://purl.obolibrary.org/obo/SO_0000276' END",
+          True, cond="pk % 4 < 3"),
+        q("g", G, "uri", ":skos/hidden-label",
+          "'GA' || CAST(pk AS VARCHAR)", False, XS, cond="pk % 2 = 0"),
+        q("g", G, "uri", ":skos/hidden-label",
+          "'GP' || CAST(pk AS VARCHAR)", False, XS, cond="pk % 5 = 0"),
+    ]
+    out["kg_hgnc_genes"] = cte + "\n" + "\nUNION ALL\n".join(rows)
+
+    # ── kg_gene_scores ───────────────────────────────────────────────
+    score_rows = []
+    for src_cte, cls, org, graph in (
+        ("hi", ":cg/HaploinsufficiencyScore", "http://www.decipher.org",
+         "http://www.decipher.org/"),
+        ("loss", ":cg/TriplosensitivityScore", "http://www.gnomad.org",
+         "http://www.gnomad.org/"),
+    ):
+        sb = bn("uri", f"'{cls}'", "'score'")
+        cb = bn("uri", f"'{cls}'", "'contrib'")
+        ab = bn("uri", f"'{cls}'", "'agent'")
+        gl = f"'{graph}'"
+        score_rows += [
+            q(src_cte, gl, sb, ":iao/is-about", "uri", True),
+            q(src_cte, gl, sb, RT, f"'{cls}'", True),
+            q(src_cte, gl, sb, ":sepio/confidence-score", "score", False, XS),
+            q(src_cte, gl, sb, ":sepio/qualified-contribution", cb, True),
+            q(src_cte, gl, sb, ":sepio/has-contributor", ab, True),
+            q(src_cte, gl, cb, RT, "':sepio/Contribution'", True),
+            q(src_cte, gl, cb, ":sepio/date-updated",
+              "'2024-06-01T00:00:00Z'", False, XS),
+            q(src_cte, gl, cb, ":sepio/has-agent", ab, True),
+            q(src_cte, gl, ab, RT, "':foaf/Organization'", True),
+            q(src_cte, gl, ab, ":skos/preferred-label", f"'{org}'", False, XS),
+        ]
+    out["kg_gene_scores"] = f"""
+WITH hi AS (
+  SELECT '{GP}' || CAST(p_partkey AS VARCHAR) AS uri,
+         '0.' || CAST(p_partkey % 10 AS VARCHAR) AS score
+  FROM part WHERE p_partkey % 7 < 5 AND p_partkey % 11 <> 0),
+loss AS (
+  SELECT '{GP}' || CAST(p_partkey AS VARCHAR) AS uri,
+         '0.9' || CAST(p_partkey % 10 AS VARCHAR) AS score
+  FROM part WHERE p_partkey % 2 = 0 AND p_partkey % 9 <> 0
+    AND p_partkey % 6 <> 0)
+""" + "\n" + "\nUNION ALL\n".join(score_rows)
+
+    # ── kg_cytoband_features ─────────────────────────────────────────
+    ref_case = {}
+    for b in ("grch37", "grch38"):
+        ref_case[b] = (
+            "CASE chs "
+            + " ".join(
+                f"WHEN '{c}' THEN '{u}'" for c, u in CHR_TO_REF[b].items()
+            )
+            + " END"
+        )
+    cyto_cte = f"""
+WITH c0 AS (
+  SELECT p_partkey AS pk,
+         CASE WHEN p_partkey % 24 = 22 THEN 'X'
+              WHEN p_partkey % 24 = 23 THEN 'Y'
+              ELSE CAST(p_partkey % 24 + 1 AS VARCHAR) END AS chs,
+         CASE WHEN p_partkey % 2 = 0 THEN 'hg19' ELSE 'hg38' END AS asm,
+         (CASE WHEN p_partkey % 2 = 0 THEN 'p' ELSE 'q' END)
+           || CAST(p_partkey % 3 + 1 AS VARCHAR) || '.'
+           || CAST(p_partkey % 4 + 1 AS VARCHAR) AS band
+  FROM part),
+cy AS (
+  SELECT pk, asm,
+    'http://dataexchange.clinicalgenome.org/terms/cytoband/' || chs || band
+      AS iri,
+    chs || band AS label,
+    CASE WHEN asm = 'hg19' THEN {ref_case["grch37"]}
+         ELSE {ref_case["grch38"]} END AS ref,
+    CAST(pk * 100000 AS VARCHAR) AS st,
+    CAST((pk + 1) * 100000 AS VARCHAR) AS en
+  FROM c0),
+cy2 AS (
+  SELECT cy.*, {bn("asm", "iri", "'loc'")} AS lb,
+         {bn("asm", "iri", "'interval'")} AS ib
+  FROM cy),
+ft AS (
+  SELECT '{GP}' || CAST(p_partkey AS VARCHAR) AS guri,
+         'NC_0000' || CAST(p_partkey % 24 + 1 AS VARCHAR) || '.5' AS acc,
+         'https://www.ncbi.nlm.nih.gov/nuccore/NC_0000'
+           || CAST(p_partkey % 24 + 1 AS VARCHAR) || '.5' AS auri,
+         CAST(p_partkey * 10 AS VARCHAR) AS st,
+         CAST(p_partkey * 10 + 999 AS VARCHAR) AS en,
+         CASE WHEN p_partkey % 3 = 0 THEN '-' ELSE '+' END AS strand
+  FROM part WHERE p_partkey % 6 <> 0),
+ft2 AS (
+  SELECT ft.*, {bn("guri", "acc", "'loc'")} AS lb,
+         {bn("guri", "acc", "'interval'")} AS ib
+  FROM ft)
+"""
+    CYG = "'http://dataexchange.clinicalgenome.org/terms/cytoband/'"
+    FTG = "'https://www.ncbi.nlm.nih.gov/feature/'"
+    cyto_rows = [
+        q("cy2", CYG, "iri", RT, "':so/ChromosomeBand'", True),
+        q("cy2", CYG, "iri", RT, "':so/SequenceFeature'", True),
+        q("cy2", CYG, "iri", ":geno/has-location", "lb", True),
+        q("cy2", CYG, "iri", ":rdfs/label", "label", False, XS),
+        q("cy2", CYG, "lb", ":geno/has-reference-sequence", "ref", True),
+        q("cy2", CYG, "lb", RT, "':geno/SequenceFeatureLocation'", True),
+        q("cy2", CYG, "lb", ":geno/has-interval", "ib", True),
+        q("cy2", CYG, "ib", RT, "':geno/SequenceInterval'", True),
+        q("cy2", CYG, "ib", ":geno/start-position", "st", False, XI),
+        q("cy2", CYG, "ib", ":geno/end-position", "en", False, XI),
+        q("ft2", FTG, "guri", ":geno/has-location", "lb", True),
+        q("ft2", FTG, "lb", RT, "':geno/SequenceFeatureLocation'", True),
+        q("ft2", FTG, "lb", ":so/assembly", "auri", True),
+        q("ft2", FTG, "lb", ":geno/has-reference-sequence", "auri", True),
+        q("ft2", FTG, "lb", ":geno/on-strand", "strand", False, XS),
+        q("ft2", FTG, "lb", ":geno/has-interval", "ib", True),
+        q("ft2", FTG, "ib", RT, "':geno/SequenceInterval'", True),
+        q("ft2", FTG, "ib", ":geno/start-position", "st", False, XI),
+        q("ft2", FTG, "ib", ":geno/end-position", "en", False, XI),
+    ]
+    out["kg_cytoband_features"] = cyto_cte + "\n" + "\nUNION ALL\n".join(cyto_rows)
+
+    # ── kg_omim_conditions ───────────────────────────────────────────
+    MIM = "http://purl.obolibrary.org/obo/OMIM_"
+    out["kg_omim_conditions"] = f"""
+WITH src AS (
+  SELECT p_partkey AS pk, CAST(p_partkey % 300 AS VARCHAR) AS gid
+  FROM part WHERE p_partkey % 13 <> 0),
+pairs AS (
+  SELECT '{MIM}' || mim AS phenotype, '{GP}' || gid AS gene
+  FROM src, UNNEST(list_concat(
+    ['6100' || CAST(pk % 90 AS VARCHAR)],
+    list_concat(
+      CASE WHEN pk % 4 = 0 THEN ['6200' || CAST(pk % 90 AS VARCHAR)]
+           ELSE [] END,
+      CASE WHEN pk % 17 = 0 THEN ['90' || CAST(pk AS VARCHAR) || '9']
+           ELSE [] END))) AS t(mim)),
+equiv AS (
+  SELECT '{MIM}90' || CAST(p_partkey AS VARCHAR) || '9' AS omim_iri,
+         'MONDO:9' || CAST(p_partkey AS VARCHAR) AS mondo_iri
+  FROM part WHERE p_partkey % 17 = 0 AND p_partkey % 2 = 0),
+singles AS (
+  SELECT phenotype FROM pairs GROUP BY phenotype HAVING count(*) = 1)
+SELECT 'https://omim.org/' AS graph, phenotype AS subject,
+       ':sepio/is-about-gene' AS predicate, gene AS object,
+       TRUE AS object_is_iri, CAST(NULL AS VARCHAR) AS object_datatype
+FROM pairs
+UNION ALL
+SELECT 'https://omim.org/', mondo_iri, '{RT}', ':sepio/GeneticCondition',
+       TRUE, CAST(NULL AS VARCHAR)
+FROM singles JOIN equiv ON singles.phenotype = equiv.omim_iri"""
+
+    # ── kg_affiliations_csv ──────────────────────────────────────────
+    AFG = "'https://www.clinicalgenome.org/affiliations/'"
+    AFP = "http://dataexchange.clinicalgenome.org/agent/"
+    out["kg_affiliations_csv"] = f"""
+WITH s AS (SELECT s_suppkey AS sk FROM supplier),
+p AS (
+  SELECT '{AFP}' || CAST(sk AS VARCHAR) AS iri,
+         'CGAGENT ' || CAST(sk AS VARCHAR) AS label
+  FROM s WHERE sk % 5 <> 0
+  UNION ALL
+  SELECT '{AFP}4' || CAST(sk AS VARCHAR), 'VCEP ' || CAST(sk AS VARCHAR)
+  FROM s WHERE sk % 2 = 0
+  UNION ALL
+  SELECT '{AFP}5' || CAST(sk AS VARCHAR), 'GCEP ' || CAST(sk AS VARCHAR)
+  FROM s WHERE sk % 3 = 0)
+{q("p", AFG, "iri", ":skos/preferred-label", "label", False, XS)}
+UNION ALL
+{q("p", AFG, "iri", RT, "':cg/Affiliation'", True)}"""
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3883,6 +4292,7 @@ SELECT 'urn:curation:' || CAST(event_id AS VARCHAR) AS assertion,
 FROM events""",
         "kg_dosage_jira": _dosage_jira_oracle(),
         "kg_actionability_docs": _actionability_oracle(),
+        **_basedata_oracles(),
         "kg_clinvar_statements": """
 WITH n AS (SELECT * FROM read_csv(
   '/root/reference/resources/clinvar_clinsig_normalized.csv', header=true)),

@@ -1409,3 +1409,47 @@ class TestClinvarStatements:
         assert t2.type == "Phenotype"
         assert t2.deleted is True
         assert t2.is_version_of == t1.is_version_of
+
+
+class TestBasedata:
+    """Base-data flat-file loaders (sources/basedata.py) — the corners
+    the oracled queries don't pin down individually."""
+
+    def test_rxnorm_drug_types(self, spark):
+        from genegraph_spark.sources.basedata import rxnorm_drug_types
+
+        RT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        t = spark.createDataFrame(
+            [
+                ("g", "urn:d1", RT, ":owl/Class", True, None),
+                ("g", "urn:d1", RT, ":owl/Class", True, None),  # dup stays 1
+                ("g", "urn:d2", ":rdfs/label", "aspirin", False, "xsd:string"),
+                ("g", "urn:d3", RT, ":owl/Thing", True, None),
+            ],
+            "graph string, subject string, predicate string, object string, "
+            "object_is_iri boolean, object_datatype string",
+        )
+        out = rxnorm_drug_types(t).collect()
+        drugs = [r.subject for r in out if r.object == ":chebi/Drug"]
+        assert drugs == ["urn:d1"]  # distinct; only owl:Class subjects
+        assert len(out) == len(t.collect()) + 1
+
+    def test_score_hidden_label_lookup(self, spark):
+        """common_score.clj's symbol-query unions preferred AND hidden
+        labels — a score row matching only a hidden label resolves;
+        an unknown symbol drops."""
+        from genegraph_spark.sources.basedata import gene_score_triples
+
+        labels = spark.createDataFrame(
+            [("BRCA1", "urn:g1"), ("OLDNAME1", "urn:g1")],
+            "label string, gene_uri string",
+        )
+        scores = spark.createDataFrame(
+            [("OLDNAME1", "0.9"), ("NOPE", "0.1")], "symbol string, score string"
+        )
+        out = gene_score_triples(
+            scores, ":cg/HaploinsufficiencyScore", "http://org", labels,
+            "2024-01-01T00:00:00Z", "g",
+        ).collect()
+        about = [r for r in out if r.predicate == ":iao/is-about"]
+        assert len(about) == 1 and about[0].object == "urn:g1"
