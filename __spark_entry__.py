@@ -1740,6 +1740,18 @@ def q_kg_affiliations_csv(spark, sf_dir):
     return BD.affiliation_triples(rows, "https://www.clinicalgenome.org/affiliations/")
 
 
+def q_kg_gci_legacy(spark, sf_dir):
+    # the legacy GCI gene-validity report transform (gci_legacy.clj):
+    # evidence-level concept map, SOP attribution split, MOI HP regex,
+    # secondary-contributor filter, raw-bytes content node; one
+    # broadcast gene-dictionary join
+    from genegraph_spark.sources import gci_legacy as GL
+
+    pay = fixtures.gci_legacy_payloads(_read(spark, sf_dir, "events"))
+    gm = fixtures.act_gene_map(spark).select("gene_curie", "gene_iri")
+    return GL.gci_legacy_triples(GL.parse_gci_legacy(pay), gm)
+
+
 def q_cur_users_groups(spark, sf_dir):
     # the FOAF user/group admin views (user.clj mbox lookup + email
     # regex + member-of, group.clj enumeration, admin-role check) as a
@@ -2166,6 +2178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cytoband_features": q_kg_cytoband_features,
         "kg_omim_conditions": q_kg_omim_conditions,
         "kg_affiliations_csv": q_kg_affiliations_csv,
+        "kg_gci_legacy": q_kg_gci_legacy,
         # round-4 additions
         "alg_sparql_select": q_alg_sparql_select,
         "alg_sparql_construct": q_alg_sparql_construct,
@@ -3114,6 +3127,138 @@ p AS (
 UNION ALL
 {q("p", AFG, "iri", RT, "':cg/Affiliation'", True)}"""
     return out
+
+
+def _gci_legacy_oracle() -> str:
+    """DuckDB replica of the legacy GCI report transform (payload
+    reconstructed by the same string concatenation as the fixture)."""
+    from genegraph_spark.sources.gci_legacy import (
+        AFFILIATION_ROOT, EVIDENCE_LEVELS, GCI_ROOT,
+    )
+
+    RT, XS = I.RDF_TYPE, I.XSD_STRING
+    fc_case = " ".join(
+        f"WHEN {i} THEN '{s}'"
+        for i, s in enumerate(fixtures.GCI_CLASSIFICATIONS)
+    )
+    lvl_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in EVIDENCE_LEVELS.items()
+    )
+    sop = "':sepio/ClinGenGeneValidityEvaluationCriteriaSOP'"
+
+    def bn(*parts: str) -> str:
+        sep = " || '|' || "
+        return f"'_:' || substr(sha256({sep.join(parts)}), 1, 32)"
+
+    cte = f"""
+WITH d AS (
+  SELECT event_id AS e, user_id AS u,
+    CASE CAST(event_id % 12 AS INT) {fc_case} END AS fc,
+    CAST(event_id % 6 + 4 AS VARCHAR) AS sopv,
+    CASE WHEN event_id % 2 = 0 THEN CAST(event_id % 3 + 5 AS VARCHAR) END
+      AS selv,
+    CAST(user_id % 10 AS VARCHAR) AS aff,
+    CAST(user_id % 50 + 1000 AS VARCHAR) AS gnum,
+    CAST(user_id % 100 + 10000 AS VARCHAR) AS cnum,
+    CAST(user_id % 9 AS VARCHAR) AS moi,
+    '2020-03-0' || CAST(event_id % 9 + 1 AS VARCHAR) || 'T10:20:30Z' AS rdate
+  FROM events WHERE event_id % 23 <> 0),
+d2 AS (
+  SELECT d.*,
+    'legacy-' || CAST(e AS VARCHAR) AS riri,
+    '{{"iri":"legacy-' || CAST(e AS VARCHAR)
+      || '","title":"Legacy report ' || CAST(e AS VARCHAR)
+      || '","sopVersion":"' || sopv || '",'
+      || COALESCE('"selectedSOPVersion":"' || selv || '",', '')
+      || '"affiliation":{{"id":"' || aff || '"}},'
+      || '"genes":[{{"curie":"HGNC:' || gnum || '"}}],'
+      || '"conditions":[{{"iri":"http://purl.obolibrary.org/obo/MONDO_00'
+      || cnum || '"}}],'
+      || '"scoreJson":{{"ModeOfInheritance":"Autosomal dominant (HP:000000'
+      || moi || ')",'
+      || '"summary":{{"FinalClassification":"' || fc || '",'
+      || '"FinalClassificationDate":"' || rdate || '"'
+      || CASE WHEN e % 3 = 0 THEN
+           ',"contributors":[{{"id":"7' || CAST(u % 10 AS VARCHAR)
+           || '","role":"secondary contributor"}},'
+           || '{{"id":"8","role":"primary contributor"}}'
+           || CASE WHEN e % 9 = 0 THEN
+                ',{{"id":"9' || CAST(u % 10 AS VARCHAR)
+                || '","role":"secondary contributor"}}'
+              ELSE '' END
+           || ']'
+         ELSE '' END
+      || '}}}}}}' AS raw
+  FROM d),
+d3 AS (
+  SELECT d2.*,
+    '{GCI_ROOT}' || riri AS g,
+    riri || '-' || replace(rdate, ':', '') AS rid
+  FROM d2),
+d4 AS (
+  SELECT d3.*,
+    '{GCI_ROOT}report_' || rid AS report,
+    '{GCI_ROOT}assertion_' || rid AS assertion,
+    '{GCI_ROOT}proposition_' || riri AS prop,
+    {bn(f"'{GCI_ROOT}report_' || rid", "'content'")} AS cb,
+    {bn(f"'{GCI_ROOT}assertion_' || rid", "'contrib'")} AS kb,
+    '{AFFILIATION_ROOT}' || aff AS agent,
+    CASE fc {lvl_case} END AS lvl,
+    {sop} || COALESCE(selv, sopv) AS spec,
+    {sop} || sopv AS fmt,
+    'http://purl.obolibrary.org/obo/HP_000000' || moi AS hp,
+    'https://www.ncbi.nlm.nih.gov/gene/' || gnum AS giri,
+    'http://purl.obolibrary.org/obo/MONDO_00' || cnum AS cond
+  FROM d3),
+secs AS (
+  SELECT d4.*, '7' || CAST(u % 10 AS VARCHAR) AS sid FROM d4 WHERE e % 3 = 0
+  UNION ALL
+  SELECT d4.*, '9' || CAST(u % 10 AS VARCHAR) FROM d4 WHERE e % 9 = 0),
+secs2 AS (
+  SELECT secs.*, {bn("assertion", "'sec'", "sid")} AS sb FROM secs)
+"""
+
+    def q(src, s, p, o, is_iri, dt=None):
+        dtv = f"'{dt}'" if dt else "CAST(NULL AS VARCHAR)"
+        return (
+            f"SELECT g AS graph, {s} AS subject, '{p}' AS predicate, "
+            f"{o} AS object, {str(is_iri).upper()} AS object_is_iri, "
+            f"{dtv} AS object_datatype FROM {src}"
+        )
+
+    rows = [
+        q("d4", "report", RT, "':sepio/GeneValidityReport'", True),
+        q("d4", "report", ":rdfs/label",
+          "'Legacy report ' || CAST(e AS VARCHAR)", False, XS),
+        q("d4", "report", ":bfo/has-part", "cb", True),
+        q("d4", "report", ":bfo/has-part", "assertion", True),
+        q("d4", "cb", RT, "':cnt/ContentAsText'", True),
+        q("d4", "cb", ":cnt/chars", "raw", False, XS),
+        q("d4", "assertion", RT,
+          "':sepio/GeneValidityEvidenceLevelAssertion'", True),
+        q("d4", "assertion", ":sepio/has-subject", "prop", True),
+        q("d4", "assertion", ":sepio/has-predicate",
+          "':sepio/HasEvidenceLevel'", True),
+        q("d4", "assertion", ":sepio/has-object", "lvl", True),
+        q("d4", "assertion", ":sepio/qualified-contribution", "kb", True),
+        q("d4", "assertion", ":sepio/is-specified-by", "spec", True),
+        q("d4", "assertion", ":dc/has-format", "fmt", True),
+        q("d4", "prop", RT, "':sepio/GeneValidityProposition'", True),
+        q("d4", "prop", ":sepio/has-subject", "giri", True),
+        q("d4", "prop", ":sepio/has-predicate",
+          "':ro/IsCausalGermlineMutationIn'", True),
+        q("d4", "prop", ":sepio/has-object", "cond", True),
+        q("d4", "prop", ":sepio/has-qualifier", "hp", True),
+        q("d4", "kb", ":bfo/realizes", "':sepio/ApproverRole'", True),
+        q("d4", "kb", ":sepio/has-agent", "agent", True),
+        q("d4", "kb", ":sepio/activity-date", "rdate", False, XS),
+        q("secs2", "assertion", ":sepio/qualified-contribution", "sb", True),
+        q("secs2", "sb", ":bfo/realizes",
+          "':sepio/SecondaryContributorRole'", True),
+        q("secs2", "sb", ":sepio/has-agent",
+          f"'{AFFILIATION_ROOT}' || sid", True),
+    ]
+    return cte + "\n" + "\nUNION ALL\n".join(rows)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4293,6 +4438,7 @@ FROM events""",
         "kg_dosage_jira": _dosage_jira_oracle(),
         "kg_actionability_docs": _actionability_oracle(),
         **_basedata_oracles(),
+        "kg_gci_legacy": _gci_legacy_oracle(),
         "kg_clinvar_statements": """
 WITH n AS (SELECT * FROM read_csv(
   '/root/reference/resources/clinvar_clinsig_normalized.csv', header=true)),

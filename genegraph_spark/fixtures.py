@@ -691,3 +691,67 @@ def clinvar_assertion_payloads(events: DataFrame) -> DataFrame:
         ).alias("content"),
     )
     return events.select(F.to_json(doc).alias("value"))
+
+
+# ── legacy GCI report fixture ─────────────────────────────────────────
+# Payloads are assembled by STRING CONCATENATION (not to_json) so the
+# raw bytes embedded in the report's ContentAsText node are trivially
+# reproducible in the DuckDB oracle; the engine still parses them with
+# from_json. Covers all 12 FinalClassification labels, the
+# selected-vs-actual SOP split, secondary-contributor filtering, and
+# the missing-iri spec gate.
+
+GCI_CLASSIFICATIONS: list[str] = [
+    "Definitive", "Limited", "Moderate", "No Reported Evidence",
+    "No Known Disease Relationship", "Strong*", "Contradictory (disputed)",
+    "Strong", "Contradictory (refuted)", "Refuted", "Disputed",
+    "No Classification",
+]
+
+
+def gci_legacy_payloads(events: DataFrame) -> DataFrame:
+    e, u = F.col("event_id"), F.col("user_id")
+    estr = e.cast("string")
+    fc = F.element_at(
+        F.array(*[F.lit(s) for s in GCI_CLASSIFICATIONS]), (e % 12 + 1).cast("int")
+    )
+    sel = F.when(
+        e % 2 == 0,
+        F.concat(F.lit('"selectedSOPVersion":"'), (e % 3 + 5).cast("string"),
+                 F.lit('",')),
+    ).otherwise(F.lit(""))
+    contribs = F.when(
+        e % 3 == 0,
+        F.concat(
+            F.lit(',"contributors":[{"id":"7'), (u % 10).cast("string"),
+            F.lit('","role":"secondary contributor"},'
+                  '{"id":"8","role":"primary contributor"}'),
+            F.when(
+                e % 9 == 0,
+                F.concat(F.lit(',{"id":"9'), (u % 10).cast("string"),
+                         F.lit('","role":"secondary contributor"}')),
+            ).otherwise(F.lit("")),
+            F.lit("]"),
+        ),
+    ).otherwise(F.lit(""))
+    payload = F.concat(
+        F.lit('{"iri":"legacy-'), estr,
+        F.lit('","title":"Legacy report '), estr,
+        F.lit('","sopVersion":"'), (e % 6 + 4).cast("string"), F.lit('",'),
+        sel,
+        F.lit('"affiliation":{"id":"'), (u % 10).cast("string"), F.lit('"},'),
+        F.lit('"genes":[{"curie":"HGNC:'), (u % 50 + 1000).cast("string"),
+        F.lit('"}],'),
+        F.lit('"conditions":[{"iri":"http://purl.obolibrary.org/obo/MONDO_00'),
+        (u % 100 + 10000).cast("string"), F.lit('"}],'),
+        F.lit('"scoreJson":{"ModeOfInheritance":"Autosomal dominant (HP:000000'),
+        (u % 9).cast("string"), F.lit(')",'),
+        F.lit('"summary":{"FinalClassification":"'), fc, F.lit('",'),
+        F.lit('"FinalClassificationDate":"2020-03-0'), (e % 9 + 1).cast("string"),
+        F.lit('T10:20:30Z"'), contribs, F.lit("}}}"),
+    )
+    return events.select(
+        F.when(e % 23 == 0, F.lit('{"title":"no iri"}')).otherwise(payload).alias(
+            "value"
+        )
+    )
