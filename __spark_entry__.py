@@ -1752,6 +1752,17 @@ def q_kg_gci_legacy(spark, sf_dir):
     return GL.gci_legacy_triples(GL.parse_gci_legacy(pay), gm)
 
 
+def q_kg_gci_express(spark, sf_dir):
+    # the GCI Express report transform (gci_express.clj): SOP4/SOP5
+    # serialized-content switch, DOUBLE-encoded MOI JSON (two from_json
+    # passes), first-score evidence level, GeneCurationExpress mark
+    from genegraph_spark.sources import gci_legacy as GL
+
+    reports = fixtures.gci_express_payloads(_read(spark, sf_dir, "events"))
+    gm = fixtures.act_gene_map(spark).select("gene_curie", "gene_iri")
+    return GL.gci_express_triples(reports, gm)
+
+
 def q_cur_users_groups(spark, sf_dir):
     # the FOAF user/group admin views (user.clj mbox lookup + email
     # regex + member-of, group.clj enumeration, admin-role check) as a
@@ -2179,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_omim_conditions": q_kg_omim_conditions,
         "kg_affiliations_csv": q_kg_affiliations_csv,
         "kg_gci_legacy": q_kg_gci_legacy,
+        "kg_gci_express": q_kg_gci_express,
         # round-4 additions
         "alg_sparql_select": q_alg_sparql_select,
         "alg_sparql_construct": q_alg_sparql_construct,
@@ -3257,6 +3269,98 @@ secs2 AS (
           "':sepio/SecondaryContributorRole'", True),
         q("secs2", "sb", ":sepio/has-agent",
           f"'{AFFILIATION_ROOT}' || sid", True),
+    ]
+    return cte + "\n" + "\nUNION ALL\n".join(rows)
+
+
+def _gci_express_oracle() -> str:
+    from genegraph_spark.sources.gci_legacy import (
+        AFFILIATION_ROOT, EXPRESS_LEVELS, GCI_EXPRESS_ROOT,
+    )
+
+    RT, XS = I.RDF_TYPE, I.XSD_STRING
+    labels = [
+        s for s in fixtures.GCI_CLASSIFICATIONS
+        if s not in ("No Known Disease Relationship", "No Classification")
+    ]
+    lvl_case = " ".join(
+        f"WHEN {i} THEN '{EXPRESS_LEVELS[s]}'" for i, s in enumerate(labels)
+    )
+
+    def bn(*parts: str) -> str:
+        sep = " || '|' || "
+        return f"'_:' || substr(sha256({sep.join(parts)}), 1, 32)"
+
+    SOP4 = ":sepio/ClinGenGeneValidityEvaluationCriteriaSOP4"
+    SOP5 = ":sepio/ClinGenGeneValidityEvaluationCriteriaSOP5"
+    cte = f"""
+WITH d AS (
+  SELECT event_id AS e, user_id AS u,
+    'exp-' || CAST(event_id AS VARCHAR) AS rid,
+    CASE CAST(event_id % 10 AS INT) {lvl_case} END AS lvl,
+    CASE WHEN event_id % 2 = 0
+      THEN '{{"data":{{"ModeOfInheritance":"AD (HP:000000'
+           || CAST(user_id % 9 AS VARCHAR) || ')"}}}}'
+      ELSE '{{"scoreJson":{{"ModeOfInheritance":"AR (HP:000000'
+           || CAST(user_id % 9 AS VARCHAR) || ')"}}}}' END AS content,
+    CASE WHEN event_id % 2 = 0 THEN '{SOP4}' ELSE '{SOP5}' END AS sopc,
+    '{AFFILIATION_ROOT}' || CAST(user_id % 10 AS VARCHAR) AS agent,
+    'https://www.ncbi.nlm.nih.gov/gene/'
+      || CAST(user_id % 50 + 1000 AS VARCHAR) AS giri,
+    'http://purl.obolibrary.org/obo/MONDO_00'
+      || CAST(user_id % 100 + 10000 AS VARCHAR) AS cond,
+    'http://purl.obolibrary.org/obo/HP_000000'
+      || CAST(user_id % 9 AS VARCHAR) AS hp,
+    '2019-0' || CAST(event_id % 9 + 1 AS VARCHAR) || '-02T03:04:05Z' AS rdate
+  FROM events),
+d2 AS (
+  SELECT d.*,
+    '{GCI_EXPRESS_ROOT}' || rid AS g,
+    '{GCI_EXPRESS_ROOT}report_' || rid AS report,
+    '{GCI_EXPRESS_ROOT}assertion_' || rid AS assertion,
+    '{GCI_EXPRESS_ROOT}proposition_' || rid AS prop
+  FROM d),
+d3 AS (
+  SELECT d2.*, {bn("report", "'content'")} AS cb,
+         {bn("assertion", "'contrib'")} AS kb
+  FROM d2)
+"""
+
+    def q(s, p, o, is_iri, dt=None):
+        dtv = f"'{dt}'" if dt else "CAST(NULL AS VARCHAR)"
+        return (
+            f"SELECT g AS graph, {s} AS subject, '{p}' AS predicate, "
+            f"{o} AS object, {str(is_iri).upper()} AS object_is_iri, "
+            f"{dtv} AS object_datatype FROM d3"
+        )
+
+    rows = [
+        q("report", RT, "':sepio/GeneValidityReport'", True),
+        q("report", ":rdfs/label",
+          "'Express report ' || CAST(e AS VARCHAR)", False, XS),
+        q("report", ":bfo/has-part", "cb", True),
+        q("report", ":bfo/has-part", "assertion", True),
+        q("report", ":dc/source", "':cg/GeneCurationExpress'", True),
+        q("cb", RT, "':cnt/ContentAsText'", True),
+        q("cb", ":cnt/chars", "content", False, XS),
+        q("assertion", RT, "':sepio/GeneValidityEvidenceLevelAssertion'",
+          True),
+        q("assertion", ":sepio/has-subject", "prop", True),
+        q("assertion", ":sepio/has-predicate", "':sepio/HasEvidenceLevel'",
+          True),
+        q("assertion", ":sepio/has-object", "lvl", True),
+        q("assertion", ":sepio/qualified-contribution", "kb", True),
+        q("assertion", ":sepio/is-specified-by", "sopc", True),
+        q("assertion", ":dc/has-format", "sopc", True),
+        q("prop", RT, "':sepio/GeneValidityProposition'", True),
+        q("prop", ":sepio/has-subject", "giri", True),
+        q("prop", ":sepio/has-predicate", "':ro/IsCausalGermlineMutationIn'",
+          True),
+        q("prop", ":sepio/has-object", "cond", True),
+        q("prop", ":sepio/has-qualifier", "hp", True),
+        q("kb", ":bfo/realizes", "':sepio/ApproverRole'", True),
+        q("kb", ":sepio/has-agent", "agent", True),
+        q("kb", ":sepio/activity-date", "rdate", False, XS),
     ]
     return cte + "\n" + "\nUNION ALL\n".join(rows)
 
@@ -4439,6 +4543,7 @@ FROM events""",
         "kg_actionability_docs": _actionability_oracle(),
         **_basedata_oracles(),
         "kg_gci_legacy": _gci_legacy_oracle(),
+        "kg_gci_express": _gci_express_oracle(),
         "kg_clinvar_statements": """
 WITH n AS (SELECT * FROM read_csv(
   '/root/reference/resources/clinvar_clinsig_normalized.csv', header=true)),

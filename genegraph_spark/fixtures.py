@@ -755,3 +755,54 @@ def gci_legacy_payloads(events: DataFrame) -> DataFrame:
             "value"
         )
     )
+
+
+def gci_express_payloads(events: DataFrame) -> DataFrame:
+    """GCI Express report fixture: (report_id, value) rows, string-
+    concatenated JSON (oracle-reproducible); the SOP4/SOP5 serialized
+    content switch and the double-encoded MOI are both exercised."""
+    e, u = F.col("event_id"), F.col("user_id")
+    estr = e.cast("string")
+    moi = (u % 9).cast("string")
+    # inner (double-encoded) score JSON; \" because it embeds in JSON
+    inner4 = F.concat(
+        F.lit('{\\"data\\":{\\"ModeOfInheritance\\":\\"AD (HP:000000'), moi,
+        F.lit(')\\"}}'),
+    )
+    inner5 = F.concat(
+        F.lit('{\\"scoreJson\\":{\\"ModeOfInheritance\\":\\"AR (HP:000000'),
+        moi, F.lit(')\\"}}'),
+    )
+    ser = F.when(
+        e % 2 == 0,
+        F.concat(F.lit('"scoreJsonSerialized":"'), inner4,
+                 F.lit('","scoreJsonSerializedSop5":""')),
+    ).otherwise(
+        F.concat(F.lit('"scoreJsonSerialized":"",'
+                       '"scoreJsonSerializedSop5":"'), inner5, F.lit('"'))
+    )
+    express_labels = [
+        s for s in GCI_CLASSIFICATIONS
+        if s not in ("No Known Disease Relationship", "No Classification")
+    ]  # the express value set (gci_express.clj:43-53)
+    label = F.element_at(
+        F.array(*[F.lit(s) for s in express_labels]),
+        (e % 10 + 1).cast("int"),
+    )
+    payload = F.concat(
+        F.lit('{"title":"Express report '), estr, F.lit('",'),
+        F.lit('"dateISO8601":"2019-0'), (e % 9 + 1).cast("string"),
+        F.lit('-02T03:04:05Z",'),
+        F.lit('"affiliation":{"id":"'), (u % 10).cast("string"), F.lit('"},'),
+        ser, F.lit(","),
+        F.lit('"genes":{"SYM'), estr, F.lit('":{"curie":"HGNC:'),
+        (u % 50 + 1000).cast("string"), F.lit('"}},'),
+        F.lit('"conditions":{"MONDO":{"iri":'
+              '"http://purl.obolibrary.org/obo/MONDO_00'),
+        (u % 100 + 10000).cast("string"), F.lit('"}},'),
+        F.lit('"scores":{"s1":{"label":"'), label, F.lit('"}}}'),
+    )
+    return events.select(
+        F.concat(F.lit("exp-"), estr).alias("report_id"),
+        payload.alias("value"),
+    )

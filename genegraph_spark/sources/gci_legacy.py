@@ -182,3 +182,112 @@ def gci_legacy_triples(parsed: DataFrame, gene_map: DataFrame) -> DataFrame:
     ).select("graph", "t.*")
     # nil-safe model building: unresolved gene / unmapped labels drop
     return out.where(F.col("object").isNotNull())
+
+
+# ── GCI Express (transform/gci_express.clj) ──────────────────────────
+
+GCI_EXPRESS_ROOT = "http://dataexchange.clinicalgenome.org/gci-express/"
+
+# no No-Known-Disease-Relationship / No-Classification rows in the
+# express value set (gci_express.clj:43-53)
+EXPRESS_LEVELS = {
+    k: v for k, v in EVIDENCE_LEVELS.items()
+    if k not in ("No Known Disease Relationship", "No Classification")
+}
+
+GCI_EXPRESS_SCHEMA = """
+    title string, dateISO8601 string,
+    affiliation struct<id: string>,
+    scoreJsonSerialized string, scoreJsonSerializedSop5 string,
+    genes map<string, struct<curie: string>>,
+    conditions struct<MONDO: struct<iri: string>>,
+    scores map<string, struct<label: string>>
+"""
+
+
+def gci_express_triples(
+    reports: DataFrame, gene_map: DataFrame
+) -> DataFrame:
+    """GCI Express reports → the gene-validity report model
+    (``transform/gci_express.clj``). ``reports`` columns:
+    ``report_id`` (the map key of gci_express.clj:77-79) and ``value``
+    (the report JSON).
+
+    Express specifics vs the legacy loader: the embedded content is the
+    SERIALIZED score JSON — SOP4 when ``scoreJsonSerialized`` is
+    non-empty, else the SOP5 field (:10-13, :56-59) — and the
+    mode-of-inheritance comes from DOUBLE-ENCODED JSON inside it
+    (:23-26, two ``from_json`` passes, the clinvar core.clj pattern);
+    the evidence level reads the first score's label (:67-68); the
+    report carries a ``dc:source :cg/GeneCurationExpress`` mark (:84)."""
+    d = F.from_json(F.col("value"), GCI_EXPRESS_SCHEMA)
+    content = F.when(
+        F.length(F.coalesce(d["scoreJsonSerialized"], F.lit(""))) > 0,
+        d["scoreJsonSerialized"],
+    ).otherwise(d["scoreJsonSerializedSop5"])
+    sop4 = F.length(F.coalesce(d["scoreJsonSerialized"], F.lit(""))) > 0
+    sop_concept = F.when(
+        sop4, F.lit(":sepio/ClinGenGeneValidityEvaluationCriteriaSOP4")
+    ).otherwise(F.lit(":sepio/ClinGenGeneValidityEvaluationCriteriaSOP5"))
+    inner = F.from_json(
+        content,
+        "data struct<ModeOfInheritance: string>, "
+        "scoreJson struct<ModeOfInheritance: string>",
+    )
+    moi_str = F.coalesce(
+        inner["data"]["ModeOfInheritance"],
+        inner["scoreJson"]["ModeOfInheritance"],
+    )
+    moi = F.concat(
+        F.lit("http://purl.obolibrary.org/obo/HP_"),
+        F.regexp_extract(moi_str, r"\(HP:(\d+)\)", 1),
+    )
+    rid = F.col("report_id")
+    report = F.concat(F.lit(GCI_EXPRESS_ROOT + "report_"), rid)
+    assertion = F.concat(F.lit(GCI_EXPRESS_ROOT + "assertion_"), rid)
+    prop = F.concat(F.lit(GCI_EXPRESS_ROOT + "proposition_"), rid)
+    content_b = I.bnode(report, F.lit("content"))
+    contrib_b = I.bnode(assertion, F.lit("contrib"))
+    agent = F.concat(F.lit(AFFILIATION_ROOT), d["affiliation"]["id"])
+    level = F.element_at(
+        _lit_map(EXPRESS_LEVELS),
+        F.element_at(F.map_values(d["scores"]), 1)["label"],
+    )
+    gene_curie = F.element_at(F.map_values(d["genes"]), 1)["curie"]
+    base = reports.withColumn("_curie", gene_curie).join(
+        F.broadcast(gene_map),
+        F.col("_curie") == F.col("gene_curie"), "left",
+    )
+    arr = F.array(
+        _t(report, I.RDF_TYPE, ":sepio/GeneValidityReport", True),
+        _t(report, ":rdfs/label", d["title"], False, I.XSD_STRING),
+        _t(report, ":bfo/has-part", content_b, True),
+        _t(report, ":bfo/has-part", assertion, True),
+        _t(report, ":dc/source", ":cg/GeneCurationExpress", True),
+        _t(content_b, I.RDF_TYPE, ":cnt/ContentAsText", True),
+        _t(content_b, ":cnt/chars", content, False, I.XSD_STRING),
+        _t(assertion, I.RDF_TYPE,
+           ":sepio/GeneValidityEvidenceLevelAssertion", True),
+        _t(assertion, ":sepio/has-subject", prop, True),
+        _t(assertion, ":sepio/has-predicate", ":sepio/HasEvidenceLevel",
+           True),
+        _t(assertion, ":sepio/has-object", level, True),
+        _t(assertion, ":sepio/qualified-contribution", contrib_b, True),
+        _t(assertion, ":sepio/is-specified-by", sop_concept, True),
+        _t(assertion, ":dc/has-format", sop_concept, True),
+        _t(prop, I.RDF_TYPE, ":sepio/GeneValidityProposition", True),
+        _t(prop, ":sepio/has-subject", F.col("gene_iri"), True),
+        _t(prop, ":sepio/has-predicate", ":ro/IsCausalGermlineMutationIn",
+           True),
+        _t(prop, ":sepio/has-object", d["conditions"]["MONDO"]["iri"], True),
+        _t(prop, ":sepio/has-qualifier", moi, True),
+        _t(contrib_b, ":bfo/realizes", ":sepio/ApproverRole", True),
+        _t(contrib_b, ":sepio/has-agent", agent, True),
+        _t(contrib_b, ":sepio/activity-date", d["dateISO8601"], False,
+           I.XSD_STRING),
+    )
+    out = base.select(
+        F.concat(F.lit(GCI_EXPRESS_ROOT), rid).alias("graph"),
+        F.explode(arr).alias("t"),
+    ).select("graph", "t.*")
+    return out.where(F.col("object").isNotNull())
