@@ -1763,6 +1763,17 @@ def q_kg_gci_express(spark, sf_dir):
     return GL.gci_express_triples(reports, gm)
 
 
+def q_kg_vcv_statements(spark, sf_dir):
+    # ClinVar VCV variation-archive messages → ClinVarVCVStatement
+    # models (variation_archive.clj): statement/proposition/descriptor
+    # skeleton + one VRS Extension node per remaining content field
+    from genegraph_spark.sources import clinvar_statements as CS
+
+    return CS.variation_archive_triples(
+        fixtures.clinvar_vcv_payloads(_read(spark, sf_dir, "events"))
+    )
+
+
 def q_cur_users_groups(spark, sf_dir):
     # the FOAF user/group admin views (user.clj mbox lookup + email
     # regex + member-of, group.clj enumeration, admin-role check) as a
@@ -2191,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_affiliations_csv": q_kg_affiliations_csv,
         "kg_gci_legacy": q_kg_gci_legacy,
         "kg_gci_express": q_kg_gci_express,
+        "kg_vcv_statements": q_kg_vcv_statements,
         # round-4 additions
         "alg_sparql_select": q_alg_sparql_select,
         "alg_sparql_construct": q_alg_sparql_construct,
@@ -3362,6 +3374,99 @@ d3 AS (
         q("kb", ":sepio/has-agent", "agent", True),
         q("kb", ":sepio/activity-date", "rdate", False, XS),
     ]
+    return cte + "\n" + "\nUNION ALL\n".join(rows)
+
+
+def _vcv_oracle() -> str:
+    from genegraph_spark.sources.clinvar_statements import (
+        CGTERMS, CLINVAR_VARIATION, VA_PREFIX, _VA_EXT_FIELDS,
+    )
+
+    RT, XS = I.RDF_TYPE, I.XSD_STRING
+
+    def bn(*parts: str) -> str:
+        sep = " || '|' || "
+        return f"'_:' || substr(sha256({sep.join(parts)}), 1, 32)"
+
+    cte = f"""
+WITH d AS (
+  SELECT event_id AS e, user_id AS u,
+    strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') AS rd,
+    CASE WHEN event_id % 7 = 0 THEN 'update' ELSE 'create' END AS etype,
+    '{VA_PREFIX}VCV' || CAST(user_id % 200 AS VARCHAR) AS vcv,
+    CAST(event_id % 5 + 1 AS VARCHAR) AS ver,
+    CAST(user_id % 500 AS VARCHAR) AS variation_id,
+    CASE CAST(event_id % 4 AS INT)
+      WHEN 0 THEN 'criteria provided, single submitter'
+      WHEN 1 THEN 'criteria provided, conflicting interpretations'
+      WHEN 2 THEN 'reviewed by expert panel'
+      ELSE 'no assertion criteria provided' END AS review_status,
+    CASE CAST(event_id % 5 AS INT)
+      WHEN 0 THEN 'Pathogenic' WHEN 1 THEN 'Benign'
+      WHEN 2 THEN 'Conflicting interpretations of pathogenicity'
+      WHEN 3 THEN 'Uncertain significance' ELSE 'not provided'
+    END AS interp,
+    CASE WHEN event_id % 3 <> 0
+         THEN '2019-01-0' || CAST(event_id % 9 + 1 AS VARCHAR)
+    END AS date_created,
+    CASE WHEN event_id % 4 <> 0
+         THEN '2021-02-0' || CAST(event_id % 9 + 1 AS VARCHAR)
+    END AS date_last_updated,
+    CASE WHEN event_id % 2 = 0 THEN CAST(user_id % 15 AS VARCHAR)
+    END AS num_submitters,
+    CAST(user_id % 25 AS VARCHAR) AS num_submissions,
+    'Homo sapiens' AS species
+  FROM events),
+d2 AS (
+  SELECT d.*, vcv AS g,
+    vcv || '_statement.' || rd AS stmt,
+    vcv || '_statement_proposition.' || rd AS prop,
+    vcv || '_statement_variation_rule_descriptor.' || rd AS vrd,
+    '{CLINVAR_VARIATION}' || variation_id AS cvv
+  FROM d)
+"""
+
+    def q(s, p, o, is_iri, dt=None, cond=None):
+        dtv = f"'{dt}'" if dt else "CAST(NULL AS VARCHAR)"
+        w = f" WHERE {cond}" if cond else ""
+        return (
+            f"SELECT g AS graph, {s} AS subject, '{p}' AS predicate, "
+            f"{o} AS object, {str(is_iri).upper()} AS object_is_iri, "
+            f"{dtv} AS object_datatype FROM d2{w}"
+        )
+
+    rows = [
+        q("stmt", RT, "':sepio/Statement'", True),
+        q("stmt", RT, f"'{CGTERMS}ClinVarVCVStatement'", True),
+        q("stmt", RT, f"'{CGTERMS}ClinVarObject'", True),
+        q("stmt", ":dc/has-version", "ver", False, XS),
+        q("stmt", ":dc/is-version-of", "vcv", True),
+        q("stmt", ":cg/release-date", "rd", False, XS),
+        q("stmt", ":sepio/has-predicate", f"'{CGTERMS}has_evidence_level'",
+          True),
+        q("stmt", ":cg/negated", "'FALSE'", False, XS),
+        q("stmt", ":sepio/has-object", "review_status", False, XS),
+        q("stmt", ":sepio/has-subject", "prop", True),
+        q("prop", RT, "':sepio/Proposition'", True),
+        q("prop", RT, f"'{CGTERMS}ClinVarVCVProposition'", True),
+        q("prop", ":sepio/has-subject", "vrd", True),
+        q("prop", ":sepio/has-predicate",
+          f"'{CGTERMS}has_clinvar_variant_aggregate_classification'", True),
+        q("prop", ":sepio/has-object", "interp", False, XS),
+        q("vrd", RT, f"'{CGTERMS}VariationRuleDescriptor'", True),
+        q("vrd", ":vrs/xref", "cvv", True),
+    ]
+    sqlcol = {"event_type": "etype", "interp_description": "interp"}
+    for field in _VA_EXT_FIELDS:
+        col = sqlcol.get(field, field)
+        eb = bn("stmt", "'ext'", f"'{field}'")
+        cond = f"{col} IS NOT NULL"
+        rows += [
+            q("stmt", ":vrs/extensions", eb, True, cond=cond),
+            q(eb, RT, "':vrs/Extension'", True, cond=cond),
+            q(eb, ":vrs/name", f"'{field}'", False, XS, cond=cond),
+            q(eb, ":rdf/value", col, False, XS, cond=cond),
+        ]
     return cte + "\n" + "\nUNION ALL\n".join(rows)
 
 
@@ -4544,6 +4649,7 @@ FROM events""",
         **_basedata_oracles(),
         "kg_gci_legacy": _gci_legacy_oracle(),
         "kg_gci_express": _gci_express_oracle(),
+        "kg_vcv_statements": _vcv_oracle(),
         "kg_clinvar_statements": """
 WITH n AS (SELECT * FROM read_csv(
   '/root/reference/resources/clinvar_clinsig_normalized.csv', header=true)),

@@ -806,3 +806,49 @@ def gci_express_payloads(events: DataFrame) -> DataFrame:
         F.concat(F.lit("exp-"), estr).alias("report_id"),
         payload.alias("value"),
     )
+
+
+def clinvar_vcv_payloads(events: DataFrame) -> DataFrame:
+    """VCV variation-archive message fixture (variation_archive.clj):
+    exercises every extension field incl. absent ones."""
+    e, u = F.col("event_id"), F.col("user_id")
+    doc = F.struct(
+        _sec_str().alias("release_date"),
+        F.when(e % 7 == 0, F.lit("update")).otherwise(F.lit("create")).alias(
+            "event_type"
+        ),
+        F.struct(
+            F.concat(F.lit("VCV"), (u % 200).cast("string")).alias("id"),
+            (e % 5 + 1).cast("string").alias("version"),
+            (u % 500).cast("string").alias("variation_id"),
+            F.element_at(
+                F.array(
+                    F.lit("criteria provided, single submitter"),
+                    F.lit("criteria provided, conflicting interpretations"),
+                    F.lit("reviewed by expert panel"),
+                    F.lit("no assertion criteria provided"),
+                ),
+                (e % 4 + 1).cast("int"),
+            ).alias("review_status"),
+            F.element_at(
+                F.array(
+                    F.lit("Pathogenic"), F.lit("Benign"),
+                    F.lit("Conflicting interpretations of pathogenicity"),
+                    F.lit("Uncertain significance"), F.lit("not provided"),
+                ),
+                (e % 5 + 1).cast("int"),
+            ).alias("interp_description"),
+            F.when(
+                e % 3 != 0,
+                F.concat(F.lit("2019-01-0"), (e % 9 + 1).cast("string")),
+            ).alias("date_created"),
+            F.when(
+                e % 4 != 0,
+                F.concat(F.lit("2021-02-0"), (e % 9 + 1).cast("string")),
+            ).alias("date_last_updated"),
+            F.when(e % 2 == 0, (u % 15).cast("string")).alias("num_submitters"),
+            (u % 25).cast("string").alias("num_submissions"),
+            F.lit("Homo sapiens").alias("species"),
+        ).alias("content"),
+    )
+    return events.select(F.to_json(doc).alias("value"))

@@ -259,3 +259,94 @@ def clinvar_statements(
             "object_compact"
         ),
     )
+
+
+# ── VCV variation-archive statements ─────────────────────────────────
+# (transform/clinvar/variation_archive.clj)
+
+VA_PREFIX = CGTERMS + "clinvar.variation_archive/"
+CLINVAR_VARIATION = "https://identifiers.org/clinvar:"
+
+VARIATION_ARCHIVE_SCHEMA = """
+    release_date string, event_type string,
+    content struct<id: string, version: string, variation_id: string,
+                   review_status: string, interp_description: string,
+                   date_created: string, date_last_updated: string,
+                   num_submitters: string, num_submissions: string,
+                   species: string>
+"""
+
+# content fields that do NOT become VRS extensions (the dissoc list,
+# variation_archive.clj:76-78; event_type/release_date merge in first,
+# :30-32, and release_date is then dissoc'd while event_type stays)
+_VA_CORE_FIELDS = ("id", "version", "review_status", "interp_description")
+_VA_EXT_FIELDS = (
+    "variation_id", "date_created", "date_last_updated", "num_submitters",
+    "num_submissions", "species", "event_type",
+)
+
+
+def variation_archive_triples(df: DataFrame, col: str = "value") -> DataFrame:
+    """VCV messages → ClinVarVCVStatement models
+    (variation_archive.clj:29-78): statement + proposition +
+    variation-rule-descriptor skeleton, then one VRS Extension node per
+    remaining content field (``fields-to-extensions``,
+    common.clj:274-289). The reference's ``mark-prior-replaced``
+    supersession is the store tier's job here (the ``kg_replaces_*``
+    path), not the transform's.
+
+    Spark-first: one ``from_json``, one explode; extension bnodes are
+    deterministic per (statement, field)."""
+    from genegraph_spark.functions import iri as I
+    from genegraph_spark.sources.dosage_jira import _arr, _t
+
+    d = F.from_json(F.col(col), VARIATION_ARCHIVE_SCHEMA)
+    c = d["content"]
+    rd = d["release_date"]
+    vcv = F.concat(F.lit(VA_PREFIX), c["id"])
+    unv = F.concat(vcv, F.lit("_statement"))
+    stmt = F.concat(unv, F.lit("."), rd)
+    prop = F.concat(unv, F.lit("_proposition."), rd)
+    vrd = F.concat(unv, F.lit("_variation_rule_descriptor."), rd)
+    cv_var = F.concat(F.lit(CLINVAR_VARIATION), c["variation_id"])
+
+    cg = lambda t: CGTERMS + t
+    blocks = [
+        F.array(
+            _t(stmt, I.RDF_TYPE, ":sepio/Statement", True),
+            _t(stmt, I.RDF_TYPE, cg("ClinVarVCVStatement"), True),
+            _t(stmt, I.RDF_TYPE, cg("ClinVarObject"), True),
+            _t(stmt, ":dc/has-version", c["version"], False, I.XSD_STRING),
+            _t(stmt, ":dc/is-version-of", vcv, True),
+            _t(stmt, ":cg/release-date", rd, False, I.XSD_STRING),
+            _t(stmt, ":sepio/has-predicate", cg("has_evidence_level"), True),
+            _t(stmt, ":cg/negated", "FALSE", False, I.XSD_STRING),
+            _t(stmt, ":sepio/has-object", c["review_status"], False,
+               I.XSD_STRING),
+            _t(stmt, ":sepio/has-subject", prop, True),
+            _t(prop, I.RDF_TYPE, ":sepio/Proposition", True),
+            _t(prop, I.RDF_TYPE, cg("ClinVarVCVProposition"), True),
+            _t(prop, ":sepio/has-subject", vrd, True),
+            _t(prop, ":sepio/has-predicate",
+               cg("has_clinvar_variant_aggregate_classification"), True),
+            _t(prop, ":sepio/has-object", c["interp_description"], False,
+               I.XSD_STRING),
+            _t(vrd, I.RDF_TYPE, cg("VariationRuleDescriptor"), True),
+            _t(vrd, ":vrs/xref", cv_var, True),
+        )
+    ]
+    for field in _VA_EXT_FIELDS:
+        v = d["event_type"] if field == "event_type" else c[field]
+        ext_b = I.bnode(stmt, F.lit("ext"), F.lit(field))
+        blocks.append(
+            _arr(
+                v.isNotNull(),
+                _t(stmt, ":vrs/extensions", ext_b, True),
+                _t(ext_b, I.RDF_TYPE, ":vrs/Extension", True),
+                _t(ext_b, ":vrs/name", field, False, I.XSD_STRING),
+                _t(ext_b, ":rdf/value", v, False, I.XSD_STRING),
+            )
+        )
+    return df.select(
+        vcv.alias("graph"), F.explode(F.concat(*blocks)).alias("t")
+    ).select("graph", "t.*")
