@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     BooleanType,
     StringType,
     StructField,
@@ -409,7 +410,11 @@ def parse_rdfxml(docs: DataFrame, xml_col: str = "rdfxml") -> DataFrame:
 
 # -- binary transport encoding (the RDF-Thrift role) --------------------------
 
-@pandas_udf("binary")
+# DataType instance (not a DDL string): string return types are parsed via
+# the active SparkContext at decoration time, which makes this module
+# unimportable before a session exists (oracle_sql() imports it for the
+# JSON-LD context without ever starting Spark).
+@pandas_udf(BinaryType())
 def _deflate(s: pd.Series) -> pd.Series:
     import zlib
 
