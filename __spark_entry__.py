@@ -1404,6 +1404,17 @@ def q_cur_actionability_stats(spark, sf_dir):
     return CUR.actionability_statistics(r)
 
 
+def q_cur_actionability_assertions(spark, sf_dir):
+    # per-assertion actionability cards (actionability_assertion.clj):
+    # report via inverse has-part, label/source, classification, and the
+    # order-by-desc-limit-1 report-date query as max/max_by over the
+    # EvidenceRole contribution set (two shuffles for the whole corpus
+    # vs the reference's per-assertion SPARQL query)
+    from genegraph_spark.plans import curation as CUR
+
+    return CUR.actionability_assertion_cards(_read(spark, sf_dir, "events"))
+
+
 def q_cur_evidence_cards(spark, sf_dir):
     # evidence-card surface: every assertion's shallow has-evidence tree
     # flattened to (root, line, depth) rows with per-line score +
@@ -2213,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_genetic_conditions": q_cur_genetic_conditions,
         "cur_gene_dosage": q_cur_gene_dosage,
         "cur_actionability_stats": q_cur_actionability_stats,
+        "cur_actionability_assertions": q_cur_actionability_assertions,
         "cur_evidence_cards": q_cur_evidence_cards,
         "fn_clinsig_normalize": q_fn_clinsig_normalize,
         "cur_region_features": q_cur_region_features,
@@ -4504,6 +4516,40 @@ SELECT ar.wg, count(*) AS n_reports,
        coalesce(min(sc.score_counts), '') AS score_counts
 FROM ar LEFT JOIN sc ON ar.wg = sc.wg
 GROUP BY ar.wg""",
+        "cur_actionability_assertions": """
+WITH base AS (
+  SELECT 'urn:actionability:' || CAST(event_id AS VARCHAR) AS report,
+         event_id, user_id, ts
+  FROM events),
+ck AS (
+  SELECT report, user_id, ts,
+         UNNEST(generate_series(0, event_id % 3)) AS k
+  FROM base),
+contribs AS (
+  SELECT report,
+         strftime(ts + to_days(CAST(k AS INT)), '%Y-%m-%d %H:%M:%S') AS adate,
+         'urn:agent:' || CAST((user_id + k) % 10 AS VARCHAR) AS agent
+  FROM ck),
+latest AS (
+  SELECT report, max(adate) AS report_date,
+         arg_max(agent, adate) AS attributed_to
+  FROM contribs GROUP BY report),
+ak AS (
+  SELECT report, event_id,
+         UNNEST(generate_series(0, event_id % 2)) AS k2
+  FROM base),
+a AS (
+  SELECT report || ':a' || CAST(k2 AS VARCHAR) AS assertion, report,
+         (['sepio:ActionabilityScoreHigh', 'sepio:ActionabilityScoreModerate',
+           'sepio:NoActionability'])[CAST((event_id + k2) % 3 AS INT) + 1]
+           AS classification,
+         'ACT report ' || CAST(event_id AS VARCHAR) AS report_label,
+         'https://actionability.example/doc/' || CAST(event_id % 50 AS VARCHAR)
+           AS source
+  FROM ak)
+SELECT a.assertion, a.report, a.classification, a.report_label, a.source,
+       l.report_date, l.attributed_to
+FROM a LEFT JOIN latest l ON a.report = l.report""",
         "cur_evidence_cards": """
 WITH e AS (SELECT event_id, user_id, event_type, round(value, 4) AS score,
                   strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS adate

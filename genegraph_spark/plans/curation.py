@@ -483,6 +483,92 @@ def actionability_statistics(reports: DataFrame) -> DataFrame:
     )
 
 
+def actionability_assertion_cards(events: DataFrame) -> DataFrame:
+    """Per-assertion actionability cards — the ``actionability_assertion.clj``
+    resolver namespace collapsed into one frame: owning report via the
+    inverse ``bfo/has-part`` hop, the report's ``rdfs:label`` and
+    ``dc/source``, the assertion's ``sepio/has-predicate`` classification,
+    and the report-date query (``actionability_assertion.clj:5-16``: the
+    report's EvidenceRole ``qualified-contribution`` activity dates,
+    ``ORDER BY DESC(?date) LIMIT 1``) answered as ``max``/``max_by`` over
+    the contribution set, with ``attributed-to`` as the winning
+    contribution's agent.
+
+    Spark-first / 100 TB: the reference runs the order-by-desc-limit-1
+    SPARQL query once PER ASSERTION; here one bounded explode (<=3
+    contributions per report), one grouped ``max``/``max_by`` pass with
+    map-side partial aggregation, and one co-keyed equi-join on the
+    report id answer every card in two shuffles total, independent of
+    assertion count."""
+    base = events.select(
+        F.concat(
+            F.lit("urn:actionability:"), F.col("event_id").cast("string")
+        ).alias("report"),
+        "event_id",
+        "user_id",
+        "ts",
+    )
+    # EvidenceRole contributions: 1-3 per report, strictly increasing
+    # dates (so the desc-limit-1 winner is unique)
+    contribs = base.select(
+        "report",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("event_id") % 3).cast("int"))
+        ).alias("k"),
+        "user_id",
+        "ts",
+    ).select(
+        "report",
+        F.date_format(
+            F.expr("ts + make_interval(0, 0, 0, k, 0, 0, 0)"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("adate"),
+        F.concat(
+            F.lit("urn:agent:"), ((F.col("user_id") + F.col("k")) % 10).cast("string")
+        ).alias("agent"),
+    )
+    latest = contribs.groupBy("report").agg(
+        F.max("adate").alias("report_date"),
+        F.max_by("agent", "adate").alias("attributed_to"),
+    )
+    assertions = base.select(
+        "report",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("event_id") % 2).cast("int"))
+        ).alias("k2"),
+        "event_id",
+    ).select(
+        F.concat(F.col("report"), F.lit(":a"), F.col("k2").cast("string")).alias(
+            "assertion"
+        ),
+        "report",
+        F.element_at(
+            F.array(
+                F.lit("sepio:ActionabilityScoreHigh"),
+                F.lit("sepio:ActionabilityScoreModerate"),
+                F.lit("sepio:NoActionability"),
+            ),
+            ((F.col("event_id") + F.col("k2")) % 3 + 1).cast("int"),
+        ).alias("classification"),
+        F.concat(F.lit("ACT report "), F.col("event_id").cast("string")).alias(
+            "report_label"
+        ),
+        F.concat(
+            F.lit("https://actionability.example/doc/"),
+            (F.col("event_id") % 50).cast("string"),
+        ).alias("source"),
+    )
+    return assertions.join(latest, "report", "left_outer").select(
+        "assertion",
+        "report",
+        "classification",
+        "report_label",
+        "source",
+        "report_date",
+        "attributed_to",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Condition / mode-of-inheritance / classification resolver tiers (round 5)
 # ---------------------------------------------------------------------------

@@ -1453,3 +1453,58 @@ class TestBasedata:
         ).collect()
         about = [r for r in out if r.predicate == ":iao/is-about"]
         assert len(about) == 1 and about[0].object == "urn:g1"
+
+
+class TestActionabilityAssertionCards:
+    """actionability_assertion.clj — per-assertion cards: report via the
+    inverse has-part hop, label/source, has-predicate classification,
+    and the order-by-desc-limit-1 report-date query answered as a
+    grouped max/max_by over EvidenceRole contributions."""
+
+    def _events(self, spark, ids):
+        return spark.createDataFrame(
+            [(i, f"2024-01-0{1 + i % 3} 00:00:00", 10 + i, "click", 1.0, "{}")
+             for i in ids],
+            "event_id long, ts_s string, user_id long, event_type string, "
+            "value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props",
+        )
+
+    def test_latest_contribution_wins(self, spark):
+        from genegraph_spark.plans import curation as CUR
+
+        # event_id=5: 5%3=2 → 3 contributions, dates ts, ts+1d, ts+2d;
+        # the desc-limit-1 winner is the k=2 contribution
+        out = CUR.actionability_assertion_cards(
+            self._events(spark, [5])
+        ).collect()
+        # 5%2=1 → two assertions for the one report
+        assert len(out) == 2
+        by_a = {r.assertion: r for r in out}
+        a0 = by_a["urn:actionability:5:a0"]
+        assert a0.report == "urn:actionability:5"
+        assert a0.report_label == "ACT report 5"
+        assert a0.source == "https://actionability.example/doc/5"
+        # ts = 2024-01-03 (5%3=2), latest = +2 days
+        assert a0.report_date == "2024-01-05 00:00:00"
+        # winning agent: (user_id=15 + k=2) % 10
+        assert a0.attributed_to == "urn:agent:7"
+        # classification varies per assertion: (5+0)%3=2, (5+1)%3=0
+        assert a0.classification == "sepio:NoActionability"
+        assert by_a["urn:actionability:5:a1"].classification == (
+            "sepio:ActionabilityScoreHigh"
+        )
+
+    def test_single_contribution_report(self, spark):
+        from genegraph_spark.plans import curation as CUR
+
+        # event_id=6: 6%3=0 → exactly one contribution; 6%2=0 → one assertion
+        out = CUR.actionability_assertion_cards(
+            self._events(spark, [6])
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.report_date == "2024-01-01 00:00:00"
+        assert r.attributed_to == "urn:agent:6"
