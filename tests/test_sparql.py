@@ -1335,3 +1335,65 @@ class TestGraphPattern:
             'SELECT ?s WHERE { GRAPH <urn:g1> { ?s :q/:p* ?v } FILTER(?v = "urn:b") }',
         ).collect()
         assert [r.s for r in out] == ["urn:a"]
+
+
+class TestCurationValueSetQueries:
+    """The two value-set queries common/curation.clj:320-331 embeds in
+    Clojure strings — the whole bodies of the ``criteria.clj`` and
+    ``classification.clj`` resolvers — copied VERBATIM and executed over
+    a synthesized type hierarchy (subClassOf* includes the zero-step
+    root per SPARQL path semantics)."""
+
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    CRIT_ROOT = "http://purl.obolibrary.org/obo/SEPIO_0000037"
+    ASSERT_ROOT = "http://purl.obolibrary.org/obo/SEPIO_0000001"
+
+    CRITERIA_Q = """select distinct ?criteria where 
+{ ?criteria_type <http://www.w3.org/2000/01/rdf-schema#subClassOf>* <http://purl.obolibrary.org/obo/SEPIO_0000037> .
+  ?criteria a ?criteria_type . }"""
+
+    CLASSIFICATIONS_Q = """select distinct ?classification where 
+{ ?assertion_type <http://www.w3.org/2000/01/rdf-schema#subClassOf>* <http://purl.obolibrary.org/obo/SEPIO_0000001> .
+  ?assertion a ?assertion_type .
+  ?assertion :sepio/has-object ?classification . }"""
+
+    @pytest.fixture(scope="class")
+    def valueset_graph(self, spark):
+        rows = [
+            # criteria types: direct subclass, transitive subclass
+            iri("urn:crit-typeA", self.SUB, self.CRIT_ROOT),
+            iri("urn:crit-typeB", self.SUB, "urn:crit-typeA"),
+            iri("urn:c1", self.RDF_TYPE, "urn:crit-typeA"),
+            iri("urn:c2", self.RDF_TYPE, "urn:crit-typeB"),
+            # zero-step: an instance typed as the root itself qualifies
+            iri("urn:c3", self.RDF_TYPE, self.CRIT_ROOT),
+            # decoy outside the hierarchy
+            iri("urn:x1", self.RDF_TYPE, "urn:unrelated"),
+            # assertion hierarchy + classifications
+            iri("urn:atype", self.SUB, self.ASSERT_ROOT),
+            iri("urn:as1", self.RDF_TYPE, "urn:atype"),
+            iri("urn:as1", ":sepio/has-object", "urn:class:definitive"),
+            iri("urn:as2", self.RDF_TYPE, "urn:atype"),
+            # duplicate classification value — DISTINCT must collapse it
+            iri("urn:as2", ":sepio/has-object", "urn:class:definitive"),
+            iri("urn:as3", self.RDF_TYPE, "urn:atype"),
+            iri("urn:as3", ":sepio/has-object", "urn:class:limited"),
+            # decoy assertion whose type is outside the hierarchy
+            iri("urn:bad", self.RDF_TYPE, "urn:unrelated"),
+            iri("urn:bad", ":sepio/has-object", "urn:class:never"),
+        ]
+        return T(spark, rows)
+
+    def test_evaluation_criteria_verbatim(self, spark, valueset_graph):
+        out = sorted(
+            r.criteria for r in S.sparql(valueset_graph, self.CRITERIA_Q).collect()
+        )
+        assert out == ["urn:c1", "urn:c2", "urn:c3"]
+
+    def test_classifications_verbatim(self, spark, valueset_graph):
+        out = sorted(
+            r.classification
+            for r in S.sparql(valueset_graph, self.CLASSIFICATIONS_Q).collect()
+        )
+        assert out == ["urn:class:definitive", "urn:class:limited"]
