@@ -69,7 +69,14 @@ from . import algebra as A
 RDF_TYPE = "rdf:type"
 # the Jena full-text dataset predicate (database/instance.clj:29-31 text
 # index; query.clj:133-153 text-search-bgp) in both spellings
-_TEXT_QUERY_IRIS = ("http://jena.apache.org/text#query", "text:query")
+# the full IRI, the conventional prefix form, and the reference's
+# keyword form (property-names.edn:574 maps :jena/query to the text IRI;
+# find.clj writes the BGP that way)
+_TEXT_QUERY_IRIS = (
+    "http://jena.apache.org/text#query",
+    "text:query",
+    ":jena/query",
+)
 RDF_TYPE_FULL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 XSD_BOOLEAN = "xsd:boolean"
 _MAXLEN = 1 << 20  # effectively-unbounded substr length
@@ -1592,10 +1599,23 @@ class PreparedQuery:
         SELECT (decoded value columns) and CONSTRUCT (repo triple
         schema), a bool for ASK."""
         q = self.ast
-        mapping = {
-            k: (("iri", v[1]) if isinstance(v, tuple) else ("lit", str(v), None))
-            for k, v in params.items()
-        }
+        # Jena's QuerySolutionMap binds Clojure numbers/booleans as TYPED
+        # literals, so a pre-bound number participates in numeric FILTER
+        # comparisons (find.clj's coordinate-range query filters
+        # ?start_position > ?start with an int-typed ?start); mirror that
+        # typing here. bool before int: bool subclasses int in Python.
+        mapping = {}
+        for k, v in params.items():
+            if isinstance(v, tuple):
+                mapping[k] = ("iri", v[1])
+            elif isinstance(v, bool):
+                mapping[k] = ("lit", "true" if v else "false", XSD_BOOLEAN)
+            elif isinstance(v, int):
+                mapping[k] = ("lit", str(v), "xsd:integer")
+            elif isinstance(v, float):
+                mapping[k] = ("lit", repr(v), "xsd:decimal")
+            else:
+                mapping[k] = ("lit", str(v), None)
         pattern = _subst(q.pattern, mapping) if mapping else q.pattern
         templates = _subst(q.templates, mapping) if mapping else q.templates
         if mapping:
@@ -1851,9 +1871,11 @@ def _select_project(c: "_Compiler", q: Query, bindings: DataFrame, tagged: bool)
         return out
 
 
-def sparql(triples: DataFrame, text: str, names: dict | None = None, **params):
+def sparql(triples: DataFrame, text: str, /, names: dict | None = None, **params):
     """Parse + run in one call (create-query + execute,
-    resource.clj:201-239)."""
+    resource.clj:201-239). ``triples`` and ``text`` are positional-only
+    so a query may pre-bind a variable literally named ``?text`` (the
+    find query, source/graphql/schema/find.clj:70-75, does)."""
     return PreparedQuery(text, names=names).run(triples, **params)
 
 

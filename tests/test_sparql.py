@@ -1397,3 +1397,109 @@ class TestCurationValueSetQueries:
             for r in S.sparql(valueset_graph, self.CLASSIFICATIONS_Q).collect()
         )
         assert out == ["urn:class:definitive", "urn:class:limited"]
+
+
+class TestFindQueries:
+    """The generic find query (source/graphql/schema/find.clj:58-75) —
+    the resolver behind the GraphQL ``find`` top-level query — executed
+    VERBATIM: type filter via the ``a? | sub-class-of*`` alternation
+    path, linkage via the three-way inverse alternation, the
+    ``:jena/query`` keyword-form text BGP with a PRE-BOUND ?text var,
+    and the WIP coordinate-range query with numeric-typed pre-bound
+    bounds (Jena binds Clojure numbers as typed literals)."""
+
+    FIND_Q = """select distinct ?x where {
+ ?x a? | :rdfs/sub-class-of * ?type ;
+ ^ :sepio/has-subject  |  ^ :sepio/has-object | ^ :sepio/has-agent  ?subject .
+}"""
+
+    FIND_TEXT_Q = """select distinct ?x where {
+      ?x :jena/query ( :cg/resource ?text ) ;
+      a? | :rdfs/sub-class-of * ?type ;
+      ^ :sepio/has-subject  |  ^ :sepio/has-object | ^ :sepio/has-agent  ?subject .
+    }"""
+
+    COORD_Q = """select ?x where {
+?x :geno/has-location ?loc .
+?loc :geno/has-reference-sequence ?sequence ;
+:geno/has-interval ?interval .
+?interval :geno/start-position ?start_position ;
+:geno/end-position ?end_position .
+FILTER(?start_position > ?start)
+FILTER(?end_position < ?end)
+}"""
+
+    @pytest.fixture(scope="class")
+    def find_graph(self, spark):
+        return T(
+            spark,
+            [
+                iri("urn:geneclass", ":rdfs/sub-class-of", ":so/Gene"),
+                iri("urn:g1", "rdf:type", ":so/Gene"),
+                # instance of a SUBCLASS: the a?|subClassOf* alternation
+                # (unlike a/subClassOf* composition) does NOT reach the
+                # root from here — must be excluded
+                iri("urn:g2", "rdf:type", "urn:geneclass"),
+                iri("urn:d1", "rdf:type", ":mondo/Disease"),
+                iri("urn:s1", ":sepio/has-subject", "urn:g1"),
+                iri("urn:s1", ":sepio/has-object", "urn:d1"),
+                iri("urn:s1", ":sepio/has-agent", "urn:agent1"),
+                iri("urn:s2", ":sepio/has-object", "urn:g2"),
+                iri("urn:s3", ":sepio/has-object", "urn:geneclass"),
+                lit("urn:g1", ":cg/resource", "brca1 gene curated"),
+                lit("urn:geneclass", ":cg/resource", "gene class"),
+                lit("urn:d1", ":cg/resource", "some disease"),
+            ],
+        )
+
+    def test_find_by_type(self, spark, find_graph):
+        out = sorted(
+            r.x
+            for r in S.sparql(
+                find_graph, self.FIND_Q, type=("iri", ":so/Gene")
+            ).collect()
+        )
+        # g1 via the one-step `a` branch; geneclass via subClassOf*;
+        # g2 (instance of the subclass) correctly absent; :so/Gene
+        # itself (zero-step) absent because no statement references it
+        assert out == ["urn:g1", "urn:geneclass"]
+
+    def test_find_with_text(self, spark, find_graph):
+        find = lambda **kw: sorted(
+            r.x for r in S.sparql(find_graph, self.FIND_TEXT_Q, **kw).collect()
+        )
+        assert find(type=("iri", ":so/Gene"), text="gene") == [
+            "urn:g1",
+            "urn:geneclass",
+        ]
+        assert find(type=("iri", ":so/Gene"), text="brca1") == ["urn:g1"]
+        assert find(type=("iri", ":mondo/Disease"), text="disease") == ["urn:d1"]
+
+    @pytest.fixture(scope="class")
+    def coord_graph(self, spark):
+        rows = []
+        for i, (st, en) in enumerate([(100, 200), (1000, 1100), (90, 2000)]):
+            rows += [
+                iri(f"urn:x{i}", ":geno/has-location", f"urn:loc{i}"),
+                iri(f"urn:loc{i}", ":geno/has-reference-sequence", "urn:seq:chr1"),
+                iri(f"urn:loc{i}", ":geno/has-interval", f"urn:iv{i}"),
+                lit(f"urn:iv{i}", ":geno/start-position", str(st), "xsd:integer"),
+                lit(f"urn:iv{i}", ":geno/end-position", str(en), "xsd:integer"),
+            ]
+        return T(spark, rows)
+
+    def test_coordinate_range(self, spark, coord_graph):
+        out = sorted(
+            r.x
+            for r in S.sparql(
+                coord_graph,
+                self.COORD_Q,
+                sequence=("iri", "urn:seq:chr1"),
+                start=50,
+                end=1500,
+            ).collect()
+        )
+        # x2's end (2000) fails `< 1500`; numeric not lexical compare
+        # ("100" > "50" is lexically FALSE — x0 only survives because the
+        # typed pre-bound int compares numerically)
+        assert out == ["urn:x0", "urn:x1"]
