@@ -1503,3 +1503,29 @@ FILTER(?end_position < ?end)
         # ("100" > "50" is lexically FALSE — x0 only survives because the
         # typed pre-bound int compares numerically)
         assert out == ["urn:x0", "urn:x1"]
+
+
+class TestInferredTypeQuery:
+    """schema/resource.clj:12 — the inferred rdf-types query executed
+    VERBATIM (note: this file spells the property :rdfs/subClassOf,
+    unlike the :rdfs/sub-class-of used elsewhere; keyword terms match
+    literally)."""
+
+    Q = "select ?type where {?resource a /  :rdfs/subClassOf * ?type}"
+
+    def test_inferred_types(self, spark):
+        m = T(
+            spark,
+            [
+                iri("urn:r1", "rdf:type", "urn:B"),
+                iri("urn:B", ":rdfs/subClassOf", "urn:A"),
+                iri("urn:A", ":rdfs/subClassOf", "urn:Root"),
+                iri("urn:other", "rdf:type", "urn:Z"),
+            ],
+        )
+        out = sorted(
+            r.type
+            for r in S.sparql(m, self.Q, resource=("iri", "urn:r1")).collect()
+        )
+        # direct type + every superclass via the a/subClassOf* composition
+        assert out == ["urn:A", "urn:B", "urn:Root"]
