@@ -1529,3 +1529,95 @@ class TestInferredTypeQuery:
         )
         # direct type + every superclass via the a/subClassOf* composition
         assert out == ["urn:A", "urn:B", "urn:Root"]
+
+
+class TestAnnotateAuthQueries:
+    """The three queries embedded outside the GraphQL/transform tiers —
+    annotate/gene.clj (validity genes), annotate/replaces.clj (the
+    GCI-Express supersession lookup that drives the replaces chain), and
+    auth.clj (find-user-by-email) — executed VERBATIM. With these,
+    every create-query embedded anywhere in the reference source has
+    verified verbatim execution."""
+
+    VALIDITY_GENES_Q = """select ?gene where
+{ ?proposition a :sepio/GeneValidityProposition .
+  ?proposition :sepio/has-subject ?gene }"""
+
+    # replaces.clj:10-19 builds this with (str ...); joined verbatim
+    REPLACES_Q = (
+        "select ?proposition where { "
+        " ?report a :sepio/GeneValidityReport . "
+        " ?report :dc/source :cg/GeneCurationExpress ."
+        " ?report :bfo/has-part ?assertion ."
+        " ?assertion a :sepio/GeneValidityEvidenceLevelAssertion . "
+        " ?assertion :sepio/has-subject ?proposition ."
+        " ?proposition :sepio/has-subject ?gene ."
+        " ?proposition :sepio/has-qualifier ?moi ."
+        " ?proposition :sepio/has-object ?disease . }"
+    )
+
+    AUTH_Q = "select ?user where { ?user :foaf/mbox ?email }"
+
+    def test_validity_genes(self, spark):
+        m = T(
+            spark,
+            [
+                iri("urn:prop1", "rdf:type", ":sepio/GeneValidityProposition"),
+                iri("urn:prop1", ":sepio/has-subject", "urn:gene1"),
+                iri("urn:prop2", "rdf:type", ":sepio/OtherProposition"),
+                iri("urn:prop2", ":sepio/has-subject", "urn:gene2"),
+            ],
+        )
+        out = [r.gene for r in S.sparql(m, self.VALIDITY_GENES_Q).collect()]
+        assert out == ["urn:gene1"]
+
+    def test_gci_express_replaces_lookup(self, spark):
+        def curation(n, source=":cg/GeneCurationExpress", gene="urn:g1",
+                     moi="urn:moi1", disease="urn:d1"):
+            return [
+                iri(f"urn:rep{n}", "rdf:type", ":sepio/GeneValidityReport"),
+                iri(f"urn:rep{n}", ":dc/source", source),
+                iri(f"urn:rep{n}", ":bfo/has-part", f"urn:as{n}"),
+                iri(f"urn:as{n}", "rdf:type",
+                    ":sepio/GeneValidityEvidenceLevelAssertion"),
+                iri(f"urn:as{n}", ":sepio/has-subject", f"urn:prop{n}"),
+                iri(f"urn:prop{n}", ":sepio/has-subject", gene),
+                iri(f"urn:prop{n}", ":sepio/has-qualifier", moi),
+                iri(f"urn:prop{n}", ":sepio/has-object", disease),
+            ]
+
+        m = T(
+            spark,
+            curation(1)
+            # same pair but NOT from GCI Express: must not be replaced
+            + curation(2, source=":cg/OtherSource")
+            # different MOI: not a match for the (gene, disease, moi) key
+            + curation(3, moi="urn:moi2"),
+        )
+        out = [
+            r.proposition
+            for r in S.sparql(
+                m,
+                self.REPLACES_Q,
+                gene=("iri", "urn:g1"),
+                disease=("iri", "urn:d1"),
+                moi=("iri", "urn:moi1"),
+            ).collect()
+        ]
+        assert out == ["urn:prop1"]
+
+    def test_find_user_by_email(self, spark):
+        m = T(
+            spark,
+            [
+                iri("urn:user:1", ":foaf/mbox", "mailto:a@clinicalgenome.org"),
+                iri("urn:user:2", ":foaf/mbox", "mailto:b@clinicalgenome.org"),
+            ],
+        )
+        out = [
+            r.user
+            for r in S.sparql(
+                m, self.AUTH_Q, email=("iri", "mailto:b@clinicalgenome.org")
+            ).collect()
+        ]
+        assert out == ["urn:user:2"]
