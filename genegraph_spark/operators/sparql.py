@@ -334,6 +334,19 @@ class _Parser:
 
     def _construct(self) -> Query:
         self.next()
+        if self.at_kw("where"):
+            # CONSTRUCT WHERE { tp } shorthand (SPARQL 1.1 §10.2.2):
+            # the template IS the pattern (util/test_data.clj's
+            # `construct where {?disease ?p ?o}` extraction uses it).
+            # Template verbs and path leaves share the same AST shapes
+            # (("pred", iri) / ("pvar", var)), so one parse serves both.
+            self.next()
+            templates = self._triples_block(template=True)
+            q = Query(
+                "construct", [("bgp", list(templates))], templates=templates
+            )
+            self._modifiers(q)
+            return q
         templates = self._triples_block(template=True)
         self.eat_kw("where")
         q = Query("construct", self.group(), templates=templates)
@@ -690,6 +703,7 @@ class _Parser:
         "bound", "coalesce", "if", "concat", "iri", "uri", "str", "strlen",
         "substr", "replace", "regex", "contains", "strstarts", "strends",
         "lcase", "ucase", "strafter", "strbefore",
+        "isblank", "isiri", "isuri", "isliteral", "isnumeric",
     }
 
     _AGGS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
@@ -1311,7 +1325,10 @@ class _Compiler:
                 return "bool"
             if e[0] == "call":
                 n = e[1]
-                if n in ("bound", "regex", "contains", "strstarts", "strends"):
+                if n in (
+                    "bound", "regex", "contains", "strstarts", "strends",
+                    "isblank", "isiri", "isuri", "isliteral", "isnumeric",
+                ):
                     return "bool"
                 if n == "strlen":
                     return "num"
@@ -1433,6 +1450,44 @@ class _Compiler:
             if args[0][1] not in df.columns:
                 return F.lit(False)
             return F.col(args[0][1]).isNotNull()
+        if name in ("isblank", "isiri", "isuri", "isliteral", "isnumeric"):
+            # term-kind tests (SPARQL 1.1 §17.4.2). Blank nodes travel as
+            # IRI-tagged terms with the "_:" prefix (the CONSTRUCT /
+            # deterministic-bnode convention throughout this repo), so
+            # isBlank = IRI-tagged AND "_:"-prefixed; isIRI excludes them.
+            a = args[0]
+            if a[0] == "var":
+                if a[1] not in df.columns:
+                    return F.lit(None).cast("boolean")
+                c = F.col(a[1])
+                blank = term_is_iri(c) & term_value(c).startswith("_:")
+                if name == "isblank":
+                    r = blank
+                elif name in ("isiri", "isuri"):
+                    r = term_is_iri(c) & ~term_value(c).startswith("_:")
+                elif name == "isliteral":
+                    r = ~term_is_iri(c)
+                else:  # isnumeric: a literal whose value casts to double
+                    r = ~term_is_iri(c) & term_value(c).try_cast(
+                        "double"
+                    ).isNotNull()
+                # an unbound (NULL) term is an error per spec → NULL,
+                # which FILTER treats as not-true
+                return F.when(c.isNotNull(), r)
+            if a[0] == "iri":
+                is_b = a[1].startswith("_:")
+                return F.lit(
+                    is_b if name == "isblank"
+                    else (not is_b) if name in ("isiri", "isuri")
+                    else False
+                )
+            if a[0] == "lit":
+                if name == "isliteral":
+                    return F.lit(True)
+                if name == "isnumeric":
+                    return F.lit(a[1]).try_cast("double").isNotNull()
+                return F.lit(False)
+            return F.lit(None).cast("boolean")
         if name == "coalesce":
             return F.coalesce(*[self.value_expr(a, df) for a in args])
         if name == "if":
