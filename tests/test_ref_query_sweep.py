@@ -203,3 +203,113 @@ class TestConstructWhereShorthand:
             ("urn:d1", ":rdfs/label", "disease one"),
             ("urn:d1", SUB, MONDO),
         ]
+
+
+class TestConditionHierarchyQueries:
+    """condition.clj's five remaining string queries executed VERBATIM:
+    propositions-query (type path to :sepio/Proposition) and the four
+    MONDO-gated hierarchy walks behind the (direct) sub/superclass
+    resolvers — note the reference's resolver/query name swap
+    (`subclasses` calls superclass-of-query): these tests pin the QUERY
+    semantics, not the resolver naming."""
+
+    PROPOSITIONS_Q = """select ?prop where 
+{ ?prop :sepio/has-object ?disease .
+  ?prop ( a / :rdfs/sub-class-of * ) :sepio/Proposition }"""
+
+    SUBCLASS_OF_Q = (
+        "select ?s WHERE { ?class "
+        " <http://www.w3.org/2000/01/rdf-schema#subClassOf>* "
+        " ?s . "
+        " ?s "
+        " <http://www.w3.org/2000/01/rdf-schema#subClassOf>* "
+        "<http://purl.obolibrary.org/obo/MONDO_0000001> ."
+        "FILTER (!isBlank(?s)) }"
+    )
+
+    SUPERCLASS_OF_Q = (
+        "select ?s WHERE { ?s "
+        " <http://www.w3.org/2000/01/rdf-schema#subClassOf>* "
+        " ?class . "
+        " ?s "
+        " <http://www.w3.org/2000/01/rdf-schema#subClassOf>* "
+        "<http://purl.obolibrary.org/obo/MONDO_0000001> ."
+        "FILTER (!isBlank(?s)) }"
+    )
+
+    DIRECT_SUBCLASS_OF_Q = (
+        "select ?s WHERE { ?class "
+        " <http://www.w3.org/2000/01/rdf-schema#subClassOf> "
+        " ?s . "
+        " ?s "
+        " <http://www.w3.org/2000/01/rdf-schema#subClassOf>* "
+        "<http://purl.obolibrary.org/obo/MONDO_0000001> ."
+        "FILTER (!isBlank(?s)) }"
+    )
+
+    DIRECT_SUPERCLASS_OF_Q = (
+        "select ?s WHERE { ?s "
+        " <http://www.w3.org/2000/01/rdf-schema#subClassOf> "
+        " ?class . "
+        " ?s "
+        " <http://www.w3.org/2000/01/rdf-schema#subClassOf>* "
+        "<http://purl.obolibrary.org/obo/MONDO_0000001> ."
+        "FILTER (!isBlank(?s)) }"
+    )
+
+    @pytest.fixture(scope="class")
+    def mondo_graph(self, spark):
+        return T(
+            spark,
+            [
+                iri("urn:A", SUB, MONDO),
+                iri("urn:B", SUB, "urn:A"),
+                iri("_:bx", SUB, "urn:A"),
+                iri("urn:C", SUB, "urn:B"),
+                # outside the MONDO tree — the second subClassOf* gate drops it
+                iri("urn:Z", SUB, "urn:other"),
+                # propositions
+                iri("urn:prop1", ":sepio/has-object", "urn:A"),
+                iri("urn:prop1", "rdf:type", ":sepio/GeneValidityProposition"),
+                iri(
+                    ":sepio/GeneValidityProposition",
+                    ":rdfs/sub-class-of",
+                    ":sepio/Proposition",
+                ),
+                iri("urn:prop2", ":sepio/has-object", "urn:A"),
+                iri("urn:prop2", "rdf:type", ":sepio/SomethingElse"),
+            ],
+        )
+
+    def _run(self, m, q, **params):
+        from genegraph_spark.operators import sparql as S
+
+        return sorted(r[0] for r in S.sparql(m, q, **params).collect())
+
+    def test_propositions(self, spark, mondo_graph):
+        assert self._run(
+            mondo_graph, self.PROPOSITIONS_Q, disease=("iri", "urn:A")
+        ) == ["urn:prop1"]
+
+    def test_ancestors_within_mondo(self, spark, mondo_graph):
+        # subclass-of-query(class=B): everything B subClassOf* reaches
+        assert self._run(
+            mondo_graph, self.SUBCLASS_OF_Q, **{"class": ("iri", "urn:B")}
+        ) == [MONDO, "urn:A", "urn:B"]
+
+    def test_descendants_within_mondo(self, spark, mondo_graph):
+        # superclass-of-query(class=A): everything that reaches A;
+        # the blank subclass is filtered, Z can't pass the MONDO gate
+        assert self._run(
+            mondo_graph, self.SUPERCLASS_OF_Q, **{"class": ("iri", "urn:A")}
+        ) == ["urn:A", "urn:B", "urn:C"]
+
+    def test_direct_hops(self, spark, mondo_graph):
+        assert self._run(
+            mondo_graph, self.DIRECT_SUBCLASS_OF_Q, **{"class": ("iri", "urn:B")}
+        ) == ["urn:A"]
+        assert self._run(
+            mondo_graph,
+            self.DIRECT_SUPERCLASS_OF_Q,
+            **{"class": ("iri", "urn:A")},
+        ) == ["urn:B"]
