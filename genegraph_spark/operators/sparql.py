@@ -1826,11 +1826,20 @@ def _select_project(c: "_Compiler", q: Query, bindings: DataFrame, tagged: bool)
             having = [rewrite(h) for h in q.having]
             for name, e in hidden:
                 aggs.append(c.agg_expr(e, bindings).alias(name))
-            grouped = (
-                bindings.groupBy(*q.group_by).agg(*aggs)
-                if q.group_by
-                else bindings.agg(*aggs)
-            )
+            if q.group_by and not aggs:
+                # GROUP BY with no aggregate projections (SPARQL §11:
+                # grouped vars project directly — one row per group, i.e.
+                # DISTINCT over the keys; actionability.clj's
+                # uniq-disease-pairs `GROUP BY ?gene ?disease` shape).
+                # Spark's groupBy().agg() requires >=1 expr, so compile
+                # as dropDuplicates on the keys instead.
+                grouped = bindings.select(*q.group_by).dropDuplicates(q.group_by)
+            else:
+                grouped = (
+                    bindings.groupBy(*q.group_by).agg(*aggs)
+                    if q.group_by
+                    else bindings.agg(*aggs)
+                )
             for h in having:
                 grouped = grouped.where(c.bool_expr(h, grouped))
             if tagged:

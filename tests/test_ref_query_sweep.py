@@ -313,3 +313,225 @@ class TestConditionHierarchyQueries:
             self.DIRECT_SUPERCLASS_OF_Q,
             **{"class": ("iri", "urn:A")},
         ) == ["urn:B"]
+
+
+HP_MOI_ROOT = "http://purl.obolibrary.org/obo/HP_0000005"
+MONDO_GRAPH = "http://purl.obolibrary.org/obo/mondo.owl"
+ADULT_WG = ":cg/AdultActionabilityWorkingGroup"
+
+
+class TestRemainingEmbeddedQueries:
+    """The last string-form create-queries without verbatim-execution
+    coverage, all executed unmodified: the actionability tot-* family
+    (actionability.clj:12-134), the actionability-assertion report-date
+    (actionability_assertion.clj:5-16), gene_validity.clj's
+    primary-attribution, mode_of_inheritance.clj's HP-rooted MOI
+    enumeration, common/curation.clj's text-search disease query
+    (:303-309), the two one-BGP suggester corpus queries
+    (suggesters.clj:41,63), and util/test_data.clj's GRAPH-scoped
+    MONDO-subgraph CONSTRUCT extraction."""
+
+    @pytest.fixture(scope="class")
+    def act_graph(self, spark):
+        return T(
+            spark,
+            [
+                # report r1: two EvidenceRole contributions (later one
+                # agented), one ApproverRole, version 2.0.1, a
+                # preferred-condition part and a rule-out part
+                iri("urn:r1", "rdf:type", ":sepio/ActionabilityReport"),
+                lit("urn:r1", ":dc/has-version", "2.0.1"),
+                iri("urn:r1", ":sepio/qualified-contribution", "urn:c1"),
+                iri("urn:c1", ":bfo/realizes", ":sepio/EvidenceRole"),
+                lit("urn:c1", ":sepio/activity-date", "2020-01-01"),
+                iri("urn:r1", ":sepio/qualified-contribution", "urn:c2"),
+                iri("urn:c2", ":bfo/realizes", ":sepio/EvidenceRole"),
+                lit("urn:c2", ":sepio/activity-date", "2021-05-05"),
+                iri("urn:c2", ":sepio/has-agent", ADULT_WG),
+                iri("urn:r1", ":sepio/qualified-contribution", "urn:c3"),
+                iri("urn:c3", ":bfo/realizes", ":sepio/ApproverRole"),
+                iri("urn:c3", ":sepio/has-agent", ADULT_WG),
+                iri(
+                    "urn:p1",
+                    "rdf:type",
+                    ":cg/ActionabilityAssertionForPreferredCondition",
+                ),
+                iri("urn:p1", ":sepio/has-object", "urn:diseaseX"),
+                iri("urn:p1", ":sepio/has-subject", "urn:geneX"),
+                iri("urn:r1", ":bfo/has-part", "urn:p1"),
+                iri(
+                    "urn:p2",
+                    ":sepio/has-predicate",
+                    ":sepio/InsufficientEvidenceForActionabilityEarlyRuleOut",
+                ),
+                iri("urn:r1", ":bfo/has-part", "urn:p2"),
+                # report r3: original version, no contributions
+                iri("urn:r3", "rdf:type", ":sepio/ActionabilityReport"),
+                lit("urn:r3", ":dc/has-version", "1.0.0"),
+                # gene-validity assertion with an approver attribution
+                iri("urn:a1", ":sepio/qualified-contribution", "urn:c4"),
+                iri("urn:c4", ":bfo/realizes", ":sepio/ApproverRole"),
+                iri("urn:c4", ":sepio/has-agent", "urn:agentZ"),
+                # modes of inheritance
+                iri("urn:prop1", "rdf:type", ":sepio/GeneValidityProposition"),
+                iri("urn:prop1", ":sepio/has-qualifier", "urn:moiAD"),
+                iri("urn:moiAD", SUB, HP_MOI_ROOT),
+                iri("urn:prop2", "rdf:type", ":sepio/GeneValidityProposition"),
+                iri("urn:prop2", ":sepio/has-qualifier", "urn:moiX"),
+                # text-searchable disease + suggester corpora
+                iri("urn:dA", SUB, MONDO),
+                lit("urn:dA", ":cg/resource", "marfan syndrome"),
+                lit("urn:dA", ":rdfs/label", "Marfan"),
+                iri("urn:gX", "rdf:type", ":so/ProteinCodingGene"),
+                iri("urn:dr1", "rdf:type", ":chebi/Drug"),
+            ],
+        )
+
+    def _run(self, m, q, **params):
+        from genegraph_spark.operators import sparql as S
+
+        return sorted(r[0] for r in S.sparql(m, q, **params).collect())
+
+    def test_actionability_report_date(self, spark, act_graph):
+        q = (
+            "select ?contribution where "
+            " { ?report :sepio/qualified-contribution ?contribution . "
+            "   ?contribution :bfo/realizes :sepio/EvidenceRole . "
+            "   ?contribution :sepio/activity-date ?date } "
+            " order by desc(?date) "
+            " limit 1 "
+        )
+        assert self._run(act_graph, q, report=("iri", "urn:r1")) == ["urn:c2"]
+
+    def test_wg_search_reports(self, spark, act_graph):
+        q = (
+            "select ?qc where { ?s a :sepio/ActionabilityReport . "
+            "?s :sepio/qualified-contribution ?qc . "
+            "?qc :bfo/realizes :sepio/EvidenceRole ."
+            "?qc :sepio/has-agent ?agent . }"
+        )
+        # only the agented EvidenceRole contribution qualifies
+        assert self._run(act_graph, q) == ["urn:c2"]
+
+    def test_tot_reports_and_updated(self, spark, act_graph):
+        assert self._run(
+            act_graph, "select ?s where { ?s a :sepio/ActionabilityReport }"
+        ) == ["urn:r1", "urn:r3"]
+        q = (
+            "select ?s where { ?s a :sepio/ActionabilityReport . "
+            "?s :dc/has-version ?v . "
+            "FILTER regex(?v, '[2-9].[0-9].[0-9]') }"
+        )
+        assert self._run(act_graph, q) == ["urn:r1"]
+
+    def test_uniq_disease_pairs(self, spark, act_graph):
+        q = (
+            "select ?gene where { "
+            "?part a :cg/ActionabilityAssertionForPreferredCondition . "
+            "?part :sepio/has-object ?disease . "
+            "?part :sepio/has-subject ?gene . "
+            "?s :bfo/has-part ?part . "
+            "?s a :sepio/ActionabilityReport . "
+            "?s :sepio/qualified-contribution ?qc . "
+            "?qc :sepio/has-agent ?wg } "
+            "GROUP BY ?gene ?disease "
+        )
+        # two agented contributions would double the row without the
+        # GROUP BY; the grouped projection collapses to one per pair
+        assert self._run(act_graph, q) == ["urn:geneX"]
+
+    def test_score_counts_and_rule_out(self, spark, act_graph):
+        q_sc = (
+            "select ?s where { "
+            "?s a :sepio/ActionabilityReport . "
+            "?s :sepio/qualified-contribution ?qc . "
+            "?qc :bfo/realizes :sepio/ApproverRole . "
+            "?qc :sepio/has-agent ?wg }"
+        )
+        assert self._run(act_graph, q_sc, wg=("iri", ADULT_WG)) == ["urn:r1"]
+        q_ro = (
+            "select ?p where { "
+            "?s a :sepio/ActionabilityReport . "
+            "?s :bfo/has-part ?p . "
+            "?p :sepio/has-predicate :sepio/InsufficientEvidenceForActionabilityEarlyRuleOut . "
+            "?s :sepio/qualified-contribution ?qc . "
+            "?qc :sepio/has-agent ?wg }"
+        )
+        # {::q/distinct false}: both agented contributions bind ?qc, so
+        # the part appears once per binding (bag semantics)
+        assert self._run(act_graph, q_ro, wg=("iri", ADULT_WG)) == [
+            "urn:p2",
+            "urn:p2",
+        ]
+
+    def test_assertion_report_date(self, spark, act_graph):
+        q = (
+            "select ?contribution where "
+            " { ?report :bfo/has-part ?assertion . "
+            "   ?report :sepio/qualified-contribution ?contribution . "
+            "   ?contribution :bfo/realizes :sepio/EvidenceRole . "
+            "   ?contribution :sepio/activity-date ?date } "
+            " order by desc(?date) "
+            " limit 1 "
+        )
+        assert self._run(act_graph, q, assertion=("iri", "urn:p1")) == ["urn:c2"]
+
+    def test_primary_attribution(self, spark, act_graph):
+        q = """select ?agent where {
+    ?assertion :sepio/qualified-contribution ?contribution . 
+    ?contribution :bfo/realizes :sepio/ApproverRole ;
+    :sepio/has-agent ?agent . } 
+   limit 1 """
+        assert self._run(act_graph, q, assertion=("iri", "urn:a1")) == [
+            "urn:agentZ"
+        ]
+
+    def test_modes_of_inheritance(self, spark, act_graph):
+        q = """select distinct ?moi where 
+{ ?prop a :sepio/GeneValidityProposition .
+  ?prop :sepio/has-qualifier ?moi .
+  ?moi <http://www.w3.org/2000/01/rdf-schema#subClassOf>* <http://purl.obolibrary.org/obo/HP_0000005> }"""
+        # moiX has no HP-root path — excluded
+        assert self._run(act_graph, q) == ["urn:moiAD"]
+
+    def test_disease_text_search(self, spark, act_graph):
+        q = (
+            "select ?s WHERE { "
+            "?s :jena/query ( :cg/resource ?text ) . "
+            "?s <http://www.w3.org/2000/01/rdf-schema#subClassOf>* "
+            "<http://purl.obolibrary.org/obo/MONDO_0000001> . "
+            "?s :rdfs/label ?disease_label . "
+            "FILTER (!isBlank(?s)) }"
+        )
+        assert self._run(act_graph, q, text="marfan") == ["urn:dA"]
+
+    def test_suggester_corpus_queries(self, spark, act_graph):
+        assert self._run(
+            act_graph, "select ?s WHERE { ?s a :so/ProteinCodingGene }"
+        ) == ["urn:gX"]
+        assert self._run(act_graph, "select ?s WHERE { ?s a :chebi/Drug }") == [
+            "urn:dr1"
+        ]
+
+    def test_mondo_subgraph_construct(self, spark):
+        from genegraph_spark.operators import sparql as S
+
+        rows = [
+            ("g", "urn:dA", SUB, "urn:MROOT", True, None),
+            (MONDO_GRAPH, "urn:dA", ":rdfs/label", "Marfan", False, None),
+            (MONDO_GRAPH, "urn:MROOT", ":rdfs/label", "root", False, None),
+            (MONDO_GRAPH, "urn:other", ":rdfs/label", "nope", False, None),
+        ]
+        m = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+        q = (
+            "construct {?s ?p ?o} where { "
+            " ?disease <http://www.w3.org/2000/01/rdf-schema#subClassOf>* ?s ."
+            " GRAPH <http://purl.obolibrary.org/obo/mondo.owl> { ?s ?p ?o } } "
+        )
+        out = sorted(
+            (r.subject, r.object)
+            for r in S.sparql(m, q, disease=("iri", "urn:dA")).collect()
+        )
+        # the mondo-graph triples of every ancestor; the out-of-closure
+        # subject and the default-graph subClassOf edge excluded
+        assert out == [("urn:MROOT", "root"), ("urn:dA", "Marfan")]
