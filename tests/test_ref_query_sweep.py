@@ -535,3 +535,120 @@ class TestRemainingEmbeddedQueries:
         # the mondo-graph triples of every ancestor; the out-of-closure
         # subject and the default-graph subClassOf edge excluded
         assert out == [("urn:MROOT", "root"), ("urn:dA", "Marfan")]
+
+
+class TestAlgebraDataForms:
+    """create-query on COLLECTION input (query/resource.clj:228-229 →
+    query/algebra.clj op) — the way the whole curation resolver tier
+    builds its queries. The reference's actual data forms
+    (common/curation.clj) transliterated 1:1 (Clojure symbols → ?vars)
+    and executed through algebra.op/data_query: the per-activity ASK
+    patterns, the :project BGP queries, disease-list's three-way
+    :union, and the count mode."""
+
+    GV_BGP = [
+        ["?validity_proposition", ":sepio/has-subject", "?gene"],
+        ["?validity_proposition", ":sepio/has-object", "?disease"],
+        ["?validity_proposition", ":rdf/type", ":sepio/GeneValidityProposition"],
+    ]
+    ACT_BGP = [
+        ["?actionability_genetic_condition", ":sepio/is-about-gene", "?gene"],
+        ["?ac_report", ":sepio/is-about-condition", "?actionability_genetic_condition"],
+        ["?ac_report", ":rdf/type", ":sepio/ActionabilityReport"],
+        ["?actionability_genetic_condition", ":rdfs/sub-class-of", "?disease"],
+    ]
+    DOSAGE_DISEASE_BGP = [
+        ["?dosage_report", ":iao/is-about", "?gene"],
+        ["?gene", ":rdf/type", ":so/Gene"],
+        ["?dosage_report", ":rdf/type", ":sepio/GeneDosageReport"],
+        ["?dosage_report", ":bfo/has-part", "?dosage_assertion"],
+        ["?dosage_report", ":bfo/has-part", "?dosage_assertion"],
+        ["?dosage_assertion", ":sepio/has-subject", "?dosage_proposition"],
+        ["?dosage_proposition", ":sepio/has-object", "?disease"],
+    ]
+
+    @pytest.fixture(scope="class")
+    def curation_graph(self, spark):
+        return T(
+            spark,
+            [
+                # gene-validity curation for geneG/diseaseD
+                iri("urn:vp", ":sepio/has-subject", "urn:geneG"),
+                iri("urn:vp", ":sepio/has-object", "urn:diseaseD"),
+                iri("urn:vp", ":rdf/type", ":sepio/GeneValidityProposition"),
+                # actionability curation for geneG/diseaseD
+                iri("urn:agc", ":sepio/is-about-gene", "urn:geneG"),
+                iri("urn:acr", ":sepio/is-about-condition", "urn:agc"),
+                iri("urn:acr", ":rdf/type", ":sepio/ActionabilityReport"),
+                iri("urn:agc", ":rdfs/sub-class-of", "urn:diseaseD"),
+                # dosage curation for geneG/diseaseD
+                iri("urn:dr", ":iao/is-about", "urn:geneG"),
+                iri("urn:geneG", ":rdf/type", ":so/Gene"),
+                iri("urn:dr", ":rdf/type", ":sepio/GeneDosageReport"),
+                iri("urn:dr", ":bfo/has-part", "urn:da"),
+                iri("urn:da", ":sepio/has-subject", "urn:dp"),
+                iri("urn:dp", ":sepio/has-object", "urn:diseaseD"),
+                # geneH: gene-validity only (for the activity ASKs)
+                iri("urn:vp2", ":sepio/has-subject", "urn:geneH"),
+                iri("urn:vp2", ":sepio/has-object", "urn:diseaseE"),
+                iri("urn:vp2", ":rdf/type", ":sepio/GeneValidityProposition"),
+            ],
+        )
+
+    def test_activity_ask_patterns(self, spark, curation_graph):
+        # curation.clj:43-45: (create-query (cons :bgp pattern)
+        # {::q/type :ask}) per activity, pre-bound {:gene resource}
+        from genegraph_spark.operators import algebra as A
+
+        for bgp_form, gene, expect in [
+            (self.GV_BGP, "urn:geneG", True),
+            (self.ACT_BGP, "urn:geneG", True),
+            (self.DOSAGE_DISEASE_BGP, "urn:geneG", True),
+            (self.GV_BGP, "urn:geneH", True),
+            (self.ACT_BGP, "urn:geneH", False),
+            (self.DOSAGE_DISEASE_BGP, "urn:geneH", False),
+            (self.GV_BGP, "urn:geneZ", False),
+        ]:
+            got = A.data_query(
+                curation_graph,
+                [":bgp", *bgp_form],
+                params={"gene": gene},
+                mode="ask",
+            )
+            assert got is expect, (bgp_form[0], gene)
+
+    def test_project_bgp_queries(self, spark, curation_graph):
+        # curation.clj:78-83,116-117: [:project ['x] (cons :bgp bgp)]
+        from genegraph_spark.operators import algebra as A
+
+        out = A.op(curation_graph, [":project", ["ac_report"], [":bgp", *self.ACT_BGP]])
+        assert [r.ac_report for r in out.collect()] == ["urn:acr"]
+        out = A.op(
+            curation_graph,
+            [":project", ["dosage_assertion"], [":bgp", *self.DOSAGE_DISEASE_BGP]],
+        )
+        assert [r.dosage_assertion for r in out.collect()] == ["urn:da"]
+
+    def test_disease_list_union(self, spark, curation_graph):
+        # condition.clj:66-70: [:union (cons :bgp gv) (cons :bgp act)
+        # (cons :bgp dosage)] projected to ?disease
+        from genegraph_spark.operators import algebra as A
+
+        form = [
+            ":project",
+            ["disease"],
+            [
+                ":union",
+                [":bgp", *self.GV_BGP],
+                [":bgp", *self.ACT_BGP],
+                [":bgp", *self.DOSAGE_DISEASE_BGP],
+            ],
+        ]
+        out = sorted(r.disease for r in A.op(curation_graph, form).collect())
+        # bag semantics: diseaseD via all three branches, diseaseE via GV
+        assert out == ["urn:diseaseD", "urn:diseaseD", "urn:diseaseD", "urn:diseaseE"]
+        assert A.data_query(curation_graph, form, mode="count") == 4
+        dform = [":distinct", form]
+        assert sorted(
+            r.disease for r in A.op(curation_graph, dform).collect()
+        ) == ["urn:diseaseD", "urn:diseaseE"]
