@@ -25,6 +25,8 @@ DEFAULT = [
     "alg_sparql_select", "alg_sparql_agg", "kg_nested_shapes",
     "kg_rdfxml_docs", "dedup_spans", "dedup_cluster_reps",
     "text_decontaminate",
+    # round 5
+    "cur_actionability_assertions",
 ]
 
 MARKERS = [
