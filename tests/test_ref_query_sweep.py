@@ -652,3 +652,83 @@ class TestAlgebraDataForms:
         assert sorted(
             r.disease for r in A.op(curation_graph, dform).collect()
         ) == ["urn:diseaseD", "urn:diseaseE"]
+
+
+class TestActionabilityTransitional:
+    """transform/actionability_transitional — the 40th (and last
+    uncovered) reference ``.sparql`` file, executed VERBATIM over an
+    ACI-shaped model (the post-JSON-LD-expansion form ``as-model``
+    produces, actionability_transitional.clj:58-62): per-solution FRESH
+    template bnodes for the approval contribution, the OPTIONAL
+    (gene, iri)-keyed assertion link, and the
+    ``coalesce(?included_assertion, SEPIO_0003541)`` assertion-pending
+    fallback."""
+
+    ACI = "http://actionability.clinicalgenome.org/"
+    AX = "http://dataexchange.clinicalgenome.org/acixform/"
+    RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    SPARQL = (
+        "/root/reference/src/genegraph/transform/actionability_transitional/"
+        "construct_actionability_report.sparql"
+    )
+
+    @pytest.fixture(autouse=True)
+    def _need_ref(self):
+        if not os.path.exists(self.SPARQL):
+            pytest.skip("reference tree not present")
+
+    def test_verbatim_output(self, spark):
+        from genegraph_spark.operators import sparql as S
+
+        ACI, AX = self.ACI, self.AX
+        m = T(
+            spark,
+            [
+                iri(ACI + "r1n", self.RDF_TYPE, ACI + "actionability"),
+                iri(ACI + "r1n", AX + "iri", "https://example.org/report1"),
+                lit(ACI + "r1n", AX + "approvalDate", "2022-01-01"),
+                lit(ACI + "r1n", AX + "searchDates", "2021-12-01"),
+                lit(ACI + "r1n", AX + "affiliations", "Adult AWG"),
+                iri(ACI + "r1n", AX + "conditions", "urn:c1"),
+                iri(ACI + "r1n", AX + "conditions", "urn:c2"),
+                iri("urn:c1", AX + "iri", "urn:diseaseA"),
+                iri("urn:c1", AX + "gene", "urn:gene1"),
+                iri("urn:c2", AX + "iri", "urn:diseaseB"),
+                iri("urn:c2", AX + "gene", "urn:gene2"),
+                iri(ACI + "r1n", AX + "assertions", "urn:an1"),
+                iri(
+                    "urn:an1",
+                    AX + "assertion",
+                    "http://purl.obolibrary.org/obo/SEPIO_0003537",
+                ),
+                iri("urn:an1", AX + "gene", "urn:gene1"),
+                iri("urn:an1", AX + "iri", "urn:diseaseA"),
+            ],
+        )
+        out = S.sparql(m, open(self.SPARQL).read()).collect()
+        spo = {(r.subject, r.predicate, r.object) for r in out}
+        rep = "https://example.org/report1"
+        # report typing + parts
+        assert (rep, "rdf:type", ":sepio/ActionabilityReport") in spo
+        assert (rep, ":bfo/has-part", "urn:c1") in spo
+        assert (rep, ":bfo/has-part", "urn:c2") in spo
+        # condition c1 carries the LINKED assertion; c2 falls back to
+        # Assertion Pending via the coalesce BIND
+        assert ("urn:c1", ":sepio/has-predicate",
+                "http://purl.obolibrary.org/obo/SEPIO_0003537") in spo
+        assert ("urn:c2", ":sepio/has-predicate",
+                "http://purl.obolibrary.org/obo/SEPIO_0003541") in spo
+        assert ("urn:c1", ":sepio/has-subject", "urn:gene1") in spo
+        assert ("urn:c2", ":sepio/has-object", "urn:diseaseB") in spo
+        assert ("urn:c1", "rdf:type", ":sepio/ActionabilityAssertion") in spo
+        # fresh approval-contribution bnode PER SOLUTION: two condition
+        # rows → two distinct bnodes, each realizing ApproverRole with
+        # the approval date
+        contribs = sorted(
+            o for s, p, o in spo if p == ":sepio/qualified-contribution"
+        )
+        assert len(contribs) == 2 and contribs[0] != contribs[1]
+        for b in contribs:
+            assert b.startswith("_:")
+            assert (b, ":bfo/realizes", ":sepio/ApproverRole") in spo
+            assert (b, ":sepio/activity-date", "2022-01-01") in spo
