@@ -1774,6 +1774,79 @@ def q_kg_gci_express(spark, sf_dir):
     return GL.gci_express_triples(reports, gm)
 
 
+def q_kg_gci_neo4j(spark, sf_dir):
+    # the Neo4j-era gene-validity export (gci_neo4j.clj): report +
+    # score-string content node + full assertion tree — old-score and
+    # SOP concept maps, proposition, approver contribution with the
+    # kb-agents → affiliation IRI rewrite; map-only, zero shuffles
+    from genegraph_spark.sources import gci_misc as GM
+
+    e, u = F.col("event_id"), F.col("user_id")
+    scores = list(GM.OLD_SCORE_TO_NEW)
+    reports = _read(spark, sf_dir, "events").select(
+        F.concat(F.lit("gdm-"), e.cast("string")).alias("id"),
+        F.concat(
+            F.lit("2020-01-0"), (e % 9 + 1).cast("string"), F.lit("T10:00:00")
+        ).alias("date"),
+        F.concat(F.lit("Report "), e.cast("string")).alias("title"),
+        F.concat(
+            F.lit("https://www.ncbi.nlm.nih.gov/gene/"), u.cast("string")
+        ).alias("gene"),
+        F.concat(
+            F.lit("http://purl.obolibrary.org/obo/MONDO_"), (u % 50).cast("string")
+        ).alias("disease"),
+        F.concat(
+            F.lit("http://purl.obolibrary.org/obo/HP_000000"), (e % 3).cast("string")
+        ).alias("moi"),
+        F.concat(F.lit(GM.KB_AGENTS), (u % 10).cast("string")).alias("gcep"),
+        F.element_at(
+            F.array(*[F.lit(s) for s in scores]), (e % 7 + 1).cast("int")
+        ).alias("score"),
+        (e % 3 + 5).cast("string").alias("sop_version"),
+        F.concat(F.lit('{"score":'), (e % 7).cast("string"), F.lit("}")).alias(
+            "score_string"
+        ),
+    )
+    return GM.gci_neo4j_triples(reports)
+
+
+def q_fn_submitter_agents(spark, sf_dir):
+    # ClinVar submitter snapshots → GA4GH Agent rows
+    # (clinvar/submitter.clj): versioned id, label, and the
+    # fields-to-extension-maps output EXPLODED to (name, value) rows —
+    # only current_abbrev (when present) and the injected submitter id
+    # survive the reference's select-keys (two of its three keys never
+    # exist in the payload; preserved verbatim)
+    from genegraph_spark.sources import gci_misc as GM
+
+    e, u = F.col("event_id"), F.col("user_id")
+    msgs = _read(spark, sf_dir, "events").select(
+        u.cast("string").alias("id"),
+        F.concat(F.lit("2022-02-0"), (e % 9 + 1).cast("string")).alias(
+            "release_date"
+        ),
+        F.concat(F.lit("Org "), u.cast("string")).alias("current_name"),
+        F.when(e % 3 != 0, F.concat(F.lit("O"), u.cast("string"))).alias(
+            "current_abbrev"
+        ),
+    )
+    agents = GM.submitter_agents(msgs)
+    return agents.select(
+        "id",
+        "is_version_of",
+        "type",
+        "label",
+        F.explode("extensions").alias("ext"),
+    ).select(
+        "id",
+        "is_version_of",
+        "type",
+        "label",
+        F.col("ext.name").alias("ext_name"),
+        F.col("ext.value").alias("ext_value"),
+    )
+
+
 def q_kg_vcv_statements(spark, sf_dir):
     # ClinVar VCV variation-archive messages → ClinVarVCVStatement
     # models (variation_archive.clj): statement/proposition/descriptor
@@ -2213,6 +2286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_affiliations_csv": q_kg_affiliations_csv,
         "kg_gci_legacy": q_kg_gci_legacy,
         "kg_gci_express": q_kg_gci_express,
+        "kg_gci_neo4j": q_kg_gci_neo4j,
+        "fn_submitter_agents": q_fn_submitter_agents,
         "kg_vcv_statements": q_kg_vcv_statements,
         # round-4 additions
         "alg_sparql_select": q_alg_sparql_select,
@@ -3387,6 +3462,86 @@ d3 AS (
         q("kb", ":sepio/activity-date", "rdate", False, XS),
     ]
     return cte + "\n" + "\nUNION ALL\n".join(rows)
+
+
+def _gci_neo4j_oracle() -> str:
+    """DuckDB mirror of q_kg_gci_neo4j: same fixture derivation, same
+    triple list, sha256-deterministic bnodes (hash-exact incl. bnodes)."""
+    from genegraph_spark.sources import gci_misc as GM
+
+    scores = list(GM.OLD_SCORE_TO_NEW)
+    score_arr = "[" + ", ".join(f"'{s}'" for s in scores) + "]"
+    score_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in GM.OLD_SCORE_TO_NEW.items()
+    )
+    sop_case = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in GM.GCI_SOP_VERSION.items()
+    )
+    cte = f"""
+WITH r AS (
+  SELECT 'gdm-' || CAST(event_id AS VARCHAR) AS id,
+         '2020-01-0' || CAST(event_id % 9 + 1 AS VARCHAR) || 'T10:00:00' AS date,
+         'Report ' || CAST(event_id AS VARCHAR) AS title,
+         'https://www.ncbi.nlm.nih.gov/gene/' || CAST(user_id AS VARCHAR) AS gene,
+         'http://purl.obolibrary.org/obo/MONDO_' || CAST(user_id % 50 AS VARCHAR)
+           AS disease,
+         'http://purl.obolibrary.org/obo/HP_000000' || CAST(event_id % 3 AS VARCHAR)
+           AS moi,
+         'http://dataexchange.clinicalgenome.org/agent/'
+           || CAST(user_id % 10 AS VARCHAR) AS agent,
+         ({score_arr})[CAST(event_id % 7 AS INT) + 1] AS score,
+         CAST(event_id % 3 + 5 AS VARCHAR) AS sop_version,
+         '{{"score":' || CAST(event_id % 7 AS VARCHAR) || '}}' AS score_string
+  FROM events),
+n AS (
+  SELECT r.*,
+         '{GM.GCI_ROOT}report_' || id || '-' || replace(date, ':', '') AS iri,
+         '{GM.GCI_ROOT}assertion_' || id || '-' || replace(date, ':', '')
+           AS assertion,
+         '{GM.GCI_ROOT}proposition_' || id AS prop,
+         CASE score {score_case} END AS score_concept,
+         CASE sop_version {sop_case} END AS sop_concept
+  FROM r),
+x AS (
+  SELECT n.*,
+         '_:' || substr(sha256(iri || '|content'), 1, 32) AS content,
+         '_:' || substr(sha256(assertion || '|contribution'), 1, 32) AS contrib
+  FROM n)
+"""
+    rt = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def q(s, p, o, is_iri, dt_lit=False):
+        dtv = "CAST(NULL AS VARCHAR)"
+        return (
+            f"SELECT iri AS graph, {s} AS subject, '{p}' AS predicate, "
+            f"{o} AS object, {str(is_iri).upper()} AS object_is_iri, "
+            f"{dtv} AS object_datatype FROM x"
+        )
+
+    rows = [
+        q("iri", rt, "':sepio/GeneValidityReport'", True),
+        q("iri", ":bfo/has-part", "content", True),
+        q("iri", ":bfo/has-part", "assertion", True),
+        q("content", rt, "':cnt/ContentAsText'", True),
+        q("content", ":cnt/chars", "score_string", False),
+        q("iri", ":rdfs/label", "title", False),
+        q("assertion", rt, "':sepio/GeneValidityEvidenceLevelAssertion'", True),
+        q("assertion", ":sepio/has-subject", "prop", True),
+        q("assertion", ":sepio/has-predicate", "':sepio/HasEvidenceLevel'", True),
+        q("assertion", ":sepio/has-object", "score_concept", True),
+        q("assertion", ":sepio/qualified-contribution", "contrib", True),
+        q("assertion", ":sepio/is-specified-by", "sop_concept", True),
+        q("assertion", ":dc/has-format", "sop_concept", True),
+        q("prop", rt, "':sepio/GeneValidityProposition'", True),
+        q("prop", ":sepio/has-subject", "gene", True),
+        q("prop", ":sepio/has-predicate", "':ro/IsCausalGermlineMutationIn'", True),
+        q("prop", ":sepio/has-object", "disease", True),
+        q("prop", ":sepio/has-qualifier", "moi", True),
+        q("contrib", ":bfo/realizes", "':sepio/ApproverRole'", True),
+        q("contrib", ":sepio/has-agent", "agent", True),
+        q("contrib", ":sepio/activity-date", "date", False),
+    ]
+    return cte + "\nUNION ALL\n".join(rows)
 
 
 def _vcv_oracle() -> str:
@@ -4695,6 +4850,32 @@ FROM events""",
         **_basedata_oracles(),
         "kg_gci_legacy": _gci_legacy_oracle(),
         "kg_gci_express": _gci_express_oracle(),
+        "kg_gci_neo4j": _gci_neo4j_oracle(),
+        "fn_submitter_agents": """
+WITH m AS (
+  SELECT CAST(user_id AS VARCHAR) AS id,
+         '2022-02-0' || CAST(event_id % 9 + 1 AS VARCHAR) AS release_date,
+         'Org ' || CAST(user_id AS VARCHAR) AS current_name,
+         CASE WHEN event_id % 3 <> 0
+              THEN 'O' || CAST(user_id AS VARCHAR) END AS current_abbrev
+  FROM events),
+a AS (
+  SELECT 'http://dataexchange.clinicalgenome.org/terms/clinvar_submitter_'
+           || id AS is_version_of,
+         id, release_date, current_name, current_abbrev
+  FROM m),
+base AS (
+  SELECT is_version_of || '.' || release_date AS id, is_version_of,
+         'Agent' AS type, current_name AS label,
+         m_id, current_abbrev
+  FROM (SELECT a.*, a.id AS m_id FROM a))
+SELECT id, is_version_of, type, label,
+       'current_abbrev' AS ext_name, current_abbrev AS ext_value
+FROM base WHERE current_abbrev IS NOT NULL
+UNION ALL
+SELECT id, is_version_of, type, label,
+       'clinvar_submitter_id' AS ext_name, m_id AS ext_value
+FROM base""",
         "kg_vcv_statements": _vcv_oracle(),
         "kg_clinvar_statements": """
 WITH n AS (SELECT * FROM read_csv(

@@ -1508,3 +1508,101 @@ class TestActionabilityAssertionCards:
         r = out[0]
         assert r.report_date == "2024-01-01 00:00:00"
         assert r.attributed_to == "urn:agent:6"
+
+
+class TestGciMisc:
+    """The small GCI ingest variants (gci_neo4j_report_only,
+    gci_legacy_report_only, the gci.clj GDI stub) and the ClinVar
+    submitter Agent transform — the remaining transform/ namespaces."""
+
+    def test_neo4j_report_only_scheme(self, spark):
+        from genegraph_spark.sources import gci_misc as GM
+
+        reports = spark.createDataFrame(
+            [("abc", "2020-01-01T10:00:00", "T", "g", "d", "m", "w",
+              list(GM.OLD_SCORE_TO_NEW)[0], "5", '{"s":1}')],
+            "id string, date string, title string, gene string, disease string, "
+            "moi string, gcep string, score string, sop_version string, "
+            "score_string string",
+        )
+        full = GM.gci_neo4j_triples(reports).collect()
+        ro = GM.gci_neo4j_triples(reports, report_only=True).collect()
+        # full: 21 triples, report IRI carries the colon-stripped date
+        assert len(full) == 21
+        assert full[0].graph.endswith("report_abc-2020-01-01T100000")
+        # report-only: 5 triples (skeleton + content), undated IRI
+        # scheme, assertion = bare id
+        assert len(ro) == 5
+        assert all(r.graph.endswith("gci/abc_report") for r in ro)
+        parts = sorted(
+            r.object for r in ro if r.predicate == ":bfo/has-part"
+        )
+        assert parts[1].endswith("gci/abc")
+        chars = [r for r in ro if r.predicate == ":cnt/chars"]
+        assert chars[0].object == '{"s":1}' and not chars[0].object_is_iri
+
+    def test_legacy_report_only_gate_and_animal_model(self, spark):
+        from genegraph_spark.sources import gci_misc as GM
+
+        reports = spark.createDataFrame(
+            [("r1", '{"iri":"r1"}', "true"),
+             ("r2", '{"iri":"r2"}', None),
+             (None, '{"noiri":1}', "false")],
+            "id string, payload string, animal_model string",
+        )
+        out = GM.gci_legacy_report_only_triples(reports).collect()
+        by_graph = {}
+        for r in out:
+            by_graph.setdefault(r.graph, []).append(r)
+        # the spec gate drops the iri-less row entirely
+        assert len(by_graph) == 2
+        g1 = by_graph["http://dataexchange.clinicalgenome.org/gci/r1_report"]
+        g2 = by_graph["http://dataexchange.clinicalgenome.org/gci/r2_report"]
+        # animal-model triple only where the flag is present
+        assert any(r.predicate == ":cg/is-animal-model-only" for r in g1)
+        assert not any(r.predicate == ":cg/is-animal-model-only" for r in g2)
+        # the content node keeps the ORIGINAL payload bytes
+        assert [r.object for r in g1 if r.predicate == ":cnt/chars"] == [
+            '{"iri":"r1"}'
+        ]
+
+    def test_gdi_stub(self, spark):
+        from genegraph_spark.sources import gci_misc as GM
+
+        docs = spark.createDataFrame([("urn:gdi1",)], "report_id string")
+        out = {(r.subject, r.predicate, r.object)
+               for r in GM.gdi_report_triples(docs).collect()}
+        assert ("urn:gdi1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                ":sepio/GeneValidityReport") in out
+        assert ("urn:gdi1", ":bfo/has-part", "/assertionurn:gdi1") in out
+        assert ("/assertionurn:gdi1",
+                "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                ":sepio/GeneValidityEvidenceLevelAssertion") in out
+
+    def test_submitter_extensions(self, spark):
+        from genegraph_spark.sources import gci_misc as GM
+
+        msgs = spark.createDataFrame(
+            [("506077", "2022-02-08", "KK Hospital", "KKH"),
+             ("9", "2022-02-09", "No Abbrev Org", None)],
+            "id string, release_date string, current_name string, "
+            "current_abbrev string",
+        )
+        out = {r.id: r for r in GM.submitter_agents(msgs).collect()}
+        a = out[
+            "http://dataexchange.clinicalgenome.org/terms/"
+            "clinvar_submitter_506077.2022-02-08"
+        ]
+        assert a.type == "Agent" and a.label == "KK Hospital"
+        exts = {(e.name, e.value) for e in a.extensions}
+        # only current_abbrev + the injected id survive select-keys
+        # (alternate_names / org_categority never exist in the payload)
+        assert exts == {("current_abbrev", "KKH"),
+                        ("clinvar_submitter_id", "506077")}
+        b = out[
+            "http://dataexchange.clinicalgenome.org/terms/"
+            "clinvar_submitter_9.2022-02-09"
+        ]
+        assert {(e.name, e.value) for e in b.extensions} == {
+            ("clinvar_submitter_id", "9")
+        }
