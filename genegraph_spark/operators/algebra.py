@@ -125,11 +125,16 @@ def _sort_exprs(specs, numeric_aware: bool = False):
     cols = []
     for v, d in specs:
         base = F.col(v.lstrip("?"))
+        # SPARQL §15.1: an UNBOUND value sorts lowest — first ascending,
+        # last descending. Spark's native null ordering is the opposite
+        # split (nulls first asc ONLY for a bare column; our multi-part
+        # key broke even that), so lead every key with a bound flag.
+        parts = [base.isNotNull().cast("int")]
         if numeric_aware:
             dv = base.try_cast("double")  # ANSI-safe: non-numeric → NULL
-            parts = [dv.isNull().cast("int"), F.coalesce(dv, F.lit(0.0)), base]
+            parts += [dv.isNull().cast("int"), F.coalesce(dv, F.lit(0.0)), base]
         else:
-            parts = [base]
+            parts += [base]
         cols.extend(p.desc() if d == "desc" else p.asc() for p in parts)
     return cols
 

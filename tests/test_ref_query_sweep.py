@@ -732,3 +732,30 @@ class TestActionabilityTransitional:
             assert b.startswith("_:")
             assert (b, ":bfo/realizes", ":sepio/ApproverRole") in spo
             assert (b, ":sepio/activity-date", "2022-01-01") in spo
+
+
+class TestUnboundOrdering:
+    """SPARQL §15.1: an unbound value sorts LOWEST — first in ascending
+    order, last in descending. (Spark's native null ordering split is
+    the opposite; the multi-part numeric-aware key previously pushed
+    unbound last ascending.)"""
+
+    def test_optional_var_order(self, spark):
+        from genegraph_spark.operators import sparql as S
+
+        m = T(
+            spark,
+            [
+                iri("urn:a", ":p", "urn:x"),
+                iri("urn:b", ":p", "urn:y"),
+                lit("urn:a", ":score", "5", "xsd:integer"),
+            ],
+        )
+        q = (
+            "select ?s ?v where { ?s :p ?o . OPTIONAL { ?s :score ?v } } "
+            "order by DIR(?v)"
+        )
+        asc = [r.s for r in S.sparql(m, q.replace("DIR", "asc")).collect()]
+        desc = [r.s for r in S.sparql(m, q.replace("DIR", "desc")).collect()]
+        assert asc == ["urn:b", "urn:a"]  # unbound first ascending
+        assert desc == ["urn:a", "urn:b"]  # unbound last descending
