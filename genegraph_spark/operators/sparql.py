@@ -1900,15 +1900,27 @@ def _select_project(c: "_Compiler", q: Query, bindings: DataFrame, tagged: bool)
         if q.order or q.limit is not None or q.offset:
             if tagged:
                 # order on DECODED values (numeric-aware castable-first
-                # key, the agg MIN/MAX convention), project tags through
+                # key, the agg MIN/MAX convention), project tags through.
+                # Leading field: the SPARQL §15.1 term-kind tier —
+                # unbound < blank node < IRI < literal (tags are still
+                # present here, so the full tier is implementable; the
+                # untagged path below can only honor unbound-lowest).
                 keys = []
                 for v, d in q.order:
-                    val = term_value(F.col(v))
+                    c = F.col(v)
+                    val = term_value(c)
                     dv = val.try_cast("double")
+                    kind = (
+                        F.when(c.isNull(), 0)
+                        .when(term_is_iri(c) & val.startswith("_:"), 1)
+                        .when(term_is_iri(c), 2)
+                        .otherwise(3)
+                    )
                     k = F.struct(
-                        dv.isNull().cast("int").alias("k1"),
+                        kind.alias("k0"),
+                        F.coalesce(dv.isNull().cast("int"), F.lit(1)).alias("k1"),
                         F.coalesce(dv, F.lit(0.0)).alias("k2"),
-                        val.alias("k3"),
+                        F.coalesce(val, F.lit("")).alias("k3"),
                     )
                     keys.append(k.desc() if d == "desc" else k.asc())
                 if keys:

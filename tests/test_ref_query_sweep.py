@@ -759,3 +759,23 @@ class TestUnboundOrdering:
         desc = [r.s for r in S.sparql(m, q.replace("DIR", "desc")).collect()]
         assert asc == ["urn:b", "urn:a"]  # unbound first ascending
         assert desc == ["urn:a", "urn:b"]  # unbound last descending
+
+    def test_term_kind_tier_tagged_path(self, spark):
+        # full §15.1 tier in the tagged (sub-SELECT) ordering path:
+        # unbound < blank node < IRI < literal
+        from genegraph_spark.operators import sparql as S
+
+        m = T(
+            spark,
+            [
+                iri("urn:s1", ":p", "urn:iri-val"),
+                iri("urn:s2", ":p", "_:bn1"),
+                lit("urn:s3", ":p", "a-literal"),
+                lit("urn:s4", ":q", "x"),
+            ],
+        )
+        q = """select ?s ?o where {
+  { select ?s ?o where { { ?s ?any ?x } OPTIONAL { ?s :p ?o } } order by ?o }
+}"""
+        out = [r.s for r in S.sparql(m, q).collect()]
+        assert out == ["urn:s4", "urn:s2", "urn:s1", "urn:s3"]
