@@ -1606,3 +1606,73 @@ class TestGciMisc:
         assert {(e.name, e.value) for e in b.extensions} == {
             ("clinvar_submitter_id", "9")
         }
+
+
+class TestMoiViewVsVerbatimQuery:
+    """DIFFERENTIAL: the modes-of-inheritance resolver VIEW
+    (plans/curation.py, closure + broadcast semi-join) must agree with
+    the reference's VERBATIM SPARQL query (mode_of_inheritance.clj:6-10)
+    executed through the front-end over a bridged triples model of the
+    same data — two independent code paths, one answer."""
+
+    VERBATIM_Q = """select distinct ?moi where 
+{ ?prop a :sepio/GeneValidityProposition .
+  ?prop :sepio/has-qualifier ?moi .
+  ?moi <http://www.w3.org/2000/01/rdf-schema#subClassOf>* <http://purl.obolibrary.org/obo/HP_0000005> }"""
+
+    HP_ROOT = "http://purl.obolibrary.org/obo/HP_0000005"
+    SUB = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+
+    def test_view_matches_verbatim(self, spark):
+        from genegraph_spark import fixtures
+        from genegraph_spark.operators import sparql as S
+        from genegraph_spark.plans import curation as CUR
+
+        # assertion frame: every fixture event type appears as a MOI,
+        # including 'error' (outside the root subtree — must drop)
+        from genegraph_spark.functions.iri import BROADER
+
+        kinds = ["click", "view", "purchase", "signup", "error"]
+        assertions = spark.createDataFrame([(k,) for k in kinds], "moi string")
+        # --- path 1: the DataFrame view
+        edges = spark.createDataFrame(
+            [
+                ("g", c, BROADER, p, True, None)
+                for c, p in fixtures.MOI_HIERARCHY
+            ],
+            "graph string, subject string, predicate string, object string, "
+            "object_is_iri boolean, object_datatype string",
+        )
+        view_out = sorted(
+            r.moi for r in CUR.modes_of_inheritance(assertions, edges).collect()
+        )
+        # --- path 2: the verbatim SPARQL query over a bridged model
+        # (root renamed to the HP IRI the reference query hardcodes;
+        # edges become rdfs:subClassOf; qualifiers hang off propositions)
+        def bridge(term):
+            return self.HP_ROOT if term == "urn:moi:root" else term
+
+        rows = [
+            ("g", bridge(c), self.SUB, bridge(p), True, None)
+            for c, p in fixtures.MOI_HIERARCHY
+        ] + [
+            ("g", f"urn:prop:{k}", "rdf:type", ":sepio/GeneValidityProposition",
+             True, None)
+            for k in kinds
+        ] + [
+            ("g", f"urn:prop:{k}", ":sepio/has-qualifier", f"urn:moi:{k}",
+             True, None)
+            for k in kinds
+        ]
+        m = spark.createDataFrame(
+            rows,
+            "graph string, subject string, predicate string, object string, "
+            "object_is_iri boolean, object_datatype string",
+        )
+        sparql_out = sorted(
+            r.moi for r in S.sparql(m, self.VERBATIM_Q).collect()
+        )
+        assert view_out == sparql_out
+        assert "urn:moi:error" not in view_out
+        assert view_out == ["urn:moi:click", "urn:moi:purchase",
+                            "urn:moi:signup", "urn:moi:view"]
