@@ -1427,6 +1427,46 @@ def q_cur_evidence_cards(spark, sf_dir):
     return R.evidence_cards(m, max_depth=4)
 
 
+def _boilerplate_docs(spark, sf_dir):
+    # documents → newline-structured texts: a per-domain subscribe
+    # banner on every doc (ratio 1.0 → boilerplate), the organic words
+    # re-chunked into 10-word lines, and a copyright line on 1/4 of
+    # docs (ratio ~0.25 → NOT boilerplate at the 0.5 threshold)
+    docs = _read(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ", -1)
+    nchunks = F.ceil(F.size(words) / F.lit(10)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+    )
+    return docs.select(
+        "doc_id",
+        F.col("source").alias("domain"),
+        F.concat(
+            F.lit("subscribe to the "), F.col("source"), F.lit(" newsletter\n"),
+            F.array_join(chunks, "\n"),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(F.lit("\ncopyright "), F.col("source")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_text_boilerplate_strip(spark, sf_dir):
+    # CCNet/C4-style per-domain boilerplate line removal: lines present
+    # in >=50% of a domain's docs (and >=3 docs) strip; surviving lines
+    # reassemble in order. One explode + (domain, line) groupBy + one
+    # co-keyed anti join + one per-doc reassembly — no all-pairs, no
+    # broadcast of the (possibly corpus-scale) boilerplate set
+    from genegraph_spark.functions import textstats as TS
+
+    out = TS.strip_boilerplate(
+        _boilerplate_docs(spark, sf_dir), min_ratio=0.5, min_docs=3
+    )
+    return out.select("doc_id", "domain", "clean_text")
+
+
 def q_text_pack_sequences(spark, sf_dir):
     # GPT-style concat-and-chunk sequence packing: md5-sharded
     # deterministic order, one running-sum window per shard, closed-form
@@ -2304,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fn_clinsig_normalize": q_fn_clinsig_normalize,
         "cur_region_features": q_cur_region_features,
         "text_pack_sequences": q_text_pack_sequences,
+        "text_boilerplate_strip": q_text_boilerplate_strip,
         "alg_sparql_agg": q_alg_sparql_agg,
         "alg_sparql_subselect": q_alg_sparql_subselect,
         "alg_sparql_graph": q_alg_sparql_graph,
@@ -5001,6 +5042,45 @@ SELECT 'urn:region:' || CAST(p_partkey % 40 AS VARCHAR) AS feature,
        CAST(p_partkey * 1000 AS BIGINT) AS start_pos,
        CAST(p_partkey * 1000 + (p_size % 50 + 1) * 100 AS BIGINT) AS end_pos
 FROM part""",
+        "text_boilerplate_strip": """
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+c AS (
+  SELECT doc_id, source AS domain,
+         'subscribe to the ' || source || ' newsletter' || chr(10)
+         || array_to_string(
+              list_transform(
+                range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+                i -> array_to_string(w[i * 10 + 1 : (i + 1) * 10], ' ')),
+              chr(10))
+         || CASE WHEN doc_id % 4 = 0
+                 THEN chr(10) || 'copyright ' || source ELSE '' END AS text
+  FROM d),
+ls AS (SELECT doc_id, domain, string_split(text, chr(10)) AS la FROM c),
+lx AS (SELECT doc_id, domain, la,
+              UNNEST(generate_series(1, len(la))) AS pos
+       FROM ls),
+lines AS (
+  SELECT doc_id, domain, la[pos] AS line, pos FROM lx WHERE la[pos] <> ''),
+per_line AS (
+  SELECT domain, line, count(DISTINCT doc_id) AS n_docs
+  FROM lines GROUP BY domain, line),
+per_domain AS (
+  SELECT domain, count(DISTINCT doc_id) AS domain_docs FROM c GROUP BY domain),
+bl AS (
+  SELECT pl.domain, pl.line
+  FROM per_line pl JOIN per_domain pd ON pl.domain = pd.domain
+  WHERE pl.n_docs >= 3
+    AND CAST(pl.n_docs AS DOUBLE) / pd.domain_docs >= 0.5),
+kept AS (
+  SELECT l.* FROM lines l
+  LEFT JOIN bl ON l.domain = bl.domain AND l.line = bl.line
+  WHERE bl.line IS NULL),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id)
+SELECT c.doc_id, c.domain, coalesce(r.clean_text, '') AS clean_text
+FROM c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id""",
         "text_pack_sequences": """
 WITH d AS (
   SELECT doc_id,

@@ -485,3 +485,82 @@ def url_duplicate_groups(df, url_col: str = "url"):
             F.min(url_col).alias("survivor_url"),
         )
     )
+
+
+def boilerplate_lines(
+    docs,
+    domain_col: str = "domain",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_ratio: float = 0.5,
+    min_docs: int = 3,
+):
+    """Per-domain boilerplate line detection — the CCNet/C4 corpus-prep
+    rule: a line appearing in at least ``min_ratio`` of a domain's
+    documents (and at least ``min_docs`` of them) is boilerplate
+    (cookie banners, nav bars, footers). Returns (domain, line,
+    n_docs, domain_docs, ratio).
+
+    Scale shape: one explode (map-side), one (domain, line) groupBy
+    with map-side partial aggregation, one dimension-scale domain-count
+    join. A line counts ONCE per document for the ratio regardless of
+    how many times it repeats inside that document."""
+    dom, txt = F.col(domain_col), F.col(text_col)
+    lines = docs.select(
+        dom.alias("domain"),
+        F.col("doc_id"),
+        F.explode(F.split(txt, F.lit(sep), -1)).alias("line"),
+    ).where(F.col("line") != "")
+    per_line = lines.groupBy("domain", "line").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    per_domain = docs.groupBy(dom.alias("domain")).agg(
+        F.countDistinct("doc_id").alias("domain_docs")
+    )
+    return (
+        per_line.join(per_domain, "domain")
+        .withColumn("ratio", F.col("n_docs") / F.col("domain_docs"))
+        .where((F.col("ratio") >= min_ratio) & (F.col("n_docs") >= min_docs))
+    )
+
+
+def strip_boilerplate(
+    docs,
+    domain_col: str = "domain",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_ratio: float = 0.5,
+    min_docs: int = 3,
+):
+    """Remove per-domain boilerplate lines from every document,
+    preserving the order of the surviving lines. Returns the input rows
+    with ``text`` replaced by the cleaned text (documents reduced to
+    nothing keep an empty string).
+
+    Scale shape: the detection shuffles above + one posexplode, one
+    (domain, line) left-anti join back (co-keyed with the detection
+    output — no broadcast of a possibly-large boilerplate set), one
+    doc_id groupBy with an in-group sort for reassembly."""
+    bl = boilerplate_lines(docs, domain_col, text_col, sep, min_ratio, min_docs)
+    dom, txt = F.col(domain_col), F.col(text_col)
+    pos_lines = docs.select(
+        F.col("doc_id"),
+        dom.alias("domain"),
+        F.posexplode(F.split(txt, F.lit(sep), -1)).alias("pos", "line"),
+    ).where(F.col("line") != "")
+    kept = pos_lines.join(
+        bl.select("domain", "line"), ["domain", "line"], "left_anti"
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text")
+    )
+    return (
+        docs.join(rebuilt, "doc_id", "left_outer")
+        .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
+    )

@@ -1676,3 +1676,55 @@ class TestMoiViewVsVerbatimQuery:
         assert "urn:moi:error" not in view_out
         assert view_out == ["urn:moi:click", "urn:moi:purchase",
                             "urn:moi:signup", "urn:moi:view"]
+
+
+class TestBoilerplateStrip:
+    """CCNet/C4-style per-domain boilerplate line removal: lines in
+    >= min_ratio of a domain's docs strip, survivors keep their order,
+    a fully-boilerplate doc reduces to the empty string, and the same
+    line on ANOTHER domain is untouched."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "a.com", "BANNER\nunique one\nfooter"),
+            (2, "a.com", "BANNER\nunique two\nfooter"),
+            (3, "a.com", "BANNER\nunique three"),
+            (4, "a.com", "BANNER"),
+            # b.com: same BANNER text but only 1 of 3 docs → kept
+            (5, "b.com", "BANNER\nother text"),
+            (6, "b.com", "hello world"),
+            (7, "b.com", "more text"),
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, domain string, text string"
+        )
+
+    def test_strip_semantics(self, spark):
+        from genegraph_spark.functions import textstats as TS
+
+        out = {
+            r.doc_id: r.clean_text
+            for r in TS.strip_boilerplate(
+                self._docs(spark), min_ratio=0.5, min_docs=3
+            ).collect()
+        }
+        # BANNER (4/4 docs) strips on a.com; footer (2/4 = 0.5 ratio
+        # but only 2 docs < min_docs=3) survives
+        assert out[1] == "unique one\nfooter"
+        assert out[2] == "unique two\nfooter"
+        assert out[3] == "unique three"
+        # a doc that was ALL boilerplate reduces to empty
+        assert out[4] == ""
+        # b.com's BANNER is below every threshold there → untouched
+        assert out[5] == "BANNER\nother text"
+        assert out[6] == "hello world"
+
+    def test_detection_frame(self, spark):
+        from genegraph_spark.functions import textstats as TS
+
+        bl = TS.boilerplate_lines(
+            self._docs(spark), min_ratio=0.5, min_docs=3
+        ).collect()
+        assert [(r.domain, r.line, r.n_docs, r.domain_docs) for r in bl] == [
+            ("a.com", "BANNER", 4, 4)
+        ]
