@@ -1467,6 +1467,19 @@ def q_text_boilerplate_strip(spark, sf_dir):
     return out.select("doc_id", "domain", "clean_text")
 
 
+def q_text_stratified_sample(spark, sf_dir):
+    # deterministic exact-quota stratified sampling: exactly
+    # min(7, stratum size) docs per (source, lang) stratum, chosen by
+    # md5-of-id order — stable across runs/partitionings/engines, no
+    # RNG; one hash shuffle + per-stratum window
+    from genegraph_spark.functions import textstats as TS
+
+    docs = _read(spark, sf_dir, "documents")
+    return TS.stratified_sample(docs, ["source", "lang"], 7).select(
+        "doc_id", "source", "lang"
+    )
+
+
 def q_text_pack_sequences(spark, sf_dir):
     # GPT-style concat-and-chunk sequence packing: md5-sharded
     # deterministic order, one running-sum window per shard, closed-form
@@ -2345,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_region_features": q_cur_region_features,
         "text_pack_sequences": q_text_pack_sequences,
         "text_boilerplate_strip": q_text_boilerplate_strip,
+        "text_stratified_sample": q_text_stratified_sample,
         "alg_sparql_agg": q_alg_sparql_agg,
         "alg_sparql_subselect": q_alg_sparql_subselect,
         "alg_sparql_graph": q_alg_sparql_graph,
@@ -5042,6 +5056,14 @@ SELECT 'urn:region:' || CAST(p_partkey % 40 AS VARCHAR) AS feature,
        CAST(p_partkey * 1000 AS BIGINT) AS start_pos,
        CAST(p_partkey * 1000 + (p_size % 50 + 1) * 100 AS BIGINT) AS end_pos
 FROM part""",
+        "text_stratified_sample": """
+WITH r AS (
+  SELECT doc_id, source, lang,
+         row_number() OVER (
+           PARTITION BY source, lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, source, lang FROM r WHERE rk <= 7""",
         "text_boilerplate_strip": """
 WITH d AS (
   SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),

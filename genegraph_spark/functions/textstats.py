@@ -564,3 +564,31 @@ def strip_boilerplate(
         docs.join(rebuilt, "doc_id", "left_outer")
         .withColumn("clean_text", F.coalesce("clean_text", F.lit("")))
     )
+
+
+def stratified_sample(
+    df,
+    strata_cols: list[str],
+    n_per_stratum: int,
+    id_col: str = "doc_id",
+):
+    """Deterministic exact-quota stratified sampling (eval/holdout-set
+    construction): exactly ``min(n, stratum_size)`` rows per stratum,
+    selected by md5-of-id order so the choice is stable across runs,
+    partitionings, and engines — no RNG, no seed plumbing.
+
+    Scale shape: one hash shuffle on the strata columns + a per-stratum
+    window (rows of a stratum colocate; each stratum sorts
+    independently). For pathological mega-strata (≫ executor memory),
+    pre-filter with an approximate md5-threshold pass and window only
+    the survivors — the exact window here is the correctness baseline.
+    """
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(*strata_cols).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

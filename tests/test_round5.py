@@ -1728,3 +1728,30 @@ class TestBoilerplateStrip:
         assert [(r.domain, r.line, r.n_docs, r.domain_docs) for r in bl] == [
             ("a.com", "BANNER", 4, 4)
         ]
+
+
+class TestStratifiedSample:
+    """Deterministic exact-quota stratified sampling: per-stratum quota
+    honored exactly, small strata keep everything, and the selection is
+    identical under different input partitionings (md5-of-id order, no
+    RNG)."""
+
+    def test_quota_and_determinism(self, spark):
+        from genegraph_spark.functions import textstats as TS
+
+        rows = [(i, "s%d" % (i % 3), "en") for i in range(30)] + [
+            (100, "tiny", "en"),
+            (101, "tiny", "en"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, source string, lang string")
+        out = TS.stratified_sample(df, ["source", "lang"], 4).collect()
+        by_stratum = {}
+        for r in out:
+            by_stratum.setdefault(r.source, []).append(r.doc_id)
+        assert all(len(v) == 4 for k, v in by_stratum.items() if k != "tiny")
+        assert sorted(by_stratum["tiny"]) == [100, 101]  # under-quota: keep all
+        # repartitioned input → identical selection
+        again = TS.stratified_sample(df.repartition(7), ["source", "lang"], 4)
+        assert sorted((r.source, r.doc_id) for r in again.collect()) == sorted(
+            (r.source, r.doc_id) for r in out
+        )
