@@ -1480,6 +1480,18 @@ def q_text_stratified_sample(spark, sf_dir):
     )
 
 
+def q_text_vocabulary(spark, sf_dir):
+    # frequency-ranked vocabulary over the corpus: whitespace tokens ->
+    # (token, count, rank); corpus-scale work is one explode + one
+    # map-side-combined groupBy, the ranking window runs over the
+    # aggregated DIMENSION-scale vocab (win_ntile trade, documented)
+    from genegraph_spark.functions import textstats as TS
+
+    return TS.vocabulary(
+        _read(spark, sf_dir, "documents"), min_count=5
+    )
+
+
 def q_text_pack_sequences(spark, sf_dir):
     # GPT-style concat-and-chunk sequence packing: md5-sharded
     # deterministic order, one running-sum window per shard, closed-form
@@ -2359,6 +2371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pack_sequences": q_text_pack_sequences,
         "text_boilerplate_strip": q_text_boilerplate_strip,
         "text_stratified_sample": q_text_stratified_sample,
+        "text_vocabulary": q_text_vocabulary,
         "alg_sparql_agg": q_alg_sparql_agg,
         "alg_sparql_subselect": q_alg_sparql_subselect,
         "alg_sparql_graph": q_alg_sparql_graph,
@@ -5056,6 +5069,16 @@ SELECT 'urn:region:' || CAST(p_partkey % 40 AS VARCHAR) AS feature,
        CAST(p_partkey * 1000 AS BIGINT) AS start_pos,
        CAST(p_partkey * 1000 + (p_size % 50 + 1) * 100 AS BIGINT) AS end_pos
 FROM part""",
+        "text_vocabulary": """
+WITH t AS (
+  SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS token
+  FROM documents),
+c AS (
+  SELECT token, count(*) AS count FROM t
+  WHERE token <> '' GROUP BY token HAVING count(*) >= 5)
+SELECT token, count,
+       row_number() OVER (ORDER BY count DESC, token) AS rank
+FROM c""",
         "text_stratified_sample": """
 WITH r AS (
   SELECT doc_id, source, lang,

@@ -592,3 +592,34 @@ def stratified_sample(
         .where(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def vocabulary(
+    df,
+    text_col: str = "text",
+    min_count: int = 1,
+    lowercase: bool = True,
+):
+    """Frequency-ranked vocabulary (tokenizer prep): whitespace tokens →
+    (token, count, rank), rank 1 = most frequent, ties broken
+    lexically so the id assignment is deterministic across runs and
+    engines.
+
+    Scale shape: one explode + one (token) groupBy with map-side
+    partial aggregation does the corpus-scale work; the ranking window
+    runs over the AGGREGATED vocabulary — dimension scale (unique
+    tokens), the same documented trade as ``win_ntile``'s global
+    window. ``min_count`` prunes the long tail before the window."""
+    from pyspark.sql import Window
+
+    txt = F.col(text_col)
+    if lowercase:
+        txt = F.lower(txt)
+    tokens = df.select(
+        F.explode(F.split(txt, r"\s+", -1)).alias("token")
+    ).where(F.col("token") != "")
+    counts = tokens.groupBy("token").agg(F.count("*").alias("count")).where(
+        F.col("count") >= min_count
+    )
+    w = Window.orderBy(F.desc("count"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w))

@@ -1755,3 +1755,22 @@ class TestStratifiedSample:
         assert sorted((r.source, r.doc_id) for r in again.collect()) == sorted(
             (r.source, r.doc_id) for r in out
         )
+
+
+class TestVocabulary:
+    def test_rank_and_ties(self, spark):
+        from genegraph_spark.functions import textstats as TS
+
+        df = spark.createDataFrame(
+            [("b b a a c",), ("A b",)], "text string"
+        )
+        out = {r.token: (r['count'], r.rank) for r in TS.vocabulary(df).collect()}
+        # lowercase fold: a=3, b=3, c=1; tie a/b broken lexically
+        assert out == {"a": (3, 1), "b": (3, 2), "c": (1, 3)}
+
+    def test_min_count_prunes(self, spark):
+        from genegraph_spark.functions import textstats as TS
+
+        df = spark.createDataFrame([("x x y",)], "text string")
+        out = [r.token for r in TS.vocabulary(df, min_count=2).collect()]
+        assert out == ["x"]
