@@ -779,3 +779,80 @@ class TestUnboundOrdering:
 }"""
         out = [r.s for r in S.sparql(m, q).collect()]
         assert out == ["urn:s4", "urn:s2", "urn:s1", "urn:s3"]
+
+
+class TestConformanceCorners:
+    """Pinned SPARQL conformance corners probed in session 5 — each of
+    these behaviors is easy to regress silently: group-scoped FILTER
+    placement (§8.3.3: a filter applies to the WHOLE group regardless
+    of textual position), BIND-then-use with numeric arithmetic,
+    constant-endpoint property-path ASK, nested OPTIONALs, and MINUS
+    with partially-overlapping variable domains."""
+
+    @pytest.fixture(scope="class")
+    def corner_graph(self, spark):
+        return T(
+            spark,
+            [
+                iri("urn:a", ":p", "urn:b"),
+                iri("urn:b", ":p", "urn:c"),
+                lit("urn:a", ":name", "alice"),
+                lit("urn:a", ":v", "5", "xsd:integer"),
+                lit("urn:b", ":v", "1", "xsd:integer"),
+            ],
+        )
+
+    def test_filter_before_pattern_is_group_scoped(self, spark, corner_graph):
+        from genegraph_spark.operators import sparql as S
+
+        out = sorted(
+            r.s
+            for r in S.sparql(
+                corner_graph, "select ?s where { FILTER(?x > 2) ?s :v ?x }"
+            ).collect()
+        )
+        assert out == ["urn:a"]
+
+    def test_bind_then_use(self, spark, corner_graph):
+        from genegraph_spark.operators import sparql as S
+
+        out = [
+            (r.s, r.y)
+            for r in S.sparql(
+                corner_graph,
+                "select ?s ?y where { ?s :v ?x . BIND((?x + 1) AS ?y) "
+                "FILTER(?y > 2) }",
+            ).collect()
+        ]
+        assert out == [("urn:a", "6")]
+
+    def test_constant_endpoint_path_ask(self, spark, corner_graph):
+        from genegraph_spark.operators import sparql as S
+
+        assert S.sparql(corner_graph, "ASK { <urn:a> :p+ <urn:c> }") is True
+        assert S.sparql(corner_graph, "ASK { <urn:a> :p+ <urn:z> }") is False
+
+    def test_nested_optional(self, spark, corner_graph):
+        from genegraph_spark.operators import sparql as S
+
+        out = sorted(
+            (r.s, r.n, r.m)
+            for r in S.sparql(
+                corner_graph,
+                "select ?s ?n ?m where { ?s :p ?o OPTIONAL { ?s :name ?n "
+                "OPTIONAL { ?s :missing ?m } } }",
+            ).collect()
+        )
+        assert out == [("urn:a", "alice", None), ("urn:b", None, None)]
+
+    def test_minus_partial_overlap(self, spark, corner_graph):
+        from genegraph_spark.operators import sparql as S
+
+        out = sorted(
+            r.s
+            for r in S.sparql(
+                corner_graph,
+                "select ?s where { ?s :p ?o . MINUS { ?s :name ?x } }",
+            ).collect()
+        )
+        assert out == ["urn:b"]
