@@ -727,6 +727,23 @@ class _Parser:
                 arg = "*"
             else:
                 arg = self.expr()
+            if self.at_op(";"):
+                # GROUP_CONCAT(?x; separator="...") — SPARQL 1.1
+                # §18.5.1.7. Only the separator scalar arg exists in the
+                # grammar; a 5-tuple AST keeps the common 4-tuple shape
+                # for every other aggregate.
+                self.next()
+                kw = self.next()
+                if kw.text.lower() != "separator":
+                    raise SparqlSyntaxError(
+                        f"expected 'separator', got {kw.text!r}"
+                    )
+                self.eat_op("=")
+                sep = self.next()
+                if sep.kind != "STRING":
+                    raise SparqlSyntaxError("separator must be a string literal")
+                self.eat_op(")")
+                return ("agg", name, distinct, arg, sep.text[1:-1])
             self.eat_op(")")
             return ("agg", name, distinct, arg)
         if t.kind == "NAME" and t.text.lower() in self._FUNCS:
@@ -1405,14 +1422,16 @@ class _Compiler:
         choice open); GROUP_CONCAT joins the SORTED values (deterministic
         ordering, separator fixed to a single space)."""
         assert e[0] == "agg", e
-        _, fn, distinct, arg = e
+        _, fn, distinct, arg, *rest = e
         if fn == "count" and arg == "*":
             return F.count(F.lit(1))
         val = self.value_expr(arg, df)
         if fn == "count":
             return F.countDistinct(val) if distinct else F.count(val)
-        if distinct:
-            raise ValueError(f"DISTINCT is only supported with COUNT, not {fn}")
+        if distinct and fn != "group_concat":
+            raise ValueError(
+                f"DISTINCT is only supported with COUNT/GROUP_CONCAT, not {fn}"
+            )
         if fn in ("sum", "avg"):
             v = val.cast("double")
             return F.sum(v) if fn == "sum" else F.avg(v)
@@ -1432,7 +1451,9 @@ class _Compiler:
                 F.min_by(val, key) if fn in ("min", "sample") else F.max_by(val, key)
             )
         if fn == "group_concat":
-            return F.array_join(F.sort_array(F.collect_list(val)), " ")
+            sep = rest[0] if rest else " "
+            vals = F.collect_set(val) if distinct else F.collect_list(val)
+            return F.array_join(F.sort_array(vals), sep)
         raise ValueError(f"unknown aggregate {fn!r}")
 
     def bool_expr(self, e, df: DataFrame) -> Column:

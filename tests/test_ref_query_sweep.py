@@ -856,3 +856,39 @@ class TestConformanceCorners:
             ).collect()
         )
         assert out == ["urn:b"]
+
+
+class TestGroupConcatSeparator:
+    """SPARQL 1.1 §18.5.1.7: ``GROUP_CONCAT(?x; separator="...")`` —
+    explicit separator, bag vs DISTINCT multiplicities, and the
+    space-separator default; values joined in sorted order for
+    determinism."""
+
+    def test_forms(self, spark):
+        from genegraph_spark.operators import sparql as S
+
+        m = T(
+            spark,
+            [
+                lit("urn:a", ":tag", "x"),
+                lit("urn:a", ":tag", "y"),
+                lit("urn:a", ":tag", "y"),
+                lit("urn:b", ":tag", "z"),
+            ],
+        )
+        run = lambda q: [  # noqa: E731
+            (r.s, r.ts) for r in S.sparql(m, q).collect()
+        ]
+        base = (
+            'select ?s (GROUP_CONCAT({inner}) AS ?ts) '
+            "where { ?s :tag ?t } group by ?s order by ?s"
+        )
+        assert run(base.replace("{inner}", 'DISTINCT ?t; separator=","')) == [
+            ("urn:a", "x,y"), ("urn:b", "z")
+        ]
+        assert run(base.replace("{inner}", '?t; separator="|"')) == [
+            ("urn:a", "x|y|y"), ("urn:b", "z")
+        ]
+        assert run(base.replace("{inner}", "?t")) == [
+            ("urn:a", "x y y"), ("urn:b", "z")
+        ]
