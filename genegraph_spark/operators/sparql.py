@@ -677,6 +677,23 @@ class _Parser:
         if self.at_op("=", "!=", "<", ">", "<=", ">="):
             op = self.next().text
             e = ("op", op, e, self._expr_add())
+            return e
+        # (NOT) IN — SPARQL 1.1 §17.4.1.9/.10: sugar for an =-chain
+        neg = False
+        if self.at_kw("not") and self.peek(1) and self.peek(1).text.lower() == "in":
+            self.next()
+            neg = True
+        if self.at_kw("in"):
+            self.next()
+            self.eat_op("(")
+            items = []
+            if not self.at_op(")"):
+                items.append(self.expr())
+                while self.at_op(","):
+                    self.next()
+                    items.append(self.expr())
+            self.eat_op(")")
+            return ("in", e, items, neg)
         return e
 
     def _expr_add(self):
@@ -697,6 +714,12 @@ class _Parser:
         if self.at_op("!"):
             self.next()
             return ("not", self._expr_unary())
+        if self.at_op("-"):
+            self.next()
+            return ("op", "-", ("lit", "0", "xsd:integer"), self._expr_unary())
+        if self.at_op("+"):
+            self.next()
+            return self._expr_unary()
         return self._expr_primary()
 
     _FUNCS = {
@@ -704,6 +727,7 @@ class _Parser:
         "substr", "replace", "regex", "contains", "strstarts", "strends",
         "lcase", "ucase", "strafter", "strbefore",
         "isblank", "isiri", "isuri", "isliteral", "isnumeric",
+        "abs", "ceil", "floor", "round",
     }
 
     _AGGS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
@@ -1340,6 +1364,8 @@ class _Compiler:
                 return "bool" if e[1] in ("=", "!=", "<", ">", "<=", ">=", "&&", "||") else "num"
             if e[0] == "not":
                 return "bool"
+            if e[0] == "in":
+                return "bool"
             if e[0] == "call":
                 n = e[1]
                 if n in (
@@ -1347,7 +1373,7 @@ class _Compiler:
                     "isblank", "isiri", "isuri", "isliteral", "isnumeric",
                 ):
                     return "bool"
-                if n == "strlen":
+                if n in ("strlen", "abs", "ceil", "floor", "round"):
                     return "num"
                 if n in ("iri", "uri"):
                     return "iri"
@@ -1367,12 +1393,28 @@ class _Compiler:
             and (
                 (e[0] == "lit" and e[2] in ("xsd:integer", "xsd:decimal"))
                 or (e[0] == "op" and e[1] in ("+", "-", "*", "/"))
-                or (e[0] == "call" and e[1] == "strlen")
+                or (
+                    e[0] == "call"
+                    and e[1] in ("strlen", "abs", "ceil", "floor", "round")
+                )
             )
         )
 
     def value_expr(self, e, df: DataFrame) -> Column:
         """Value mode: plain Spark value (string/number/boolean)."""
+        if e[0] == "in":
+            # (NOT) IN (§17.4.1.9): an =-chain with the same per-element
+            # numeric-vs-lexical comparison rule as the binary `=` op
+            _, lhs, items, neg = e
+            ca = self.value_expr(lhs, df)
+            cond = F.lit(False)
+            for it in items:
+                cb = self.value_expr(it, df)
+                if self._numeric_ast(it) or self._numeric_ast(lhs):
+                    cond = cond | (ca.cast("double") == cb.cast("double"))
+                else:
+                    cond = cond | (ca == cb)
+            return ~cond if neg else cond
         if e[0] == "var":
             if e[1] not in df.columns:
                 return F.lit(None).cast("string")
@@ -1519,6 +1561,15 @@ class _Compiler:
             return v(0)
         if name == "strlen":
             return F.length(v(0))
+        if name in ("abs", "ceil", "floor", "round"):
+            n = v(0).cast("double")
+            return {
+                "abs": F.abs(n),
+                "ceil": F.ceil(n).cast("double"),
+                "floor": F.floor(n).cast("double"),
+                # SPARQL/XPath ROUND: half-up (Spark's HALF_UP matches)
+                "round": F.round(n, 0),
+            }[name]
         if name == "substr":
             ln = v(2) if len(args) > 2 else F.lit(_MAXLEN)
             return v(0).substr(v(1).cast("int"), ln.cast("int"))

@@ -892,3 +892,52 @@ class TestGroupConcatSeparator:
         assert run(base.replace("{inner}", "?t")) == [
             ("urn:a", "x y y"), ("urn:b", "z")
         ]
+
+
+class TestNumericExprFeatures:
+    """SPARQL 1.1 expression features: (NOT) IN (§17.4.1.9, numeric and
+    string element comparison), ABS/CEIL/FLOOR/ROUND (§17.4.4), and
+    unary minus."""
+
+    @pytest.fixture(scope="class")
+    def num_graph(self, spark):
+        return T(
+            spark,
+            [
+                lit("urn:a", ":v", "2.4", "xsd:decimal"),
+                lit("urn:b", ":v", "-3", "xsd:integer"),
+                lit("urn:c", ":name", "x"),
+            ],
+        )
+
+    def _run(self, m, q):
+        from genegraph_spark.operators import sparql as S
+
+        return sorted(tuple(r) for r in S.sparql(m, q).collect())
+
+    def test_in_not_in(self, spark, num_graph):
+        assert self._run(
+            num_graph, "select ?s where { ?s :v ?x . FILTER(?x IN (2.4, 7)) }"
+        ) == [("urn:a",)]
+        assert self._run(
+            num_graph, "select ?s where { ?s :v ?x . FILTER(?x NOT IN (2.4)) }"
+        ) == [("urn:b",)]
+        assert self._run(
+            num_graph,
+            'select ?s where { ?s :name ?n . FILTER(?n IN ("x", "y")) }',
+        ) == [("urn:c",)]
+
+    def test_numeric_functions(self, spark, num_graph):
+        assert self._run(
+            num_graph, "select ?s (ABS(?x) AS ?a) where { ?s :v ?x }"
+        ) == [("urn:a", 2.4), ("urn:b", 3.0)]
+        assert self._run(
+            num_graph,
+            "select ?s (CEIL(?x) AS ?c) (FLOOR(?x) AS ?f) (ROUND(?x) AS ?r) "
+            "where { ?s :v ?x }",
+        ) == [("urn:a", 3.0, 2.0, 2.0), ("urn:b", -3.0, -3.0, -3.0)]
+
+    def test_unary_minus(self, spark, num_graph):
+        assert self._run(
+            num_graph, "select ?s where { ?s :v ?x . FILTER(-?x > 1) }"
+        ) == [("urn:b",)]
