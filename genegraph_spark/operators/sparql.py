@@ -728,6 +728,7 @@ class _Parser:
         "lcase", "ucase", "strafter", "strbefore",
         "isblank", "isiri", "isuri", "isliteral", "isnumeric",
         "abs", "ceil", "floor", "round",
+        "datatype", "sameterm", "md5", "sha1", "sha256", "encode_for_uri",
     }
 
     _AGGS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
@@ -1371,6 +1372,7 @@ class _Compiler:
                 if n in (
                     "bound", "regex", "contains", "strstarts", "strends",
                     "isblank", "isiri", "isuri", "isliteral", "isnumeric",
+                    "sameterm",
                 ):
                     return "bool"
                 if n in ("strlen", "abs", "ceil", "floor", "round"):
@@ -1513,6 +1515,49 @@ class _Compiler:
             if args[0][1] not in df.columns:
                 return F.lit(False)
             return F.col(args[0][1]).isNotNull()
+        if name == "sameterm":
+            # §17.4.1.8: RDF-term identity — compare the TAGGED encodings
+            # so "5" (plain) never equals "5"^^xsd:integer or <5>
+            def tagged(a):
+                if a[0] == "var":
+                    return (
+                        F.col(a[1])
+                        if a[1] in df.columns
+                        else F.lit(None).cast("string")
+                    )
+                if a[0] == "iri":
+                    return F.lit("I|" + a[1])
+                if a[0] == "lit":
+                    return F.lit(f"L|{a[2] or ''}|{a[1]}")
+                return F.lit(None).cast("string")
+
+            return tagged(args[0]) == tagged(args[1])
+        if name == "datatype":
+            # §17.4.2.7: typed literal → its datatype, plain literal →
+            # xsd:string, IRI/blank → error (NULL)
+            a = args[0]
+            if a[0] == "var":
+                if a[1] not in df.columns:
+                    return F.lit(None).cast("string")
+                c = F.col(a[1])
+                return F.when(
+                    ~term_is_iri(c),
+                    F.coalesce(term_datatype(c), F.lit("xsd:string")),
+                )
+            if a[0] == "lit":
+                return F.lit(a[2] or "xsd:string")
+            return F.lit(None).cast("string")
+        if name in ("md5", "sha1", "sha256"):
+            src = v(0).cast("string")
+            return {
+                "md5": F.md5(src),
+                "sha1": F.sha1(src),
+                "sha256": F.sha2(src, 256),
+            }[name]
+        if name == "encode_for_uri":
+            # url_encode is form-style (space → '+'); ENCODE_FOR_URI is
+            # RFC 3986 percent-encoding (space → %20)
+            return F.replace(F.url_encode(v(0)), F.lit("+"), F.lit("%20"))
         if name in ("isblank", "isiri", "isuri", "isliteral", "isnumeric"):
             # term-kind tests (SPARQL 1.1 §17.4.2). Blank nodes travel as
             # IRI-tagged terms with the "_:" prefix (the CONSTRUCT /

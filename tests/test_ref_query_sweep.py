@@ -941,3 +941,51 @@ class TestNumericExprFeatures:
         assert self._run(
             num_graph, "select ?s where { ?s :v ?x . FILTER(-?x > 1) }"
         ) == [("urn:b",)]
+
+
+class TestTermBuiltins:
+    """DATATYPE (§17.4.2.7: typed → datatype, plain → xsd:string,
+    IRI → error/NULL), sameTerm (§17.4.1.8: tagged-term identity — a
+    plain "5" is NOT the same term as "5"^^xsd:integer), the hash
+    functions, and RFC 3986 ENCODE_FOR_URI."""
+
+    @pytest.fixture(scope="class")
+    def term_graph(self, spark):
+        return T(
+            spark,
+            [
+                lit("urn:a", ":v", "5", "xsd:integer"),
+                lit("urn:b", ":v", "5"),
+                iri("urn:c", ":v", "urn:x"),
+                lit("urn:d", ":name", "hello world"),
+            ],
+        )
+
+    def _run(self, m, q):
+        from genegraph_spark.operators import sparql as S
+
+        return sorted(tuple(r) for r in S.sparql(m, q).collect())
+
+    def test_datatype(self, spark, term_graph):
+        out = self._run(
+            term_graph,
+            "select ?s (DATATYPE(?x) AS ?dt) where "
+            "{ ?s :v ?x . FILTER(isLiteral(?x)) }",
+        )
+        assert out == [("urn:a", "xsd:integer"), ("urn:b", "xsd:string")]
+
+    def test_sameterm_is_tag_exact(self, spark, term_graph):
+        # only the PLAIN "5" matches; the typed "5"^^xsd:integer and the
+        # IRI do not (unlike `=`, which compares values)
+        assert self._run(
+            term_graph, 'select ?s where { ?s :v ?x . FILTER(sameTerm(?x, "5")) }'
+        ) == [("urn:b",)]
+
+    def test_hash_and_encode(self, spark, term_graph):
+        assert self._run(
+            term_graph, "select (MD5(?n) AS ?h) where { ?s :name ?n }"
+        ) == [("5eb63bbbe01eeed093cb22bb8f5acdc3",)]
+        assert self._run(
+            term_graph,
+            "select (ENCODE_FOR_URI(?n) AS ?e) where { ?s :name ?n }",
+        ) == [("hello%20world",)]
