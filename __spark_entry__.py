@@ -3578,7 +3578,8 @@ x AS (
 """
     rt = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
-    def q(s, p, o, is_iri, dt_lit=False):
+    def q(s, p, o, is_iri):
+        # every emitted triple is datatype-less (matches _t's default)
         dtv = "CAST(NULL AS VARCHAR)"
         return (
             f"SELECT iri AS graph, {s} AS subject, '{p}' AS predicate, "

@@ -225,8 +225,7 @@ class _Parser:
         if t.kind == "PNAME":
             return ("iri", self.expand_pname(t.text))
         if t.kind == "STRING":
-            body = t.text[1:-1]
-            body = re.sub(r"\\(.)", lambda m: {"n": "\n", "t": "\t"}.get(m.group(1), m.group(1)), body)
+            body = _unescape(t.text[1:-1])
             dt = None
             if self.at_op("^") and self.peek(1) and self.peek(1).kind == "OP" and self.peek(1).text == "^":
                 self.next(); self.next()
@@ -768,7 +767,7 @@ class _Parser:
                 if sep.kind != "STRING":
                     raise SparqlSyntaxError("separator must be a string literal")
                 self.eat_op(")")
-                return ("agg", name, distinct, arg, sep.text[1:-1])
+                return ("agg", name, distinct, arg, _unescape(sep.text[1:-1]))
             self.eat_op(")")
             return ("agg", name, distinct, arg)
         if t.kind == "NAME" and t.text.lower() in self._FUNCS:
@@ -783,6 +782,16 @@ class _Parser:
             self.eat_op(")")
             return ("call", name, args)
         return self.term(in_expr=True)
+
+
+def _unescape(body: str) -> str:
+    """SPARQL string-literal escapes (shared by term() and the
+    GROUP_CONCAT separator clause)."""
+    return re.sub(
+        r"\\(.)",
+        lambda m: {"n": "\n", "t": "\t"}.get(m.group(1), m.group(1)),
+        body,
+    )
 
 
 def parse_sparql(text: str) -> Query:
@@ -1425,7 +1434,11 @@ class _Compiler:
             return F.lit(e[1])
         if e[0] == "lit":
             if e[2] in ("xsd:integer", "xsd:decimal"):
-                return F.lit(float(e[1]) if "." in e[1] else int(e[1]))
+                try:
+                    return F.lit(int(e[1]))
+                except ValueError:
+                    # decimals AND exotic lexical forms (1e-07, inf)
+                    return F.lit(float(e[1]))
             if e[2] == XSD_BOOLEAN:
                 return F.lit(e[1] == "true")
             return F.lit(e[1])
@@ -1464,7 +1477,8 @@ class _Compiler:
         operate on the decoded string unless the argument is numeric;
         SAMPLE is pinned to MIN (deterministic pick — SPARQL leaves the
         choice open); GROUP_CONCAT joins the SORTED values (deterministic
-        ordering, separator fixed to a single space)."""
+        ordering; separator from the §18.5.1.7 clause, default space;
+        DISTINCT collapses duplicates)."""
         assert e[0] == "agg", e
         _, fn, distinct, arg, *rest = e
         if fn == "count" and arg == "*":
@@ -1555,9 +1569,14 @@ class _Compiler:
                 "sha256": F.sha2(src, 256),
             }[name]
         if name == "encode_for_uri":
-            # url_encode is form-style (space → '+'); ENCODE_FOR_URI is
-            # RFC 3986 percent-encoding (space → %20)
-            return F.replace(F.url_encode(v(0)), F.lit("+"), F.lit("%20"))
+            # url_encode is Java form-encoding; fn:encode-for-uri differs
+            # on exactly three characters: space (+ → %20), tilde
+            # (unreserved, must stay) and asterisk (must encode)
+            out = F.url_encode(v(0))
+            out = F.replace(out, F.lit("+"), F.lit("%20"))
+            out = F.replace(out, F.lit("%7E"), F.lit("~"))
+            out = F.replace(out, F.lit("*"), F.lit("%2A"))
+            return out
         if name in ("isblank", "isiri", "isuri", "isliteral", "isnumeric"):
             # term-kind tests (SPARQL 1.1 §17.4.2). Blank nodes travel as
             # IRI-tagged terms with the "_:" prefix (the CONSTRUCT /
@@ -1612,8 +1631,9 @@ class _Compiler:
                 "abs": F.abs(n),
                 "ceil": F.ceil(n).cast("double"),
                 "floor": F.floor(n).cast("double"),
-                # SPARQL/XPath ROUND: half-up (Spark's HALF_UP matches)
-                "round": F.round(n, 0),
+                # SPARQL/XPath fn:round: halves round toward POSITIVE
+                # infinity (-2.5 → -2), not away from zero — floor(x+0.5)
+                "round": F.floor(n + F.lit(0.5)).cast("double"),
             }[name]
         if name == "substr":
             ln = v(2) if len(args) > 2 else F.lit(_MAXLEN)
@@ -1667,7 +1687,19 @@ class _Compiler:
                 F.when(val, F.lit("true")).otherwise(F.lit("false")),
             )
         if kind == "num":
-            return F.concat(F.lit("L|xsd:integer|"), val.cast("long").cast("string"))
+            # integral results tag xsd:integer; fractional ones must NOT
+            # truncate (BIND(ABS(?x)) / division produce decimals)
+            d = val.cast("double")
+            return (
+                F.when(d.isNull(), F.lit(None).cast("string"))
+                .when(
+                    d == F.floor(d),
+                    F.concat(
+                        F.lit("L|xsd:integer|"), d.cast("long").cast("string")
+                    ),
+                )
+                .otherwise(F.concat(F.lit("L|xsd:decimal|"), d.cast("string")))
+            )
         return F.when(
             val.isNull(), F.lit(None).cast("string")
         ).otherwise(F.concat(F.lit("L||"), val.cast("string")))
@@ -1785,7 +1817,10 @@ class PreparedQuery:
             elif isinstance(v, int):
                 mapping[k] = ("lit", str(v), "xsd:integer")
             elif isinstance(v, float):
-                mapping[k] = ("lit", repr(v), "xsd:decimal")
+                # decimal lexical form — repr() yields scientific
+                # notation for small/large magnitudes, which the literal
+                # branch of value_expr cannot parse
+                mapping[k] = ("lit", f"{v:f}", "xsd:decimal")
             else:
                 mapping[k] = ("lit", str(v), None)
         pattern = _subst(q.pattern, mapping) if mapping else q.pattern
@@ -2024,13 +2059,13 @@ def _select_project(c: "_Compiler", q: Query, bindings: DataFrame, tagged: bool)
                 # untagged path below can only honor unbound-lowest).
                 keys = []
                 for v, d in q.order:
-                    c = F.col(v)
-                    val = term_value(c)
+                    oc = F.col(v)
+                    val = term_value(oc)
                     dv = val.try_cast("double")
                     kind = (
-                        F.when(c.isNull(), 0)
-                        .when(term_is_iri(c) & val.startswith("_:"), 1)
-                        .when(term_is_iri(c), 2)
+                        F.when(oc.isNull(), 0)
+                        .when(term_is_iri(oc) & val.startswith("_:"), 1)
+                        .when(term_is_iri(oc), 2)
                         .otherwise(3)
                     )
                     k = F.struct(

@@ -989,3 +989,57 @@ class TestTermBuiltins:
             term_graph,
             "select (ENCODE_FOR_URI(?n) AS ?e) where { ?s :name ?n }",
         ) == [("hello%20world",)]
+
+
+class TestReviewFixes:
+    """Regression pins for the session-5 review findings: XPath fn:round
+    half-toward-positive-infinity, fractional BIND results not truncated
+    by the integer re-tagging, exotic float pre-bound params (scientific
+    repr), GROUP_CONCAT separator escape processing, and the three
+    characters where Java form-encoding deviates from fn:encode-for-uri."""
+
+    @pytest.fixture(scope="class")
+    def fix_graph(self, spark):
+        return T(
+            spark,
+            [
+                lit("urn:a", ":v", "-2.5", "xsd:decimal"),
+                lit("urn:b", ":v", "2.4", "xsd:decimal"),
+                lit("urn:c", ":tag", "x"),
+                lit("urn:c", ":tag", "y"),
+                lit("urn:d", ":name", "~user* x"),
+            ],
+        )
+
+    def _rows(self, m, q, **p):
+        from genegraph_spark.operators import sparql as S
+
+        return sorted(tuple(r) for r in S.sparql(m, q, **p).collect())
+
+    def test_round_half_toward_positive_infinity(self, spark, fix_graph):
+        assert self._rows(
+            fix_graph, "select ?s (ROUND(?x) AS ?r) where { ?s :v ?x }"
+        ) == [("urn:a", -2.0), ("urn:b", 2.0)]
+
+    def test_bind_fraction_not_truncated(self, spark, fix_graph):
+        assert self._rows(
+            fix_graph, "select ?s ?a where { ?s :v ?x . BIND(ABS(?x) AS ?a) }"
+        ) == [("urn:a", "2.5"), ("urn:b", "2.4")]
+
+    def test_exotic_float_params(self, spark, fix_graph):
+        q = "select ?s where { ?s :v ?x . FILTER(?x > ?t) }"
+        assert self._rows(fix_graph, q, t=1e-07) == [("urn:b",)]
+        assert self._rows(fix_graph, q, t=-1e16) == [("urn:a",), ("urn:b",)]
+
+    def test_separator_escape(self, spark, fix_graph):
+        assert self._rows(
+            fix_graph,
+            'select (GROUP_CONCAT(?t; separator="\\n") AS ?ts) '
+            "where { ?s :tag ?t }",
+        ) == [("x\ny",)]
+
+    def test_encode_for_uri_unreserved_set(self, spark, fix_graph):
+        assert self._rows(
+            fix_graph,
+            "select (ENCODE_FOR_URI(?n) AS ?e) where { ?s :name ?n }",
+        ) == [("~user%2A%20x",)]
