@@ -3144,6 +3144,13 @@ WITH g AS (
         q("g", G, "uri", ":skos/hidden-label",
           "'GP' || CAST(pk AS VARCHAR)", False, XS, cond="pk % 5 = 0"),
     ]
+    rows.append(
+        "SELECT 'https://www.genenames.org/' AS graph, "
+        "'https://www.genenames.org/' AS subject, "
+        "'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS predicate, "
+        "':void/Dataset' AS object, TRUE AS object_is_iri, "
+        "CAST(NULL AS VARCHAR) AS object_datatype"
+    )
     out["kg_hgnc_genes"] = cte + "\n" + "\nUNION ALL\n".join(rows)
 
     # ── kg_gene_scores ───────────────────────────────────────────────
@@ -4965,7 +4972,7 @@ tsv AS (
            || CAST(user_id % 30 AS VARCHAR) || '.'
            || strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') AS ts_id,
          CASE WHEN event_id % 2 = 0 THEN 2 ELSE 1 END AS n_members
-  FROM events WHERE event_id % 3 = 0 AND event_id % 19 <> 0),
+  FROM events WHERE event_id % 3 = 0),
 a AS (
   SELECT event_id AS e, user_id AS u,
          strftime(date_trunc('second', ts), '%Y-%m-%dT%H:%M:%S') AS rd,
@@ -4996,12 +5003,12 @@ res AS (
   FROM a3 ASOF LEFT JOIN tsv
     ON a3.vof = tsv.vof AND a3.rd >= tsv.version)
 SELECT vof AS object_vof,
-  'https://identifiers.org/clinvar.submission:SCV' || CAST(e AS VARCHAR)
-    || '.' || rd AS id,
+  'http://dataexchange.clinicalgenome.org/terms/SCV_Statement_SCV'
+    || CAST(e AS VARCHAR) || '.' || rd AS id,
   rd AS release_date,
   CAST(u % 500 AS VARCHAR) AS subject,
   CASE WHEN e % 2 = 0 THEN 'c1 ' || CAST(e AS VARCHAR) || chr(10) || 'c2'
-       ELSE '' END AS description,
+       END AS description,
   CASE WHEN e % 5 <> 0
        THEN '2023-0' || CAST(e % 9 + 1 AS VARCHAR) || '-01'
   END AS approver_date,

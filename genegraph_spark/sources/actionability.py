@@ -225,10 +225,18 @@ def actionability_triples(
     ).select("graph", "t.*")
 
     # ── genetic conditions (:49-70): explode → broadcast lookups ────
+    # the label is the rdfs:label OF THE RESOLVED condition resource
+    # (genetic-condition-label, :50-51) — not of the document's curie
+    # row — so the label lookup joins on the resolved MONDO iri, a
+    # second broadcast against the deduplicated (mondo, label) dimension
+    mondo_labels = condition_map.select(
+        F.col("mondo_iri").alias("res_mondo_iri"),
+        F.col("label").alias("res_mondo_label"),
+    ).dropDuplicates(["res_mondo_iri"])
     gc = (
         base.select(cur.alias("graph"), F.explode(d["conditions"]).alias("c"))
         .join(
-            F.broadcast(condition_map),
+            F.broadcast(condition_map.select("curie", "mondo_iri")),
             F.col("c.curie") == F.col("curie"), "left",
         )
         .drop("curie")
@@ -241,9 +249,14 @@ def actionability_triples(
     mondo = F.when(
         F.col("c.iri").contains("MONDO"), F.col("c.iri")
     ).otherwise(F.col("mondo_iri"))
+    gc = gc.withColumn("res_mondo", mondo).join(
+        F.broadcast(mondo_labels),
+        F.col("res_mondo") == F.col("res_mondo_iri"), "left",
+    )
+    mondo = F.col("res_mondo")
     gc_b = I.bnode(F.col("graph"), F.lit("gc"), F.col("c.iri"), F.col("c.gene"))
     gc_label = F.concat(
-        F.coalesce(F.col("label"), F.lit("")), F.lit(", "),
+        F.coalesce(F.col("res_mondo_label"), F.lit("")), F.lit(", "),
         F.coalesce(F.col("symbol"), F.lit("")),
     )
     gc_triples = gc.select(

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from genegraph_spark.functions import iri as I
 from genegraph_spark.operators.triples import explode_triples_arr, tstruct
-from genegraph_spark.sources.dosage_jira import CHR_TO_REF, _arr, _t
+from genegraph_spark.sources.dosage_jira import CHR_TO_REF, _arr, _lit_map, _t
 
 HGNC_DATASET = "https://www.genenames.org"
 ENSEMBL_DATASET = "https://www.ensembl.org"
@@ -40,7 +40,10 @@ CYTOBAND_ROOT = "http://dataexchange.clinicalgenome.org/terms/cytoband/"
 AFFILIATION_PREFIX = "http://dataexchange.clinicalgenome.org/agent/"
 MIM_PREFIX = "http://purl.obolibrary.org/obo/OMIM_"
 
-# locus type → Sequence Ontology class (transform/gene.clj:24-41)
+# locus type → Sequence Ontology class — the COMPLETE 17-entry map of
+# transform/gene.clj:24-41, including the reference's literal
+# "SO_0000946?" for virus integration site (a trailing '?' in the
+# source data; preserved verbatim rather than "fixed")
 LOCUS_TYPES: dict[str, str] = {
     "immunoglobulin gene": "http://purl.obolibrary.org/obo/SO_0002122",
     "T cell receptor gene": "http://purl.obolibrary.org/obo/SO_0002099",
@@ -49,12 +52,19 @@ LOCUS_TYPES: dict[str, str] = {
     "RNA, transfer": "http://purl.obolibrary.org/obo/SO_0000253",
     "pseudogene": "http://purl.obolibrary.org/obo/SO_0000336",
     "RNA, long non-coding": "http://purl.obolibrary.org/obo/SO_0001877",
+    "virus integration site": "http://purl.obolibrary.org/obo/SO_0000946?",
+    "RNA, vault": "http://purl.obolibrary.org/obo/SO_0000404",
+    "endogenous retrovirus": "http://purl.obolibrary.org/obo/SO_0000100",
+    "RNA, small nucleolar": "http://purl.obolibrary.org/obo/SO_0000275",
+    "T cell receptor pseudogene": "http://purl.obolibrary.org/obo/SO_0002099",
+    "immunoglobulin pseudogene": "http://purl.obolibrary.org/obo/SO_0002098",
+    "RNA, small nuclear": "http://purl.obolibrary.org/obo/SO_0000274",
+    "readthrough": "http://purl.obolibrary.org/obo/SO_0000883",
     "RNA, ribosomal": "http://purl.obolibrary.org/obo/SO_0000252",
+    "RNA, misc": "http://purl.obolibrary.org/obo/SO_0000356",
 }
 
 
-def _lit_map(d: dict[str, str]):
-    return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
 
 
 def hgnc_gene_triples(genes: DataFrame, graph: str = HGNC_DATASET + "/") -> DataFrame:
@@ -104,7 +114,16 @@ def hgnc_gene_triples(genes: DataFrame, graph: str = HGNC_DATASET + "/") -> Data
         hidden("prev_name"),
         hidden("prev_symbol"),
     )
-    return explode_triples_arr(genes, F.lit(graph), arr)
+    out = explode_triples_arr(genes, F.lit(graph), arr)
+    # gene.clj:69-72 conj's the dataset-provenance statement onto every
+    # per-document model; in the batch frame that collapses to ONE
+    # graph-level triple (emitting it per gene row would multiply it)
+    dataset_row = genes.sparkSession.createDataFrame(
+        # the reference subject carries the trailing slash (gene.clj:72)
+        [(graph, HGNC_DATASET + "/", I.RDF_TYPE, ":void/Dataset", True, None)],
+        out.schema,
+    )
+    return out.unionByName(dataset_row)
 
 
 def cytoband_triples(
@@ -183,9 +202,17 @@ def gene_score_triples(
     symbols drop (the reference's nil guard). ``import_date`` is the
     deterministic stand-in for the reference's wall-clock
     ``date-time-now`` (injected so runs and oracles agree)."""
+    # the reference takes the FIRST query hit per symbol (hi_index.clj:14
+    # / loss_intolerance.clj:20 `(first ...)`) — an ambiguous label
+    # (prev_symbols are reused across genes in real HGNC data) must
+    # resolve to ONE gene, not multiply the score row; min(gene_uri) is
+    # the deterministic stand-in for Jena's arbitrary iteration order
+    one_per_label = gene_labels.groupBy("label").agg(
+        F.min("gene_uri").alias("gene_uri")
+    )
     joined = scores.join(
-        F.broadcast(gene_labels),
-        scores["symbol"] == gene_labels["label"],
+        F.broadcast(one_per_label),
+        scores["symbol"] == one_per_label["label"],
     ).drop("label")
     sb = I.bnode(F.col("gene_uri"), F.lit(score_class), F.lit("score"))
     cb = I.bnode(F.col("gene_uri"), F.lit(score_class), F.lit("contrib"))

@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from genegraph_spark.operators.versioned import asof_join
+from genegraph_spark.sources.dosage_jira import _lit_map
 from genegraph_spark.sources.clinsig import normalize_clinsig
 
 CGTERMS = "http://dataexchange.clinicalgenome.org/terms/"
@@ -152,8 +153,6 @@ def parse_trait_set_messages(df: DataFrame, col: str = "value") -> DataFrame:
     )
 
 
-def _lit_map(d: dict[str, str]):
-    return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
 
 
 def clinvar_statements(
@@ -172,8 +171,11 @@ def clinvar_statements(
     d = F.from_json(F.col(col), ASSERTION_SCHEMA)
     c = d["content"]
     base = assertions.select(
+        # vof = cgterms SCV_Statement_<id>; id = vof.<release_date>
+        # (clinical_assertion.clj:707-709 — NOT the identifiers.org
+        # submission scheme, which only the legacy jsonld variant uses)
         F.concat(
-            F.lit("https://identifiers.org/clinvar.submission:"), c["id"],
+            F.lit(CGTERMS + "SCV_Statement_"), c["id"],
             F.lit("."), d["release_date"],
         ).alias("id"),
         d["release_date"].alias("release_date"),
@@ -188,12 +190,15 @@ def clinvar_statements(
         c["date_last_updated"].alias("submitter_date"),
         # interpretation comments: each a JSON string with a text field,
         # joined with line breaks (:447-457)
-        F.array_join(
-            F.transform(
-                F.coalesce(c["interpretation_comments"], F.array()),
-                lambda x: F.from_json(x, "text string")["text"],
+        F.when(
+            F.size(F.coalesce(c["interpretation_comments"], F.array())) > 0,
+            F.array_join(
+                F.transform(
+                    c["interpretation_comments"],
+                    lambda x: F.from_json(x, "text string")["text"],
+                ),
+                "\n",
             ),
-            "\n",
         ).alias("description"),
     )
     n = normalize_clinsig(base, "raw_clinsig", normalized, classes)
@@ -232,8 +237,13 @@ def clinvar_statements(
         ).alias("classification_label"),
     )
     # the reference's per-statement "latest trait-set ≤ release_date"
-    # point query (:275-300, :560-567) as ONE distributed as-of join
-    ts = trait_sets.where(~F.col("deleted")).select(
+    # point query (:275-300, :560-567) as ONE distributed as-of join.
+    # Delete tombstones are NOT filtered: get-latest-versioned-record-as-of
+    # (:610-620) picks the max version regardless of deletion, so a
+    # tombstoned trait-set that is the latest ≤ release_date WINS (its
+    # stored fields flow through; it does not fall back to the prior
+    # surviving version)
+    ts = trait_sets.select(
         "is_version_of", "version",
         F.col("id").alias("ts_id"), F.col("n_members").alias("ts_n_members"),
     )
@@ -267,23 +277,28 @@ def clinvar_statements(
 VA_PREFIX = CGTERMS + "clinvar.variation_archive/"
 CLINVAR_VARIATION = "https://identifiers.org/clinvar:"
 
-VARIATION_ARCHIVE_SCHEMA = """
-    release_date string, event_type string,
-    content struct<id: string, version: string, variation_id: string,
-                   review_status: string, interp_description: string,
-                   date_created: string, date_last_updated: string,
-                   num_submitters: string, num_submissions: string,
-                   species: string>
-"""
-
-# content fields that do NOT become VRS extensions (the dissoc list,
-# variation_archive.clj:76-78; event_type/release_date merge in first,
-# :30-32, and release_date is then dissoc'd while event_type stays)
-_VA_CORE_FIELDS = ("id", "version", "review_status", "interp_description")
-_VA_EXT_FIELDS = (
-    "variation_id", "date_created", "date_last_updated", "num_submitters",
-    "num_submissions", "species", "event_type",
+# every VCV content field the parser reads; extend THIS list to parse
+# more of the clinvar-raw payload — the extension emission below derives
+# from it, mirroring the reference's "Extension per remaining field"
+_VA_CONTENT_FIELDS = (
+    "id", "version", "variation_id", "review_status", "interp_description",
+    "date_created", "date_last_updated", "num_submitters", "num_submissions",
+    "species",
 )
+
+VARIATION_ARCHIVE_SCHEMA = (
+    "release_date string, event_type string, content struct<"
+    + ", ".join(f"{f}: string" for f in _VA_CONTENT_FIELDS)
+    + ">"
+)
+
+# the dissoc list (variation_archive.clj:76-78): event_type/release_date
+# merge into the msg first (:30-32), release_date is then dissoc'd while
+# event_type stays — so extensions = (content - dissoc) + event_type
+_VA_DISSOC = ("id", "version", "review_status", "interp_description")
+_VA_EXT_FIELDS = tuple(
+    f for f in _VA_CONTENT_FIELDS if f not in _VA_DISSOC
+) + ("event_type",)
 
 
 def variation_archive_triples(df: DataFrame, col: str = "value") -> DataFrame:
@@ -298,7 +313,7 @@ def variation_archive_triples(df: DataFrame, col: str = "value") -> DataFrame:
     Spark-first: one ``from_json``, one explode; extension bnodes are
     deterministic per (statement, field)."""
     from genegraph_spark.functions import iri as I
-    from genegraph_spark.sources.dosage_jira import _arr, _t
+    from genegraph_spark.sources.dosage_jira import _arr, _lit_map, _t
 
     d = F.from_json(F.col(col), VARIATION_ARCHIVE_SCHEMA)
     c = d["content"]

@@ -163,14 +163,17 @@ def _lit_map(d: dict[str, str]) -> Column:
 
 
 def _t(s, p, o, is_iri, dt=None):
-    """Triple struct in house column order (operators.triples.tstruct
-    shape, re-declared locally to avoid a circular import)."""
-    return F.struct(
-        (s if isinstance(s, Column) else F.lit(s)).alias("subject"),
-        F.lit(p).alias("predicate") if isinstance(p, str) else p.alias("predicate"),
-        (o if isinstance(o, Column) else F.lit(o)).alias("object"),
-        F.lit(is_iri).alias("object_is_iri"),
-        F.lit(dt).cast("string").alias("object_datatype"),
+    """Triple struct in house column order — a thin plain-string-
+    accepting wrapper over :func:`operators.triples.tstruct` (one
+    struct builder to keep field-compatible, not two)."""
+    from genegraph_spark.operators.triples import tstruct
+
+    return tstruct(
+        s if isinstance(s, Column) else F.lit(s),
+        p,
+        o if isinstance(o, Column) else F.lit(o),
+        is_iri,
+        dt,
     )
 
 

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from genegraph_spark.functions import iri as I
-from genegraph_spark.sources.dosage_jira import _arr, _t
+from genegraph_spark.sources.dosage_jira import _arr, _lit_map, _t
 
 GCI_ROOT = "http://dataexchange.clinicalgenome.org/gci/"
 AFFILIATION_ROOT = "http://dataexchange.clinicalgenome.org/agent/"
@@ -74,8 +74,6 @@ GCI_LEGACY_SCHEMA = """
 """
 
 
-def _lit_map(d: dict[str, str]):
-    return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
 
 
 def parse_gci_legacy(df: DataFrame, col: str = "value") -> DataFrame:

@@ -1325,6 +1325,7 @@ class TestClinvarStatements:
 
     def test_asof_delete_and_sentinel(self, spark):
         import json
+        import re
 
         from genegraph_spark.sources import clinvar_statements as CS
         from genegraph_spark.sources.clinsig import clinsig_tables
@@ -1338,7 +1339,9 @@ class TestClinvarStatements:
             msg(release_date="2024-02-01", event_type="create",
                 content={"id": "9", "type": "TraitSet",
                          "trait_ids": ["1", "2"]}),
-            # a delete version: filtered out of as-of resolution
+            # a delete version: per the reference as-of lookup
+            # (clinical_assertion.clj:610-620) the TOMBSTONE wins when
+            # it is the latest version <= release_date
             msg(release_date="2024-03-01", event_type="delete",
                 content={"id": "9", "type": "TraitSet", "trait_ids": []}),
         ], "value string"))
@@ -1354,7 +1357,7 @@ class TestClinvarStatements:
                 content={"id": "SCV2", "variation_id": "5",
                          "trait_set_id": "9",
                          "interpretation_description": "Pathogenic"}),
-            # after the delete → still v2 (deletes excluded)
+            # after the delete → the tombstone itself (0 members)
             msg(release_date="2024-04-01", event_type="create",
                 content={"id": "SCV3", "variation_id": "5",
                          "trait_set_id": "9",
@@ -1365,15 +1368,22 @@ class TestClinvarStatements:
                          "interpretation_description": "Pathogenic"}),
         ], "value string")
         out = {
-            r.id.split(":")[-1].split(".")[0]: r
+            re.search(r"(SCV\d+)\.", r.id).group(1): r
             for r in CS.clinvar_statements(asserts, ts, n, c).collect()
         }
+        # ids use the cgterms SCV_Statement_ scheme (clj:707-709)
+        assert all(
+            r.id.startswith(self.CG + "SCV_Statement_SCV")
+            for r in out.values()
+        )
         nf = self.CG + "ConditionNotFound"
         assert out["SCV1"].object_id == nf
         assert out["SCV2"].object_id == self.CG + "trait_set_9.2024-01-01"
         assert out["SCV2"].object_compact is True   # 1 member
-        assert out["SCV3"].object_id == self.CG + "trait_set_9.2024-02-01"
-        assert out["SCV3"].object_n_members == 2
+        # the tombstone is the latest version <= SCV3's release date and
+        # WINS (reference as-of has no deleted filter)
+        assert out["SCV3"].object_id == self.CG + "trait_set_9.2024-03-01"
+        assert out["SCV3"].object_n_members == 0
         assert out["SCV3"].object_compact is False
         assert out["SCV4"].object_id == nf
         assert out["SCV2"].predicate == "causes_mendelian_condition"
