@@ -60,6 +60,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 from functools import reduce
+from types import SimpleNamespace
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1272,18 +1273,54 @@ class _Compiler:
         for e in filters:
             cur = cur.where(self.bool_expr(e, cur))
         for grp, positive in exists_clauses:
-            sub = self.group(grp)
-            shared = sorted(set(cur.columns) & set(sub.columns))
-            if shared:
-                cur = cur.join(sub, shared, "left_semi" if positive else "left_anti")
-            else:
-                # disjoint EXISTS: a constant guard — keep all rows iff the
-                # sub-pattern has (no) solutions
-                probe = sub.limit(1)
-                cur = cur.join(
-                    probe, F.lit(True), "left_semi" if positive else "left_anti"
-                )
+            cur = self._exists_join(cur, grp, positive)
         return cur, maybe
+
+    def _exists_join(self, cur: DataFrame, grp: list, positive: bool) -> DataFrame:
+        """FILTER (NOT) EXISTS with CORRELATION (SPARQL 1.1 §8.1.1
+        substitution semantics): a top-level filter inside the pattern
+        may compare variables bound only in the OUTER solution — the
+        reference's versioned-as-of idiom (``aggregate-members-timeseries``,
+        source/graphql/clinvar/aggregate_assertion.clj:204-239, and
+        ``genes-for-variation-byversion-query``,
+        transform/clinvar/jsonld/clinical_assertion.clj:20-62). Such
+        filters hoist into the semi/anti-join CONDITION; compiling them
+        inside the sub-group would read the outer variable as NULL and
+        the EXISTS would never (NOT EXISTS always) hold.
+
+        Scale: the hoisted predicates ride the same hash join the
+        shared-variable equalities plan — no extra exchange; a purely
+        range-correlated NOT EXISTS (no shared var) degrades to a
+        broadcast-nested-loop, the honest cost of that query shape.
+        """
+        inner = [el for el in grp if el[0] != "filter"]
+        fs = [el[1] for el in grp if el[0] == "filter"]
+        sub = self.group(inner)
+        hoisted = []
+        for e in fs:
+            vs = self._expr_vars(e)
+            if vs <= set(sub.columns) or not (vs & set(cur.columns)):
+                # self-contained (or referencing nothing the outer
+                # binds): an ordinary inner filter
+                sub = sub.where(self.bool_expr(e, sub))
+            else:
+                hoisted.append(e)
+        shared = sorted(set(cur.columns) & set(sub.columns))
+        how = "left_semi" if positive else "left_anti"
+        if not hoisted:
+            if shared:
+                return cur.join(sub, shared, how)
+            # disjoint EXISTS: a constant guard — keep all rows iff the
+            # sub-pattern has (no) solutions
+            return cur.join(sub.limit(1), F.lit(True), how)
+        ren = {c: f"__ex_{c}" for c in sub.columns}
+        sub_r = sub.select([F.col(c).alias(ren[c]) for c in sub.columns])
+        conds = [F.col(v) == F.col(ren[v]) for v in shared]
+        scope = SimpleNamespace(columns=list(cur.columns) + list(ren.values()))
+        outer_cols = set(cur.columns)
+        for e in hoisted:
+            conds.append(self.bool_expr(_rename_vars(e, ren, outer_cols), scope))
+        return cur.join(sub_r, reduce(lambda a, b: a & b, conds), how)
 
     @staticmethod
     def _expr_vars(e) -> set:
@@ -1471,14 +1508,24 @@ class _Compiler:
             )
         raise ValueError(f"unsupported expression {e!r}")
 
-    def agg_expr(self, e, df: DataFrame) -> Column:
+    def agg_expr(self, e, df: DataFrame, tagged: bool = False) -> Column:
         """One SPARQL aggregate → a Spark aggregate expression over the
         (tagged) bindings. SUM/AVG decode-and-cast to double; MIN/MAX
         operate on the decoded string unless the argument is numeric;
         SAMPLE is pinned to MIN (deterministic pick — SPARQL leaves the
         choice open); GROUP_CONCAT joins the SORTED values (deterministic
         ordering; separator from the §18.5.1.7 clause, default space;
-        DISTINCT collapses duplicates)."""
+        DISTINCT collapses duplicates).
+
+        ``tagged``: sub-SELECT mode. MIN/MAX/SAMPLE of a bare variable
+        then return the input's ORIGINAL TAGGED TERM (SPARQL §18.5.1 —
+        Max returns one of the multiset's values, datatype and all), so
+        an enclosing BGP's natural join on the projected alias matches
+        the stored typed literal. Re-tagging the decoded value as a
+        plain literal broke exactly the reference's latest-version
+        idiom: ``(max(?release_date) AS ?max)`` joined back against
+        ``cg:release_date`` bindings (clinvar aggregate-members,
+        aggregate_assertion.clj:157-199)."""
         assert e[0] == "agg", e
         _, fn, distinct, arg, *rest = e
         if fn == "count" and arg == "*":
@@ -1505,8 +1552,16 @@ class _Compiler:
                 F.coalesce(dv, F.lit(0.0)).alias("k2"),
                 val.alias("k3"),
             )
+            ret = val
+            if (
+                tagged
+                and isinstance(arg, tuple)
+                and arg[0] == "var"
+                and arg[1] in df.columns
+            ):
+                ret = F.col(arg[1])
             return (
-                F.min_by(val, key) if fn in ("min", "sample") else F.max_by(val, key)
+                F.min_by(ret, key) if fn in ("min", "sample") else F.max_by(ret, key)
             )
         if fn == "group_concat":
             sep = rest[0] if rest else " "
@@ -1708,6 +1763,23 @@ class _Compiler:
 # ===========================================================================
 # Public API
 # ===========================================================================
+
+
+def _rename_vars(e, ren: dict, keep: set):
+    """Rewrite variable references in a filter expression AST for the
+    correlated-EXISTS join condition: a var bound only in the EXISTS
+    sub-pattern takes its renamed (``__ex_``-prefixed) column; a var the
+    outer solution binds keeps its name (for shared vars the join's
+    equality makes either side equivalent — the outer one avoids a
+    rename)."""
+    if isinstance(e, tuple):
+        if e and e[0] == "var":
+            v = e[1]
+            return e if (v in keep or v not in ren) else ("var", ren[v])
+        return tuple(_rename_vars(x, ren, keep) for x in e)
+    if isinstance(e, list):
+        return [_rename_vars(x, ren, keep) for x in e]
+    return e
 
 
 def _subst(node, mapping: dict):
@@ -1955,12 +2027,21 @@ def _select_project(c: "_Compiler", q: Query, bindings: DataFrame, tagged: bool)
             # decode on the way out. HAVING aggregates become hidden
             # agg columns, dropped after the filter.
             aggs = []
+            pretagged: set = set()
             for e, alias in q.select_exprs:
                 if not contains_agg(e):
                     raise SparqlSyntaxError(
                         f"non-aggregate projection ({alias}) in a grouped SELECT"
                     )
-                aggs.append(c.agg_expr(e, bindings).alias(alias))
+                aggs.append(c.agg_expr(e, bindings, tagged=tagged).alias(alias))
+                if (
+                    tagged
+                    and e[0] == "agg"
+                    and e[1] in ("min", "max", "sample")
+                    and isinstance(e[3], tuple)
+                    and e[3][0] == "var"
+                ):
+                    pretagged.add(alias)
 
             hidden: list = []
 
@@ -1995,11 +2076,14 @@ def _select_project(c: "_Compiler", q: Query, bindings: DataFrame, tagged: bool)
             for h in having:
                 grouped = grouped.where(c.bool_expr(h, grouped))
             if tagged:
-                # group keys keep their tags; aggregate outputs re-tag
-                # as plain literals for the enclosing group
+                # group keys keep their tags; MIN/MAX/SAMPLE-of-a-var
+                # outputs are already the original tagged terms; other
+                # aggregate outputs re-tag as plain literals
                 out = grouped.select(
                     *[
-                        F.col(v) if v in q.group_by else retag(F.col(v)).alias(v)
+                        F.col(v)
+                        if v in q.group_by or v in pretagged
+                        else retag(F.col(v)).alias(v)
                         for v in cols
                     ]
                 )
