@@ -2285,6 +2285,277 @@ def q_stream_stateful_totals(spark, sf_dir):
 
 
 # The driver verifies the first ~50 queries() entries per round. The
+# ── ClinVar JSON-LD tier (transform/clinvar/jsonld/*.clj + the
+#    source/graphql/clinvar/ resolver queries run VERBATIM over it) ──
+
+
+def _cv_jsonld_model(spark, sf_dir):
+    """Shared clinvar-streams JSON-LD model (the Jena-union set-semantics
+    view) — persisted once per sf_dir like _kg_triples_df (one-shot
+    driver process; clear_query_caches releases it)."""
+    from genegraph_spark.sources import clinvar_jsonld as CJ
+
+    key = ("cvjsonld", id(spark), sf_dir)
+    if key not in _KG_TRIPLES_CACHE:
+        ev = _read(spark, sf_dir, "events")
+        _KG_TRIPLES_CACHE[key] = CJ.clinvar_jsonld_model(
+            spark,
+            fixtures.clinvar_gene_messages(ev),
+            fixtures.clinvar_variation_messages(ev),
+            fixtures.clinvar_archive_messages(ev),
+            fixtures.clinvar_scv_messages(ev),
+        ).persist()
+    return _KG_TRIPLES_CACHE[key]
+
+
+def q_kg_cv_jsonld_genes(spark, sf_dir):
+    # the clinvar-streams gene transform (transform/clinvar/jsonld/
+    # gene.clj:16-37): versioned so:Gene + cg:ClinVarObject records with
+    # prefLabel, archiver contribution, and the merged @vocab fields —
+    # one from_json + one explode, zero shuffles
+    from genegraph_spark.sources import clinvar_jsonld as CJ
+
+    ev = _read(spark, sf_dir, "events")
+    return CJ.gene_jsonld_triples(fixtures.clinvar_gene_messages(ev))
+
+
+def q_kg_cv_jsonld_variants(spark, sf_dir):
+    # the clinvar-streams variation transform (jsonld/variation.clj:
+    # 23-44): versioned cg:Variant records; :name lands as BOTH
+    # skos:prefLabel and cg:name (only :id is dissoc'd); each
+    # gene_associations object becomes a deterministic node carrying
+    # cg:gene_id — the hop the graphql/clinvar resolvers join through
+    from genegraph_spark.sources import clinvar_jsonld as CJ
+
+    ev = _read(spark, sf_dir, "events")
+    return CJ.variation_jsonld_triples(fixtures.clinvar_variation_messages(ev))
+
+
+def q_kg_cv_class_context(spark, sf_dir):
+    # ClinGen classification-context binning (jsonld/clinical_assertion
+    # .clj:83-125): SOMATIC_CANCER / PHARMACOGENOMIC / GERMLINE_DISEASE /
+    # OTHER in rule order. The reference runs a per-assertion SPARQL
+    # as-of query for the gene set; here both as-of levels are windowed
+    # joins over bounded version chains and the consensus-cancer CSV +
+    # clinsig map are broadcasts — two bounded shuffles for the corpus
+    from genegraph_spark.sources import clinvar_jsonld as CJ
+
+    ev = _read(spark, sf_dir, "events")
+    out = CJ.classification_context(
+        CJ.parse_scv_messages(fixtures.clinvar_scv_messages(ev)),
+        CJ.parse_variation_versions(fixtures.clinvar_variation_messages(ev)),
+        CJ.parse_gene_versions(fixtures.clinvar_gene_messages(ev)),
+        CJ.cancer_gene_ids(spark),
+        CJ.clinsig_group_map(spark),
+    )
+    return out.select("id", "release_date", "classification_context")
+
+
+def q_cur_cv_aggregate_latest(spark, sf_dir):
+    # aggregate-assertion-list, timeframe LATEST, run VERBATIM
+    # (source/graphql/clinvar/aggregate_assertion.clj:25-49): the
+    # latest-version-per-id sub-SELECT + max-date filter over the VCV
+    # statements. Exercises the §18.5.1 fix: max(?release_date) returns
+    # the input's tagged term so the outer BGP natural-join matches
+    from genegraph_spark.operators.sparql import sparql
+
+    q = """
+PREFIX dc: <http://purl.org/dc/terms/>
+PREFIX sepio: <http://purl.obolibrary.org/obo/SEPIO_>
+PREFIX cg: <http://dataexchange.clinicalgenome.org/terms/>
+SELECT ?iri ?id ?subject ?release_date ?max_release_date
+WHERE {
+  {
+    SELECT ?id (max(?release_date) AS ?max_release_date)
+    WHERE {
+      ?subiri a cg:AggregateVariantClinicalSignificanceAssertion ;
+              dc:isVersionOf ?id ;
+              cg:release_date ?release_date .
+    }
+    GROUP BY ?id
+  }
+  ?iri dc:isVersionOf ?id ;
+       sepio:0000388 ?subject ; #:sepio/has-subject
+       cg:release_date ?release_date .
+  FILTER(?release_date = ?max_release_date)
+}"""
+    return sparql(_cv_jsonld_model(spark, sf_dir), q)
+
+
+def q_cur_cv_members(spark, sf_dir):
+    # aggregate-members-query VERBATIM (aggregate_assertion.clj:157-199):
+    # latest VCV version per id joined to the latest version of every
+    # member SCV through the sepio:0000006/0000084 evidence hops
+    from genegraph_spark.operators.sparql import sparql
+
+    q = """
+PREFIX dc: <http://purl.org/dc/terms/>
+PREFIX cg: <http://dataexchange.clinicalgenome.org/terms/>
+PREFIX sepio: <http://purl.obolibrary.org/obo/SEPIO_>
+SELECT
+  ?evidence_item_iri
+  ?evidence_item_assertion_id
+  ?evidence_item_assertion_release_date
+  ?vcv_iri
+  (?r_vcv_max_release_date as ?vcv_release_date)
+WHERE {
+  {
+    SELECT ?r_vcv_id (max(?release_date) AS ?r_vcv_max_release_date)
+    WHERE {
+      ?subiri a cg:AggregateVariantClinicalSignificanceAssertion ;
+              dc:isVersionOf ?r_vcv_id ;
+              cg:release_date ?release_date .
+    }
+    GROUP BY ?r_vcv_id
+  }
+  ?vcv_iri a cg:AggregateVariantClinicalSignificanceAssertion .
+  ?vcv_iri dc:isVersionOf ?r_vcv_id .
+  ?vcv_iri cg:release_date ?r_vcv_max_release_date .
+  {
+    SELECT ?evidence_item_assertion_id (max(?release_date) AS ?evidence_item_assertion_release_date)
+    WHERE {
+      ?subiri a cg:VariantClinicalSignificanceAssertion ;
+              dc:isVersionOf ?evidence_item_assertion_id ;
+              cg:release_date ?release_date .
+    }
+    GROUP BY ?evidence_item_assertion_id
+  }
+  ?r_vcv_id sepio:0000006 ?evidence_line_iri . # :sepio/evidence-line
+  ?evidence_line_iri sepio:0000084 ?evidence_item_iri . # :sepio/evidence-item
+  ?evidence_item_iri dc:isVersionOf ?evidence_item_assertion_id .
+  ?evidence_item_iri cg:release_date ?evidence_item_assertion_release_date .
+}
+ORDER BY ASC(?vcv_iri) ASC(?vcv_release_date)"""
+    return sparql(_cv_jsonld_model(spark, sf_dir), q)
+
+
+def q_cur_cv_members_timeseries(spark, sf_dir):
+    # aggregate-members-timeseries VERBATIM (aggregate_assertion.clj:
+    # 204-239): per VCV VERSION, the members as-of that version's date —
+    # the correlated FILTER NOT EXISTS (inner filters reference the
+    # outer ?vcv_release_date) hoists into the anti-join condition
+    from genegraph_spark.operators.sparql import sparql
+
+    q = """
+PREFIX dc: <http://purl.org/dc/terms/>
+PREFIX cg: <http://dataexchange.clinicalgenome.org/terms/>
+PREFIX sepio: <http://purl.obolibrary.org/obo/SEPIO_>
+PREFIX scv: <https://identifiers.org/clinvar.submission:>
+SELECT
+  ?evidence_item_iri
+  ?evidence_item_assertion_id
+  ?evidence_item_assertion_release_date
+  ?vcv_iri
+  ?r_vcv_id
+  ?vcv_release_date
+WHERE {
+  ?vcv_iri a cg:AggregateVariantClinicalSignificanceAssertion .
+  ?vcv_iri dc:isVersionOf ?r_vcv_id .
+  ?vcv_iri cg:release_date ?vcv_release_date .
+  ?r_vcv_id sepio:0000006 ?evidence_line_iri . # :sepio/evidence-line
+  ?evidence_line_iri sepio:0000084 ?evidence_item_iri . # :sepio/evidence-item
+  ?evidence_item_iri dc:isVersionOf ?evidence_item_assertion_id .
+  ?evidence_item_iri cg:release_date ?evidence_item_assertion_release_date .
+  FILTER(?evidence_item_assertion_release_date <= ?vcv_release_date)
+  FILTER NOT EXISTS {
+    ?other_evidence_item_iri_version dc:isVersionOf ?evidence_item_assertion_id .
+    ?other_evidence_item_iri_version cg:release_date ?other_evidence_item_release_date .
+    FILTER(?other_evidence_item_release_date <= ?vcv_release_date)
+    FILTER(?other_evidence_item_release_date > ?evidence_item_assertion_release_date)
+  }
+}
+ORDER BY ASC(?r_vcv_id) ASC(?vcv_release_date) ASC(?evidence_item_assertion_id)"""
+    return sparql(_cv_jsonld_model(spark, sf_dir), q)
+
+
+def q_cur_cv_gene_list(spark, sf_dir):
+    # gene-list VERBATIM (source/graphql/clinvar/gene.clj:66-105):
+    # variants → gene_associations → latest gene version, DISTINCT
+    from genegraph_spark.operators.sparql import sparql
+
+    q = """
+PREFIX dc: <http://purl.org/dc/terms/>
+PREFIX cg: <http://dataexchange.clinicalgenome.org/terms/>
+PREFIX sepio: <http://purl.obolibrary.org/obo/SEPIO_>
+PREFIX so: <http://purl.obolibrary.org/obo/SO_>
+SELECT DISTINCT ?gene_iri ?gene_id ?gene_release_date ?variation_id
+WHERE {
+  ?s_variant a cg:Variant .
+  ?s_variant cg:gene_associations ?gene_association_iri .
+  ?s_variant dc:isVersionOf ?variation_id .
+  ?s_variant cg:release_date ?variant_release_date .
+  ?gene_association_iri cg:gene_id ?gene_id .
+  {
+    SELECT ?gene_id (MAX(?gene_release_date) AS ?max_gene_release_date) WHERE {
+      ?g a so:0000704 . # so/Gene
+      ?g a cg:ClinVarObject .
+      ?g cg:release_date ?gene_release_date .
+      ?g cg:id ?gene_id .
+    }
+    GROUP BY ?gene_id
+  }
+  {
+    SELECT ?gene_iri ?gene_id ?gene_release_date WHERE {
+      ?gene_iri a so:0000704 . # so/Gene
+      ?gene_iri a cg:ClinVarObject .
+      ?gene_iri cg:release_date ?gene_release_date .
+      ?gene_iri cg:id ?gene_id .
+    }
+  }
+  FILTER(?gene_release_date = ?max_gene_release_date)
+}
+ORDER BY ?s_variant ?gene_id"""
+    return sparql(_cv_jsonld_model(spark, sf_dir), q)
+
+
+def q_cur_cv_genes_asof(spark, sf_dir):
+    # genes-for-variation-byversion VERBATIM (transform/clinvar/jsonld/
+    # clinical_assertion.clj:20-62) with the {{release_date_limit}}
+    # substitution the reference performs — TWO correlated NOT EXISTS
+    # as-of levels (latest variant <= limit, latest gene <= variant)
+    from genegraph_spark.operators.sparql import sparql
+
+    q = """
+PREFIX dc: <http://purl.org/dc/terms/>
+PREFIX cg: <http://dataexchange.clinicalgenome.org/terms/>
+PREFIX sepio: <http://purl.obolibrary.org/obo/SEPIO_>
+PREFIX so: <http://purl.obolibrary.org/obo/SO_>
+SELECT ?gene_iri ?gene_id ?gene_symbol ?gene_release_date ?variation_id ?variant_release_date
+WHERE {
+  ?s_variant a cg:Variant .
+  ?s_variant cg:gene_associations ?gene_association_iri .
+  ?s_variant dc:isVersionOf ?variation_id .
+  ?s_variant cg:release_date ?variant_release_date .
+  ?gene_association_iri cg:gene_id ?gene_id .
+  {
+    SELECT ?gene_iri ?gene_id ?gene_release_date WHERE {
+      ?gene_iri a so:0000704 . # :so/Gene
+      ?gene_iri a cg:ClinVarObject .
+      ?gene_iri cg:release_date ?gene_release_date .
+      ?gene_iri cg:id ?gene_id .
+    }
+  }
+  FILTER(?gene_release_date <= ?variant_release_date)
+  FILTER NOT EXISTS {
+    ?other_gene_iri cg:id ?gene_id .
+    ?other_gene_iri cg:release_date ?other_gene_release_date .
+    FILTER(?other_gene_release_date <= ?variant_release_date)
+    FILTER(?other_gene_release_date > ?gene_release_date)
+  }
+  ?gene_iri cg:symbol ?gene_symbol .
+  ?gene_iri cg:hgnc_id ?hgnc_id .
+  FILTER(?variant_release_date <= "2024-02-03")
+  FILTER NOT EXISTS {
+    ?other_variant dc:isVersionOf ?variation_id .
+    ?other_variant cg:release_date ?other_variant_release_date .
+    FILTER(?other_variant_release_date <= "2024-02-03")
+    FILTER(?other_variant_release_date > ?variant_release_date)
+  }
+}
+ORDER BY ?s_variant ?gene_id"""
+    return sparql(_cv_jsonld_model(spark, sf_dir), q)
+
+
 # ordering is DERIVED from the CORRECTNESS_r*.json history (VERDICT r4
 # next-steps #1: no more hand-maintained list — a typo there silently
 # burned window slots). Rule: never-driver-verified queries first, then a
@@ -2319,8 +2590,25 @@ def _verdict_ordering(base_names):
             if prev is None or rnd >= prev[0]:
                 latest[name] = (rnd, ok)
     pos = {n: i for i, n in enumerate(base_names)}
+    # VERDICT r4 "do this" #1: these 8 have waited since r3/r4 for a
+    # driver verdict — they outrank every newer never-verified entry so
+    # round-5 session additions can never push them past the ~50-slot
+    # window again. Asserted against base so a typo fails loudly
+    # (VERDICT r4 "what's wrong" #2).
+    priority = [
+        "alg_sparql_agg", "join_salted_topk", "graph_pagerank",
+        "graph_degrees", "graph_comention_pmi", "text_decontaminate",
+        "text_domain_mix", "dedup_spans",
+    ]
+    unknown = [n for n in priority if n not in pos]
+    assert not unknown, f"priority names not on the board: {unknown}"
+    prio = {n: i for i, n in enumerate(priority)}
 
     def key(n):
+        if n in prio and latest.get(n) is None:
+            # boost applies only while unverified: once a driver verdict
+            # lands the normal staleness ordering takes over
+            return (-2, prio[n])
         rec = latest.get(n)
         if rec is None:  # never driver-verified → front of the window
             return (-1, pos[n])
@@ -2334,6 +2622,16 @@ def _verdict_ordering(base_names):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        # round-5 session-6 additions: the ClinVar JSON-LD tier + the
+        # graphql/clinvar resolver queries run verbatim
+        "kg_cv_jsonld_genes": q_kg_cv_jsonld_genes,
+        "kg_cv_jsonld_variants": q_kg_cv_jsonld_variants,
+        "kg_cv_class_context": q_kg_cv_class_context,
+        "cur_cv_aggregate_latest": q_cur_cv_aggregate_latest,
+        "cur_cv_members": q_cur_cv_members,
+        "cur_cv_members_timeseries": q_cur_cv_members_timeseries,
+        "cur_cv_gene_list": q_cur_cv_gene_list,
+        "cur_cv_genes_asof": q_cur_cv_genes_asof,
         # round-5 additions (never driver-verified → front of the window)
         "alg_recursive_evidence": q_alg_recursive_evidence,
         "cur_resource_cards": q_cur_resource_cards,
@@ -3086,6 +3384,275 @@ searches AS (
           True, cond="e % 2 = 0 AND is_c1"),
     ]
     return cte + "\n" + "\nUNION ALL\n".join(rows)
+
+
+# Shared DuckDB CTEs re-deriving the ClinVar JSON-LD fixture base sets
+# (fixtures.clinvar_*_messages) from events with the same modular
+# arithmetic — no JSON parsing oracle-side (house fixture policy).
+_CV_CTES = """
+genes_base AS (
+  SELECT DISTINCT user_id % 25 AS gid, event_id % 3 AS gv
+  FROM events WHERE event_id % 7 < 3),
+gene_rows AS (
+  SELECT gid, '2024-01-0' || CAST(gv + 1 AS VARCHAR) AS grd,
+         'SYM' || CAST(gid AS VARCHAR) AS symbol,
+         'gene ' || CAST(gid AS VARCHAR) || ' r'
+           || CAST(gv + 1 AS VARCHAR) AS full_name,
+         CASE WHEN gid % 3 = 0 THEN list_extract(
+                ['HGNC:11110','HGNC:950','HGNC:1100','HGNC:1101','HGNC:1133'],
+                CAST((gid // 3) % 5 AS INT) + 1)
+              ELSE 'HGNC:' || CAST(gid + 9000 AS VARCHAR) END AS hgnc_id
+  FROM genes_base),
+vars_base AS (
+  SELECT DISTINCT user_id % 50 AS vid, event_id % 4 AS vv
+  FROM events WHERE event_id % 5 < 2),
+var_rows AS (
+  SELECT vid, '2024-02-0' || CAST(vv + 1 AS VARCHAR) AS vrd,
+         'variant ' || CAST(vid AS VARCHAR) || ' r'
+           || CAST(vv + 1 AS VARCHAR) AS vname,
+         list_extract(['SimpleAllele','Haplotype','Genotype'],
+                      CAST(vid % 3 AS INT) + 1) AS subclass_type,
+         list_extract(['Deletion','Duplication','single nucleotide variant'],
+                      CAST(vid % 3 AS INT) + 1) AS variation_type
+  FROM vars_base),
+var_ids AS (SELECT DISTINCT vid FROM vars_base),
+assoc AS (
+  SELECT vid, vid % 25 AS gid FROM var_ids
+  UNION ALL
+  SELECT vid, (vid + 7) % 25 AS gid FROM var_ids WHERE vid % 2 = 0),
+arch_base AS (
+  SELECT DISTINCT user_id % 40 AS aid, (event_id // 3) % 3 AS av
+  FROM events WHERE event_id % 3 = 0),
+arch_rows AS (
+  SELECT aid, '2024-03-0' || CAST(av * 2 + 1 AS VARCHAR) AS ard,
+         CAST((aid * 3) % 50 AS VARCHAR) AS a_variation_id
+  FROM arch_base),
+scv_base AS (
+  SELECT DISTINCT user_id % 60 AS sid, event_id % 2 AS sv
+  FROM events WHERE event_id % 4 < 2),
+scv_rows AS (
+  SELECT sid, '2024-03-0' || CAST(sv * 3 + 2 AS VARCHAR) AS srd,
+         CAST(sid % 50 AS BIGINT) AS s_variation_id,
+         sid % 40 AS s_aid,
+         list_extract(
+           ['Pathogenic','drug response','risk factor','association','Benign'],
+           CAST(sid % 5 AS INT) + 1) AS clinsig,
+         list_extract(
+           ['practice guideline','reviewed by expert panel',
+            'criteria provided, single submitter','no assertion provided'],
+           CAST(sid % 4 AS INT) + 1) AS review
+  FROM scv_base)
+"""
+
+_CV_CG = "http://dataexchange.clinicalgenome.org/terms/"
+_CV_VA = _CV_CG + "clinvar.variation_archive/"
+_CV_GENE = _CV_CG + "clinvar.gene/"
+_CV_VAR = "https://identifiers.org/clinvar:"
+_CV_SUB = "https://identifiers.org/clinvar.submission:"
+
+
+def _cv_jsonld_oracles() -> dict[str, str]:
+    """DuckDB replicas of the ClinVar JSON-LD tier: two hash-exact
+    triple emissions, the classification-context binning, and the five
+    graphql/clinvar resolver queries (which the Spark side runs as
+    VERBATIM SPARQL over the union model)."""
+    RT = I.RDF_TYPE
+    XS = I.XSD_STRING
+    PREF = "http://www.w3.org/2004/02/skos/core#prefLabel"
+    SO_GENE = "http://purl.obolibrary.org/obo/SO_0000704"
+    SEPIO = "http://purl.obolibrary.org/obo/SEPIO_"
+
+    def bn(*parts: str) -> str:
+        sep = " || '|' || "
+        return f"'_:' || substr(sha256({sep.join(parts)}), 1, 32)"
+
+    def q(src, g, s, p, o, is_iri, dt=None, cond=None):
+        dtv = f"'{dt}'" if dt else "CAST(NULL AS VARCHAR)"
+        w = f" WHERE {cond}" if cond else ""
+        return (
+            f"SELECT {g} AS graph, {s} AS subject, '{p}' AS predicate, "
+            f"{o} AS object, {str(is_iri).upper()} AS object_is_iri, "
+            f"{dtv} AS object_datatype FROM {src}{w}"
+        )
+
+    def contribution(src, ver, date_expr):
+        cb = bn(ver, "'contrib'")
+        agent = f"'{_CV_CG}clinvar.submitter/clinvar'"
+        return [
+            q(src, ver, ver, SEPIO + "0000159", cb, True),
+            q(src, ver, cb, SEPIO + "0000160", date_expr, False, XS),
+            q(src, ver, cb, SEPIO + "0000046", "'ArchiverRole'", False, XS),
+            q(src, ver, cb, SEPIO + "0000017", agent, True),
+        ]
+
+    gver = f"'{_CV_GENE}' || CAST(gid AS VARCHAR) || '.' || grd"
+    gunv = f"'{_CV_GENE}' || CAST(gid AS VARCHAR)"
+    gene_parts = [
+        q("gene_rows", gver, gver, RT, f"'{_CV_CG}ClinVarObject'", True),
+        q("gene_rows", gver, gver, RT, f"'{SO_GENE}'", True),
+        q("gene_rows", gver, gver, "http://purl.org/dc/terms/isVersionOf",
+          gunv, True),
+        q("gene_rows", gver, gver, PREF, "full_name", False, XS),
+        *contribution("gene_rows", gver, "grd"),
+        q("gene_rows", gver, gver, _CV_CG + "release_date", "grd", False, XS),
+        q("gene_rows", gver, gver, _CV_CG + "id", "CAST(gid AS VARCHAR)",
+          False, XS),
+        q("gene_rows", gver, gver, _CV_CG + "symbol", "symbol", False, XS),
+        q("gene_rows", gver, gver, _CV_CG + "hgnc_id", "hgnc_id", False, XS),
+    ]
+    genes_sql = (
+        f"WITH {_CV_CTES} " + " UNION ALL ".join(gene_parts)
+    )
+
+    vver = f"'{_CV_VAR}' || CAST(vid AS VARCHAR) || '.' || vrd"
+    vunv = f"'{_CV_VAR}' || CAST(vid AS VARCHAR)"
+    # assoc nodes join per (version, gene): derive from var_rows x assoc
+    va_src = "(SELECT r.*, a.gid FROM var_rows r JOIN assoc a USING (vid))"
+    ga_bn = bn(vver, "'ga'", "CAST(gid AS VARCHAR)")
+    variant_parts = [
+        q("var_rows", vver, vver, RT, f"'{_CV_CG}ClinVarObject'", True),
+        q("var_rows", vver, vver, RT, f"'{_CV_CG}Variant'", True),
+        q("var_rows", vver, vver, "http://purl.org/dc/terms/isVersionOf",
+          vunv, True),
+        q("var_rows", vver, vver, PREF, "vname", False, XS),
+        *contribution("var_rows", vver, "vrd"),
+        q("var_rows", vver, vver, _CV_CG + "release_date", "vrd", False, XS),
+        q("var_rows", vver, vver, _CV_CG + "name", "vname", False, XS),
+        q("var_rows", vver, vver, _CV_CG + "subclass_type", "subclass_type",
+          False, XS),
+        q("var_rows", vver, vver, _CV_CG + "variation_type",
+          "variation_type", False, XS),
+        q("var_rows", vver, vver, _CV_CG + "protein_change",
+          "'p.V' || CAST(vid AS VARCHAR) || 'L'", False, XS,
+          cond="vid % 4 = 0"),
+        q(va_src, vver, vver, _CV_CG + "gene_associations", ga_bn, True),
+        q(va_src, vver, ga_bn, _CV_CG + "gene_id", "CAST(gid AS VARCHAR)",
+          False, XS),
+    ]
+    variants_sql = (
+        f"WITH {_CV_CTES} " + " UNION ALL ".join(variant_parts)
+    )
+
+    context_sql = f"""
+WITH {_CV_CTES},
+latest_var AS (
+  SELECT s.sid, s.srd, v.vid, v.vrd,
+         dense_rank() OVER (PARTITION BY s.sid, s.srd
+                            ORDER BY v.vrd DESC) AS rn
+  FROM scv_rows s
+  JOIN var_rows v ON v.vid = s.s_variation_id AND v.vrd <= s.srd),
+scv_genes AS (
+  SELECT lv.sid, lv.srd, a.gid, lv.vrd
+  FROM latest_var lv JOIN assoc a ON a.vid = lv.vid WHERE lv.rn = 1),
+asof_gene AS (
+  SELECT sg.sid, sg.srd, g.hgnc_id,
+         dense_rank() OVER (PARTITION BY sg.sid, sg.srd, sg.gid
+                            ORDER BY g.grd DESC) AS rn
+  FROM scv_genes sg
+  JOIN gene_rows g ON g.gid = sg.gid AND g.grd <= sg.vrd),
+cancer AS (
+  SELECT DISTINCT "id" AS chgnc
+  FROM read_csv('/root/reference/resources/consensus_cancer_genes.csv',
+                header = true)
+  WHERE CAST("# of Res Gene was in" AS INT) >= 2),
+has_cancer AS (
+  SELECT DISTINCT sid, srd FROM asof_gene
+  WHERE rn = 1 AND hgnc_id IN (SELECT chgnc FROM cancer)),
+cmap AS (
+  SELECT clinsig AS mcs, "group" AS grp
+  FROM read_csv('/root/reference/resources/clinvar_clinsig-map.csv',
+                header = true))
+SELECT 'SCV' || CAST(s.sid AS VARCHAR) AS id, s.srd AS release_date,
+  CASE WHEN s.sid % 4 = 0 AND hc.sid IS NOT NULL
+            AND lower(s.clinsig) <> 'risk factor' THEN 'SOMATIC_CANCER'
+       WHEN lower(s.clinsig) = 'drug response' THEN 'PHARMACOGENOMIC'
+       WHEN s.review IN ('practice guideline', 'reviewed by expert panel')
+            OR m.grp = 'path' THEN 'GERMLINE_DISEASE'
+       ELSE 'OTHER' END AS classification_context
+FROM scv_rows s
+LEFT JOIN has_cancer hc ON hc.sid = s.sid AND hc.srd = s.srd
+LEFT JOIN cmap m ON m.mcs = lower(s.clinsig)"""
+
+    agg_latest_sql = f"""
+WITH {_CV_CTES},
+mx AS (SELECT aid, max(ard) AS mrd FROM arch_rows GROUP BY aid)
+SELECT '{_CV_VA}VCV0' || CAST(a.aid AS VARCHAR) || '.' || a.ard AS iri,
+       '{_CV_VA}VCV0' || CAST(a.aid AS VARCHAR) AS id,
+       '{_CV_VAR}' || a.a_variation_id AS subject,
+       a.ard AS release_date, m.mrd AS max_release_date
+FROM arch_rows a JOIN mx m USING (aid) WHERE a.ard = m.mrd"""
+
+    members_sql = f"""
+WITH {_CV_CTES},
+scv_max AS (
+  SELECT sid, sid % 40 AS s_aid, max(srd) AS msrd
+  FROM scv_rows GROUP BY sid),
+vcv_max AS (SELECT aid, max(ard) AS mard FROM arch_rows GROUP BY aid)
+SELECT '{_CV_SUB}SCV' || CAST(s.sid AS VARCHAR) || '.' || s.msrd
+         AS evidence_item_iri,
+       '{_CV_SUB}SCV' || CAST(s.sid AS VARCHAR)
+         AS evidence_item_assertion_id,
+       s.msrd AS evidence_item_assertion_release_date,
+       '{_CV_VA}VCV0' || CAST(v.aid AS VARCHAR) || '.' || v.mard AS vcv_iri,
+       v.mard AS vcv_release_date
+FROM scv_max s JOIN vcv_max v ON v.aid = s.s_aid"""
+
+    timeseries_sql = f"""
+WITH {_CV_CTES},
+pairs AS (
+  SELECT a.aid, a.ard, s.sid, max(s.srd) AS msrd
+  FROM arch_rows a
+  JOIN scv_rows s ON s.sid % 40 = a.aid AND s.srd <= a.ard
+  GROUP BY a.aid, a.ard, s.sid)
+SELECT '{_CV_SUB}SCV' || CAST(sid AS VARCHAR) || '.' || msrd
+         AS evidence_item_iri,
+       '{_CV_SUB}SCV' || CAST(sid AS VARCHAR)
+         AS evidence_item_assertion_id,
+       msrd AS evidence_item_assertion_release_date,
+       '{_CV_VA}VCV0' || CAST(aid AS VARCHAR) || '.' || ard AS vcv_iri,
+       '{_CV_VA}VCV0' || CAST(aid AS VARCHAR) AS r_vcv_id,
+       ard AS vcv_release_date
+FROM pairs"""
+
+    gene_list_sql = f"""
+WITH {_CV_CTES},
+gene_max AS (SELECT gid, max(grd) AS mgrd FROM gene_rows GROUP BY gid)
+SELECT DISTINCT
+       '{_CV_GENE}' || CAST(g.gid AS VARCHAR) || '.' || g.mgrd AS gene_iri,
+       CAST(g.gid AS VARCHAR) AS gene_id,
+       g.mgrd AS gene_release_date,
+       '{_CV_VAR}' || CAST(a.vid AS VARCHAR) AS variation_id
+FROM assoc a JOIN gene_max g USING (gid)"""
+
+    genes_asof_sql = f"""
+WITH {_CV_CTES},
+var_latest AS (
+  SELECT vid, max(vrd) AS mvrd FROM var_rows
+  WHERE vrd <= '2024-02-03' GROUP BY vid),
+ag AS (
+  SELECT a.vid, a.gid, vl.mvrd, max(g.grd) AS mgrd
+  FROM assoc a
+  JOIN var_latest vl USING (vid)
+  JOIN gene_rows g ON g.gid = a.gid AND g.grd <= vl.mvrd
+  GROUP BY a.vid, a.gid, vl.mvrd)
+SELECT '{_CV_GENE}' || CAST(gid AS VARCHAR) || '.' || mgrd AS gene_iri,
+       CAST(gid AS VARCHAR) AS gene_id,
+       'SYM' || CAST(gid AS VARCHAR) AS gene_symbol,
+       mgrd AS gene_release_date,
+       '{_CV_VAR}' || CAST(vid AS VARCHAR) AS variation_id,
+       mvrd AS variant_release_date
+FROM ag"""
+
+    return {
+        "kg_cv_jsonld_genes": genes_sql,
+        "kg_cv_jsonld_variants": variants_sql,
+        "kg_cv_class_context": context_sql,
+        "cur_cv_aggregate_latest": agg_latest_sql,
+        "cur_cv_members": members_sql,
+        "cur_cv_members_timeseries": timeseries_sql,
+        "cur_cv_gene_list": gene_list_sql,
+        "cur_cv_genes_asof": genes_asof_sql,
+    }
 
 
 def _basedata_oracles() -> dict[str, str]:
@@ -4924,6 +5491,7 @@ FROM events""",
         "kg_dosage_jira": _dosage_jira_oracle(),
         "kg_actionability_docs": _actionability_oracle(),
         **_basedata_oracles(),
+        **_cv_jsonld_oracles(),
         "kg_gci_legacy": _gci_legacy_oracle(),
         "kg_gci_express": _gci_express_oracle(),
         "kg_gci_neo4j": _gci_neo4j_oracle(),

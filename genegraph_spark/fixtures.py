@@ -852,3 +852,229 @@ def clinvar_vcv_payloads(events: DataFrame) -> DataFrame:
         ).alias("content"),
     )
     return events.select(F.to_json(doc).alias("value"))
+
+
+# ── ClinVar JSON-LD tier fixtures ────────────────────────────────────
+# Deterministic message streams for the clinvar-streams JSON-LD model
+# (transform/clinvar/jsonld/*.clj). Each stream is a DISTINCT set of
+# (entity id, version ordinal) pairs derived from `events` with modular
+# arithmetic, so a DuckDB oracle reproduces the exact row set with one
+# SELECT DISTINCT — no JSON parsing oracle-side. Version dates are
+# staged so every as-of idiom is exercised: genes (2024-01-0v) precede
+# variants (2024-02-0v) precede archives (2024-03-0{1,3,5}) with SCVs
+# interleaved (2024-03-0{2,5}).
+
+# five consensus_cancer_genes.csv ids with num >= 2 (the binning
+# threshold) — fixture genes with gid%3==0 take one of these
+CANCER_HGNC_IDS: list[str] = [
+    "HGNC:11110", "HGNC:950", "HGNC:1100", "HGNC:1101", "HGNC:1133",
+]
+
+CV_SCV_CLINSIGS: list[str] = [
+    "Pathogenic", "drug response", "risk factor", "association", "Benign",
+]
+CV_SCV_REVIEW: list[str] = [
+    "practice guideline", "reviewed by expert panel",
+    "criteria provided, single submitter", "no assertion provided",
+]
+CV_VCV_REVIEW: list[str] = [
+    "practice guideline", "reviewed by expert panel",
+    "criteria provided, multiple submitters, no conflicts",
+    "criteria provided, conflicting interpretations",
+]
+
+
+def _cv_hgnc(gid):
+    """hgnc_id expression: every third gene takes a consensus-cancer-gene
+    id (num >= 2 in the reference CSV); the rest take ids outside it."""
+    return F.when(
+        gid % 3 == 0,
+        F.element_at(
+            F.array(*[F.lit(h) for h in CANCER_HGNC_IDS]),
+            ((gid / 3).cast("long") % 5 + 1).cast("int"),
+        ),
+    ).otherwise(F.concat(F.lit("HGNC:"), (gid + 9000).cast("string")))
+
+
+def clinvar_gene_messages(events: DataFrame) -> DataFrame:
+    """clinvar-streams gene messages (jsonld/gene.clj fields)."""
+    base = (
+        events.where(F.col("event_id") % 7 < 3)
+        .select(
+            (F.col("user_id") % 25).alias("gid"),
+            (F.col("event_id") % 3).alias("v"),
+        )
+        .distinct()
+    )
+    gid, v = F.col("gid"), F.col("v")
+    doc = F.struct(
+        F.concat(F.lit("2024-01-0"), (v + 1).cast("string")).alias(
+            "release_date"
+        ),
+        F.struct(
+            gid.cast("string").alias("id"),
+            F.concat(F.lit("SYM"), gid.cast("string")).alias("symbol"),
+            F.concat(
+                F.lit("gene "), gid.cast("string"), F.lit(" r"),
+                (v + 1).cast("string"),
+            ).alias("full_name"),
+            _cv_hgnc(gid).alias("hgnc_id"),
+        ).alias("content"),
+    )
+    return base.select(F.to_json(doc).alias("value"))
+
+
+def clinvar_variation_messages(events: DataFrame) -> DataFrame:
+    """clinvar-streams variation messages (jsonld/variation.clj fields;
+    gene_associations as nested objects like the clinvar-streams feed)."""
+    base = (
+        events.where(F.col("event_id") % 5 < 2)
+        .select(
+            (F.col("user_id") % 50).alias("vid"),
+            (F.col("event_id") % 4).alias("v"),
+        )
+        .distinct()
+    )
+    vid, v = F.col("vid"), F.col("v")
+    ga1 = F.struct((vid % 25).cast("string").alias("gene_id"))
+    ga2 = F.struct(((vid + 7) % 25).cast("string").alias("gene_id"))
+    doc = F.struct(
+        F.concat(F.lit("2024-02-0"), (v + 1).cast("string")).alias(
+            "release_date"
+        ),
+        F.struct(
+            vid.cast("string").alias("id"),
+            F.concat(
+                F.lit("variant "), vid.cast("string"), F.lit(" r"),
+                (v + 1).cast("string"),
+            ).alias("name"),
+            F.element_at(
+                F.array(
+                    F.lit("SimpleAllele"), F.lit("Haplotype"), F.lit("Genotype")
+                ),
+                (vid % 3 + 1).cast("int"),
+            ).alias("subclass_type"),
+            F.element_at(
+                F.array(
+                    F.lit("Deletion"), F.lit("Duplication"),
+                    F.lit("single nucleotide variant"),
+                ),
+                (vid % 3 + 1).cast("int"),
+            ).alias("variation_type"),
+            F.when(
+                vid % 4 == 0,
+                F.concat(F.lit("p.V"), vid.cast("string"), F.lit("L")),
+            ).alias("protein_change"),
+            F.when(vid % 2 == 0, F.array(ga1, ga2)).otherwise(
+                F.array(ga1)
+            ).alias("gene_associations"),
+        ).alias("content"),
+    )
+    return base.select(F.to_json(doc).alias("value"))
+
+
+def clinvar_archive_messages(events: DataFrame) -> DataFrame:
+    """clinvar-streams variation_archive messages
+    (jsonld/variation_archive.clj fields)."""
+    base = (
+        events.where(F.col("event_id") % 3 == 0)
+        .select(
+            (F.col("user_id") % 40).alias("aid"),
+            # NOT event_id%3 (constant 0 under the filter): the version
+            # ordinal comes from the next base-3 digit
+            ((F.col("event_id") / 3).cast("long") % 3).alias("v"),
+        )
+        .distinct()
+    )
+    aid, v = F.col("aid"), F.col("v")
+    doc = F.struct(
+        F.concat(F.lit("2024-03-0"), (v * 2 + 1).cast("string")).alias(
+            "release_date"
+        ),
+        F.struct(
+            F.concat(F.lit("VCV0"), aid.cast("string")).alias("id"),
+            (v + 1).cast("string").alias("version"),
+            ((aid * 3) % 50).cast("string").alias("variation_id"),
+            F.element_at(
+                F.array(
+                    F.lit("Pathogenic"), F.lit("Benign"),
+                    F.lit("Uncertain significance"),
+                ),
+                ((aid + v) % 3 + 1).cast("int"),
+            ).alias("interp_description"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in CV_VCV_REVIEW]),
+                (aid % 4 + 1).cast("int"),
+            ).alias("review_status"),
+            F.lit("2024-03-01").alias("date_created"),
+            F.concat(F.lit("2024-03-0"), (v * 2 + 1).cast("string")).alias(
+                "date_last_updated"
+            ),
+            (aid % 5 + 1).cast("string").alias("num_submitters"),
+            (aid % 6 + 1).cast("string").alias("num_submissions"),
+            F.lit("Homo sapiens").alias("species"),
+            F.lit("current").alias("record_status"),
+            F.lit("Clinical significance").alias("interp_type"),
+        ).alias("content"),
+    )
+    return base.select(F.to_json(doc).alias("value"))
+
+
+def clinvar_scv_messages(events: DataFrame) -> DataFrame:
+    """clinvar-streams clinical_assertion messages
+    (jsonld/clinical_assertion.clj fields). Moduli are decorrelated so
+    every classification-context branch is populated."""
+    base = (
+        events.where(F.col("event_id") % 4 < 2)
+        .select(
+            (F.col("user_id") % 60).alias("sid"),
+            (F.col("event_id") % 2).alias("v"),
+        )
+        .distinct()
+    )
+    sid, v = F.col("sid"), F.col("v")
+    origins = (
+        F.when(sid % 4 == 0, F.array(F.lit("somatic")))
+        .when(sid % 4 == 1, F.array(F.lit("germline")))
+        .when(sid % 4 == 2, F.array(F.lit("germline"), F.lit("somatic")))
+        .otherwise(F.array(F.lit("unknown")))
+    )
+    doc = F.struct(
+        F.concat(F.lit("2024-03-0"), (v * 3 + 2).cast("string")).alias(
+            "release_date"
+        ),
+        F.struct(
+            F.concat(F.lit("SCV"), sid.cast("string")).alias("id"),
+            (v + 1).cast("string").alias("version"),
+            (sid % 50).cast("string").alias("variation_id"),
+            F.concat(F.lit("VCV0"), (sid % 40).cast("string")).alias(
+                "variation_archive_id"
+            ),
+            (sid % 30).cast("string").alias("trait_set_id"),
+            (sid % 20).cast("string").alias("submitter_id"),
+            F.concat(F.lit("scv title "), sid.cast("string")).alias("title"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in CV_SCV_CLINSIGS]),
+                (sid % 5 + 1).cast("int"),
+            ).alias("interpretation_description"),
+            F.element_at(
+                F.array(*[F.lit(s) for s in CV_SCV_REVIEW]),
+                (sid % 4 + 1).cast("int"),
+            ).alias("review_status"),
+            origins.alias("allele_origins"),
+            F.array(F.lit("clinical testing")).alias("collection_methods"),
+            F.concat(F.lit("CATS"), (sid % 30).cast("string")).alias(
+                "clinical_assertion_trait_set_id"
+            ),
+            F.lit("2024-02-20").alias(
+                "interpretation_date_last_evaluated"
+            ),
+            F.lit("2024-03-01").alias("date_created"),
+            F.concat(F.lit("2024-03-0"), (v * 3 + 2).cast("string")).alias(
+                "date_last_updated"
+            ),
+            F.lit("current").alias("record_status"),
+            F.lit("variation to disease").alias("assertion_type"),
+        ).alias("content"),
+    )
+    return base.select(F.to_json(doc).alias("value"))
