@@ -2556,6 +2556,74 @@ ORDER BY ?s_variant ?gene_id"""
     return sparql(_cv_jsonld_model(spark, sf_dir), q)
 
 
+# ── event-analyzer tier (event_analyzer.clj re-expressed corpus-wide) ──
+
+
+def _event_models(spark, sf_dir):
+    """(old, new) per-order model frames simulating a re-transform with
+    changed code (the event_analyzer.clj scenario): the new code maps
+    priority-1 orders to a subclass, rewrites every 7th status, drops
+    every 5th order-date triple, and adds a flag to every 11th order."""
+    from genegraph_spark.operators.triples import explode_triples, tstruct
+
+    o = _read(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    g = F.concat(F.lit("urn:order:"), k.cast("string"))
+    t = lambda p, obj, iri=False: tstruct(g, p, obj, iri, None if iri else I.XSD_STRING)  # noqa: E731
+    old = explode_triples(
+        o, g,
+        [
+            t(I.RDF_TYPE, F.lit(":Order"), True),
+            t(":status", F.col("o_orderstatus")),
+            t(":priority", F.col("o_orderpriority")),
+            t(":odate", F.col("o_orderdate").cast("string")),
+        ],
+    )
+    new_type = F.when(
+        F.col("o_orderpriority").startswith("1-"), F.lit(":PriorityOrder")
+    ).otherwise(F.lit(":Order"))
+    new_status = F.when(k % 7 == 0, F.lit("X")).otherwise(
+        F.col("o_orderstatus")
+    )
+    base = [
+        t(I.RDF_TYPE, new_type, True),
+        t(":status", new_status),
+        t(":priority", F.col("o_orderpriority")),
+    ]
+    from genegraph_spark.sources.dosage_jira import _arr
+
+    arr = F.concat(
+        F.array(*base),
+        _arr(k % 5 != 0, t(":odate", F.col("o_orderdate").cast("string"))),
+        _arr(k % 11 == 0, t(":flagged", F.lit("true"))),
+    )
+    from genegraph_spark.operators.triples import explode_triples_arr
+
+    new = explode_triples_arr(o, g, arr)
+    return old, new
+
+
+def q_kg_event_analysis(spark, sf_dir):
+    # per-model change report after a re-transform (event_analyzer.clj
+    # model-diff/model-changed?/model-sizes 24-55): the reference maps
+    # per-event helpers on the driver; here TWO exceptAll passes + per-
+    # graph aggregates give created/deleted/previous/current/changed for
+    # every model in one co-keyed job
+    from genegraph_spark.plans import analyzer as AN
+
+    old, new = _event_models(spark, sf_dir)
+    return AN.change_summary(old, new)
+
+
+def q_kg_type_count_diff(spark, sf_dir):
+    # rdf:type frequency deltas per model (resource-type-diff,
+    # event_analyzer.clj:14-22) — rows only where a count moved
+    from genegraph_spark.plans import analyzer as AN
+
+    old, new = _event_models(spark, sf_dir)
+    return AN.type_count_diff(old, new)
+
+
 # ordering is DERIVED from the CORRECTNESS_r*.json history (VERDICT r4
 # next-steps #1: no more hand-maintained list — a typo there silently
 # burned window slots). Rule: never-driver-verified queries first, then a
@@ -2632,6 +2700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_cv_members_timeseries": q_cur_cv_members_timeseries,
         "cur_cv_gene_list": q_cur_cv_gene_list,
         "cur_cv_genes_asof": q_cur_cv_genes_asof,
+        "kg_event_analysis": q_kg_event_analysis,
+        "kg_type_count_diff": q_kg_type_count_diff,
         # round-5 additions (never driver-verified → front of the window)
         "alg_recursive_evidence": q_alg_recursive_evidence,
         "cur_resource_cards": q_cur_resource_cards,
@@ -3643,7 +3713,42 @@ SELECT '{_CV_GENE}' || CAST(gid AS VARCHAR) || '.' || mgrd AS gene_iri,
        mvrd AS variant_release_date
 FROM ag"""
 
+    # event-analyzer oracles: closed-form per-order change arithmetic
+    # (the perturbation rules of _event_models expressed directly)
+    event_analysis_sql = """
+SELECT 'urn:order:' || CAST(o_orderkey AS VARCHAR) AS graph,
+       CAST(4 AS BIGINT) AS previous,
+       CAST(4
+            - (CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS current,
+       CAST((CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END)
+            + (CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS created,
+       CAST((CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END)
+            + (CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS deleted,
+       (o_orderkey % 7 = 0 OR o_orderpriority LIKE '1-%'
+        OR o_orderkey % 11 = 0 OR o_orderkey % 5 = 0) AS changed
+FROM orders"""
+
+    type_diff_sql = """
+WITH moved AS (SELECT o_orderkey FROM orders WHERE o_orderpriority LIKE '1-%')
+SELECT 'urn:order:' || CAST(o_orderkey AS VARCHAR) AS graph,
+       ':Order' AS rdf_type, CAST(1 AS BIGINT) AS old_n,
+       CAST(0 AS BIGINT) AS new_n, CAST(-1 AS BIGINT) AS delta
+FROM moved
+UNION ALL
+SELECT 'urn:order:' || CAST(o_orderkey AS VARCHAR) AS graph,
+       ':PriorityOrder' AS rdf_type, CAST(0 AS BIGINT) AS old_n,
+       CAST(1 AS BIGINT) AS new_n, CAST(1 AS BIGINT) AS delta
+FROM moved"""
+
     return {
+        "kg_event_analysis": event_analysis_sql,
+        "kg_type_count_diff": type_diff_sql,
         "kg_cv_jsonld_genes": genes_sql,
         "kg_cv_jsonld_variants": variants_sql,
         "kg_cv_class_context": context_sql,
