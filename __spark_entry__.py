@@ -2631,6 +2631,19 @@ def q_kg_type_count_diff(spark, sf_dir):
 # (stalest first); ties keep queries() insertion order. This guarantees
 # the staleness invariant mechanically: each round the window always
 # covers every never-verified entry plus the oldest verdicts.
+# VERDICT r4 "do this" #1: these 8 have waited since r3/r4 for a driver
+# verdict — they outrank every newer never-verified entry so round-5
+# session additions can never push them past the ~50-slot window again.
+# queries() asserts the list against the full board so a typo fails
+# loudly (VERDICT r4 "what's wrong" #2); _verdict_ordering itself stays
+# total over arbitrary base lists.
+_R5_PRIORITY = [
+    "alg_sparql_agg", "join_salted_topk", "graph_pagerank",
+    "graph_degrees", "graph_comention_pmi", "text_decontaminate",
+    "text_domain_mix", "dedup_spans",
+]
+
+
 def _verdict_ordering(base_names):
     import glob as _glob
 
@@ -2658,19 +2671,7 @@ def _verdict_ordering(base_names):
             if prev is None or rnd >= prev[0]:
                 latest[name] = (rnd, ok)
     pos = {n: i for i, n in enumerate(base_names)}
-    # VERDICT r4 "do this" #1: these 8 have waited since r3/r4 for a
-    # driver verdict — they outrank every newer never-verified entry so
-    # round-5 session additions can never push them past the ~50-slot
-    # window again. Asserted against base so a typo fails loudly
-    # (VERDICT r4 "what's wrong" #2).
-    priority = [
-        "alg_sparql_agg", "join_salted_topk", "graph_pagerank",
-        "graph_degrees", "graph_comention_pmi", "text_decontaminate",
-        "text_domain_mix", "dedup_spans",
-    ]
-    unknown = [n for n in priority if n not in pos]
-    assert not unknown, f"priority names not on the board: {unknown}"
-    prio = {n: i for i, n in enumerate(priority)}
+    prio = {n: i for i, n in enumerate(_R5_PRIORITY) if n in pos}
 
     def key(n):
         if n in prio and latest.get(n) is None:
@@ -2858,6 +2859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_broadcast_dim": q_join_broadcast_dim,
         "win_running_total": q_win_running_total,
     }
+    unknown = [n for n in _R5_PRIORITY if n not in base]
+    assert not unknown, f"priority names not on the board: {unknown}"
     ordered = _verdict_ordering(list(base))
     return {n: base[n] for n in ordered}
 

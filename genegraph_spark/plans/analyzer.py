@@ -48,12 +48,16 @@ def model_changes(
     ``canonicalize=True`` WL-relabels blank nodes first so a
     re-transform that only regenerated bnode ids diffs as EMPTY, the
     way Jena's difference over isomorphic models reads to the
-    reference's users. Leave False for bnode-free models (cheaper)."""
-    a = old.select(*_COLS)
-    b = new.select(*_COLS)
+    reference's users. Leave False for bnode-free models (cheaper).
+
+    SET semantics like Jena (both sides dedupe before differencing): a
+    transform that merely re-emits an existing triple twice is NOT a
+    model change."""
+    a = old.select(*_COLS).dropDuplicates(_COLS)
+    b = new.select(*_COLS).dropDuplicates(_COLS)
     if canonicalize:
-        a = canonical_bnode_triples(a, rounds)
-        b = canonical_bnode_triples(b, rounds)
+        a = canonical_bnode_triples(a, rounds).dropDuplicates(_COLS)
+        b = canonical_bnode_triples(b, rounds).dropDuplicates(_COLS)
     return b.exceptAll(a), a.exceptAll(b)
 
 
@@ -72,9 +76,13 @@ def change_summary(
     def per_graph(df: DataFrame, name: str) -> DataFrame:
         return df.groupBy("graph").agg(F.count("*").alias(name))
 
+    # sizes are SET sizes (Jena .size counts distinct statements)
     out = (
-        per_graph(old.select(*_COLS), "previous")
-        .join(per_graph(new.select(*_COLS), "current"), "graph", "full_outer")
+        per_graph(old.select(*_COLS).dropDuplicates(_COLS), "previous")
+        .join(
+            per_graph(new.select(*_COLS).dropDuplicates(_COLS), "current"),
+            "graph", "full_outer",
+        )
         .join(per_graph(created, "created"), "graph", "left_outer")
         .join(per_graph(deleted, "deleted"), "graph", "left_outer")
     )
@@ -95,7 +103,8 @@ def type_count_diff(old: DataFrame, new: DataFrame) -> DataFrame:
 
     def counts(df: DataFrame, name: str) -> DataFrame:
         return (
-            df.where(F.col("predicate") == I.RDF_TYPE)
+            df.select(*_COLS).dropDuplicates(_COLS)  # model set semantics
+            .where(F.col("predicate") == I.RDF_TYPE)
             .groupBy("graph", F.col("object").alias("rdf_type"))
             .agg(F.count("*").alias(name))
         )

@@ -78,8 +78,12 @@ def create_migration(
 
     os.makedirs(base_dir, exist_ok=True)
     # build first into a staging path; the version may derive from the
-    # built store's head commit
+    # built store's head commit. A leftover staging dir from a failed
+    # run would silently absorb a second merge commit (nondeterministic
+    # version ids + divergent lineage) — always start clean.
     staging = os.path.join(base_dir, "_staging")
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
     run_to_store(spark, sf_dir, staging)
     store = NamedGraphStore(spark, staging)
     vid = version_id(store, version)
@@ -109,15 +113,19 @@ def retrieve_migration(bucket_dir: str, version: str, target_dir: str) -> str:
 
 def decompress_database(target_dir: str, archive_path: str) -> bool:
     """Unpack a retrieved archive (``decompress-database``,
-    migration.clj:149-156). Members are path-checked before extraction
-    (the reference shells out to tar and inherits its behavior)."""
+    migration.clj:149-156). Link members are rejected outright (a
+    symlink created early can make a later member's lexical path check
+    pass while escaping the target) and extraction runs under the
+    stdlib 'data' filter, which independently refuses path escapes."""
     target_real = os.path.realpath(target_dir)
     with tarfile.open(archive_path, "r:gz") as tar:
         for m in tar.getmembers():
+            if m.issym() or m.islnk():
+                raise ValueError(f"archive contains a link member: {m.name}")
             dest = os.path.realpath(os.path.join(target_dir, m.name))
             if not (dest == target_real or dest.startswith(target_real + os.sep)):
                 raise ValueError(f"archive member escapes target: {m.name}")
-        tar.extractall(target_dir)
+        tar.extractall(target_dir, filter="data")
     return True
 
 
@@ -150,10 +158,12 @@ def load_stream_data(
     graphs is a no-op, the offset-reset semantics of the reference."""
     from .pipeline import run_to_store
 
-    if bucket_dir is not None and version is not None:
+    if from_scratch:
+        # a restore would be deleted immediately below — skip it
+        if os.path.exists(dest_path):
+            shutil.rmtree(dest_path)
+    elif bucket_dir is not None and version is not None:
         populate_data_vol_if_needed(spark, dest_path, bucket_dir, version)
-    if from_scratch and os.path.exists(dest_path):
-        shutil.rmtree(dest_path)
     outcome = run_to_store(spark, sf_dir, dest_path)
     store = NamedGraphStore(spark, dest_path)
     return {"commit": store.last_commit(), "outcome": outcome}

@@ -38,9 +38,8 @@ from pyspark.sql import functions as F
 
 from ..functions import iri as I
 from ..sources.dosage_jira import _arr, _t
+from ..sources.clinsig import REF_RESOURCES
 from ..sources.clinvar_statements import CGTERMS, CLINVAR_VARIATION, VA_PREFIX
-
-REF_RESOURCES = "/root/reference/resources"
 
 # IRI vocabulary (property-names.edn / class-names.edn resolutions;
 # keywords the edn does not map fall through to bare names under

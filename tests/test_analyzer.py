@@ -75,6 +75,18 @@ class TestChangeSummary:
         assert canon.changed is False
         assert (canon.created, canon.deleted) == (0, 0)
 
+    def test_duplicate_emission_is_not_a_change(self, spark):
+        """Jena models are statement SETS: a transform that re-emits an
+        existing triple twice must NOT read as a change."""
+        old = _df(spark, [("g", "s", ":p", "v", False, I.XSD_STRING)])
+        new = _df(spark, [
+            ("g", "s", ":p", "v", False, I.XSD_STRING),
+            ("g", "s", ":p", "v", False, I.XSD_STRING),
+        ])
+        got = AN.change_summary(old, new).collect()[0]
+        assert got.changed is False
+        assert (got.previous, got.current) == (1, 1)
+
     def test_model_changes_frames(self, spark, frames):
         old, new = frames
         created, deleted = AN.model_changes(old, new)
