@@ -2556,6 +2556,19 @@ ORDER BY ?s_variant ?gene_id"""
     return sparql(_cv_jsonld_model(spark, sf_dir), q)
 
 
+def q_text_bpe_merges(spark, sf_dir):
+    # BPE tokenizer training (Sennrich 2016 word-counts formulation):
+    # ONE corpus pass for word frequencies, then 8 merge iterations over
+    # the vocab-scale word table — pair-explode + weighted count +
+    # single-row argmax per iteration (bounded driver work, the
+    # graph_pagerank fixed-iteration pattern); classic leftmost
+    # non-overlapping merge semantics verified against a pure-python
+    # reference and mirrored bit-exactly by the unrolled DuckDB oracle
+    from genegraph_spark.functions import bpe as B
+
+    return B.bpe_merges(_read(spark, sf_dir, "documents"), n_merges=8)
+
+
 # ── event-analyzer tier (event_analyzer.clj re-expressed corpus-wide) ──
 
 
@@ -2703,6 +2716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_cv_genes_asof": q_cur_cv_genes_asof,
         "kg_event_analysis": q_kg_event_analysis,
         "kg_type_count_diff": q_kg_type_count_diff,
+        "text_bpe_merges": q_text_bpe_merges,
         # round-5 additions (never driver-verified → front of the window)
         "alg_recursive_evidence": q_alg_recursive_evidence,
         "cur_resource_cards": q_cur_resource_cards,
@@ -3524,6 +3538,48 @@ _CV_VAR = "https://identifiers.org/clinvar:"
 _CV_SUB = "https://identifiers.org/clinvar.submission:"
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled DuckDB replica of functions/bpe.bpe_merges: the same
+    word-count base, N pair-count/argmax/merge iterations (tie-break
+    count DESC, pair ASC), and the same double-space-boundary literal
+    replace, so both engines walk identical merge sequences."""
+    parts = [
+        """
+w AS (SELECT lower(tok) AS word, count(*) AS n
+      FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY 1),
+seq0 AS (SELECT array_to_string(string_split(word, ''), '  ')
+                || '  </w>' AS seq, n
+         FROM w)"""
+    ]
+    for k in range(n_merges):
+        parts.append(f""",
+pc{k} AS (
+  SELECT list_extract(toks, i) || ' ' || list_extract(toks, i + 1) AS pair,
+         CAST(sum(n) AS BIGINT) AS cnt
+  FROM (SELECT string_split(seq, '  ') AS toks, n,
+               unnest(generate_series(1, len(string_split(seq, '  ')) - 1))
+                 AS i
+        FROM seq{k})
+  GROUP BY 1),
+best{k} AS (SELECT pair, cnt FROM pc{k} ORDER BY cnt DESC, pair ASC LIMIT 1),
+seq{k + 1} AS (
+  SELECT trim(replace(' ' || s.seq || ' ',
+                      ' ' || replace(b.pair, ' ', '  ') || ' ',
+                      ' ' || replace(b.pair, ' ', '') || ' ')) AS seq, n
+  FROM seq{k} s, best{k} b)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({k} AS INT) AS rank,"
+        f" string_split(pair, ' ')[1] AS \"left\","
+        f" string_split(pair, ' ')[2] AS \"right\","
+        f" replace(pair, ' ', '') AS merged, cnt AS pair_count"
+        f" FROM best{k}"
+        for k in range(n_merges)
+    )
+    return "WITH " + "".join(parts) + "\n" + unions
+
+
 def _cv_jsonld_oracles() -> dict[str, str]:
     """DuckDB replicas of the ClinVar JSON-LD tier: two hash-exact
     triple emissions, the classification-context binning, and the five
@@ -3716,6 +3772,8 @@ SELECT '{_CV_GENE}' || CAST(gid AS VARCHAR) || '.' || mgrd AS gene_iri,
        mvrd AS variant_release_date
 FROM ag"""
 
+    bpe_sql = _bpe_oracle(8)
+
     # event-analyzer oracles: closed-form per-order change arithmetic
     # (the perturbation rules of _event_models expressed directly)
     event_analysis_sql = """
@@ -3750,6 +3808,7 @@ SELECT 'urn:order:' || CAST(o_orderkey AS VARCHAR) AS graph,
 FROM moved"""
 
     return {
+        "text_bpe_merges": bpe_sql,
         "kg_event_analysis": event_analysis_sql,
         "kg_type_count_diff": type_diff_sql,
         "kg_cv_jsonld_genes": genes_sql,
