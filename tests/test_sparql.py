@@ -1621,3 +1621,62 @@ class TestAnnotateAuthQueries:
             ).collect()
         ]
         assert out == ["urn:user:2"]
+
+
+class TestCorrelatedExists:
+    """Correlated FILTER (NOT) EXISTS — SPARQL 1.1 §8.1.1 substitution
+    semantics beyond the clinvar reference shapes (probed live, then
+    pinned)."""
+
+    def _vals(self, spark):
+        XI = "http://www.w3.org/2001/XMLSchema#integer"
+        return T(
+            spark,
+            [lit(s, ":val", v, XI) for s, v in
+             [("a", "1"), ("b", "5"), ("c", "9")]],
+        )
+
+    def test_positive_correlated_exists(self, spark):
+        out = S.sparql(
+            self._vals(spark),
+            """SELECT ?s ?v WHERE {
+                 ?s :val ?v .
+                 FILTER EXISTS { ?o :val ?w . FILTER(?w > ?v) }
+               }""",
+        )
+        assert sorted(r.s for r in out.collect()) == ["a", "b"]
+
+    def test_argmax_via_uncorrelated_not_exists(self, spark):
+        """No shared variable at all: the anti-join runs on the hoisted
+        range predicate alone (broadcast-nested-loop — the honest plan
+        for that query shape)."""
+        out = S.sparql(
+            self._vals(spark),
+            """SELECT ?s WHERE {
+                 ?s :val ?v .
+                 FILTER NOT EXISTS { ?o :val ?w . FILTER(?w > ?v) }
+               }""",
+        )
+        assert [r.s for r in out.collect()] == ["c"]
+
+    def test_unbound_var_in_exists_filter_is_error_false(self, spark):
+        """A filter var bound on NEITHER side evaluates as an error →
+        the EXISTS pattern yields no solutions → EXISTS false,
+        NOT EXISTS true (§17.2)."""
+        q = """SELECT ?s WHERE {
+                 ?s :val ?v .
+                 FILTER EXISTS { ?o :val ?w . FILTER(?w > ?nosuch) }
+               }"""
+        assert S.sparql(self._vals(spark), q).count() == 0
+        qn = q.replace("FILTER EXISTS", "FILTER NOT EXISTS")
+        assert S.sparql(self._vals(spark), qn).count() == 3
+
+    def test_arithmetic_in_hoisted_filter(self, spark):
+        out = S.sparql(
+            self._vals(spark),
+            """SELECT ?s WHERE {
+                 ?s :val ?v .
+                 FILTER NOT EXISTS { ?o :val ?w . FILTER(?w > ?v + 1) }
+               }""",
+        )
+        assert sorted(r.s for r in out.collect()) == ["c"]
