@@ -2569,6 +2569,26 @@ def q_text_bpe_merges(spark, sf_dir):
     return B.bpe_merges(_read(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_text_bpe_encode(spark, sf_dir):
+    # tokenization under the trained vocab: the 8 learned merges apply
+    # as a fixed chain of narrow column maps over the DISTINCT word
+    # table (vocab-scale; documents then join it broadcast for token
+    # ids) — per-word subword segmentation with zero per-row Python
+    from genegraph_spark.functions import bpe as B
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in B.bpe_merges(docs, n_merges=8).orderBy("rank").collect()
+    ]
+    enc = B.encode_words(B.word_counts(docs), merges)
+    return enc.select(
+        "word", "n",
+        F.size("tokens").cast("long").alias("n_subwords"),
+        F.array_join("tokens", " ").alias("subwords"),
+    )
+
+
 # ── event-analyzer tier (event_analyzer.clj re-expressed corpus-wide) ──
 
 
@@ -2717,6 +2737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_event_analysis": q_kg_event_analysis,
         "kg_type_count_diff": q_kg_type_count_diff,
         "text_bpe_merges": q_text_bpe_merges,
+        "text_bpe_encode": q_text_bpe_encode,
         # round-5 additions (never driver-verified → front of the window)
         "alg_recursive_evidence": q_alg_recursive_evidence,
         "cur_resource_cards": q_cur_resource_cards,
@@ -3538,18 +3559,22 @@ _CV_VAR = "https://identifiers.org/clinvar:"
 _CV_SUB = "https://identifiers.org/clinvar.submission:"
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_oracle(n_merges: int, encode: bool = False) -> str:
     """Unrolled DuckDB replica of functions/bpe.bpe_merges: the same
     word-count base, N pair-count/argmax/merge iterations (tie-break
     count DESC, pair ASC), and the same double-space-boundary literal
-    replace, so both engines walk identical merge sequences."""
+    replace, so both engines walk identical merge sequences.
+
+    ``encode=True`` returns the post-merge tokenization of the word
+    table instead of the merge list (the functions/bpe.encode_words
+    replica)."""
     parts = [
         """
 w AS (SELECT lower(tok) AS word, count(*) AS n
       FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS tok
             FROM documents)
       WHERE tok <> '' GROUP BY 1),
-seq0 AS (SELECT array_to_string(string_split(word, ''), '  ')
+seq0 AS (SELECT word, array_to_string(string_split(word, ''), '  ')
                 || '  </w>' AS seq, n
          FROM w)"""
     ]
@@ -3565,19 +3590,26 @@ pc{k} AS (
   GROUP BY 1),
 best{k} AS (SELECT pair, cnt FROM pc{k} ORDER BY cnt DESC, pair ASC LIMIT 1),
 seq{k + 1} AS (
-  SELECT trim(replace(' ' || s.seq || ' ',
+  SELECT s.word, trim(replace(' ' || s.seq || ' ',
                       ' ' || replace(b.pair, ' ', '  ') || ' ',
                       ' ' || replace(b.pair, ' ', '') || ' ')) AS seq, n
   FROM seq{k} s, best{k} b)""")
-    unions = "\nUNION ALL\n".join(
-        f"SELECT CAST({k} AS INT) AS rank,"
-        f" string_split(pair, ' ')[1] AS \"left\","
-        f" string_split(pair, ' ')[2] AS \"right\","
-        f" replace(pair, ' ', '') AS merged, cnt AS pair_count"
-        f" FROM best{k}"
-        for k in range(n_merges)
-    )
-    return "WITH " + "".join(parts) + "\n" + unions
+    if encode:
+        final = (
+            f"SELECT word, n,"
+            f" CAST(len(string_split(seq, '  ')) AS BIGINT) AS n_subwords,"
+            f" replace(seq, '  ', ' ') AS subwords FROM seq{n_merges}"
+        )
+    else:
+        final = "\nUNION ALL\n".join(
+            f"SELECT CAST({k} AS INT) AS rank,"
+            f" string_split(pair, ' ')[1] AS \"left\","
+            f" string_split(pair, ' ')[2] AS \"right\","
+            f" replace(pair, ' ', '') AS merged, cnt AS pair_count"
+            f" FROM best{k}"
+            for k in range(n_merges)
+        )
+    return "WITH " + "".join(parts) + "\n" + final
 
 
 def _cv_jsonld_oracles() -> dict[str, str]:
@@ -3773,6 +3805,7 @@ SELECT '{_CV_GENE}' || CAST(gid AS VARCHAR) || '.' || mgrd AS gene_iri,
 FROM ag"""
 
     bpe_sql = _bpe_oracle(8)
+    bpe_encode_sql = _bpe_oracle(8, encode=True)
 
     # event-analyzer oracles: closed-form per-order change arithmetic
     # (the perturbation rules of _event_models expressed directly)
@@ -3809,6 +3842,7 @@ FROM moved"""
 
     return {
         "text_bpe_merges": bpe_sql,
+        "text_bpe_encode": bpe_encode_sql,
         "kg_event_analysis": event_analysis_sql,
         "kg_type_count_diff": type_diff_sql,
         "kg_cv_jsonld_genes": genes_sql,
