@@ -12,16 +12,19 @@ Spark-first: both "previous" and "current" model sets live in ONE
 triples frame each, keyed by graph (= the event's model id), so every
 per-event helper becomes a corpus-wide co-keyed set operation:
 
-- created/deleted — two ``exceptAll`` passes (one exchange each, hashed
-  on the full row, graph included, so per-graph semantics are free);
+- ONE presence aggregation (tag each side, union, groupBy the full
+  triple row, max the side flags) yields SET-semantics membership on
+  both sides — created/deleted/sizes/changed all derive from it, so the
+  whole change report costs ONE full-row exchange plus one per-graph
+  aggregate (not a dedup + exceptAll + count-join chain);
 - changed? — created+deleted counts per graph AFTER WL blank-node
   canonicalization (``operators.model.canonical_bnode_triples``), which
   makes count-zero equivalent to Jena's ``is-isomorphic?`` verdict for
   the shapes the reference processes;
-- sizes + type diffs — plain groupBy aggregations.
+- type diffs — a plain full-outer count diff.
 
-At 100 TB the cost is the exceptAll exchanges; nothing is per-event on
-the driver and no graph's model must fit anywhere in particular.
+At 100 TB the cost is the one presence exchange; nothing is per-event
+on the driver and no graph's model must fit anywhere in particular.
 """
 
 from __future__ import annotations
@@ -38,6 +41,27 @@ _COLS = [
 ]
 
 
+def _presence(
+    old: DataFrame, new: DataFrame, canonicalize: bool, rounds: int,
+) -> DataFrame:
+    """Per distinct triple: (in_old, in_new) membership flags — the one
+    full-row shuffle everything else derives from. SET semantics like
+    Jena come free from the groupBy (a re-emitted duplicate is the same
+    statement)."""
+    a = old.select(*_COLS)
+    b = new.select(*_COLS)
+    if canonicalize:
+        a = canonical_bnode_triples(a, rounds)
+        b = canonical_bnode_triples(b, rounds)
+    one, zero = F.lit(1), F.lit(0)
+    tagged = a.select(*_COLS, one.alias("_o"), zero.alias("_n")).unionByName(
+        b.select(*_COLS, zero.alias("_o"), one.alias("_n"))
+    )
+    return tagged.groupBy(*_COLS).agg(
+        F.max("_o").alias("in_old"), F.max("_n").alias("in_new")
+    )
+
+
 def model_changes(
     old: DataFrame, new: DataFrame, canonicalize: bool = False,
     rounds: int = 3,
@@ -50,15 +74,16 @@ def model_changes(
     way Jena's difference over isomorphic models reads to the
     reference's users. Leave False for bnode-free models (cheaper).
 
-    SET semantics like Jena (both sides dedupe before differencing): a
-    transform that merely re-emits an existing triple twice is NOT a
-    model change."""
-    a = old.select(*_COLS).dropDuplicates(_COLS)
-    b = new.select(*_COLS).dropDuplicates(_COLS)
-    if canonicalize:
-        a = canonical_bnode_triples(a, rounds).dropDuplicates(_COLS)
-        b = canonical_bnode_triples(b, rounds).dropDuplicates(_COLS)
-    return b.exceptAll(a), a.exceptAll(b)
+    SET semantics like Jena: a transform that merely re-emits an
+    existing triple twice is NOT a model change."""
+    p = _presence(old, new, canonicalize, rounds)
+    created = p.where(
+        (F.col("in_new") == 1) & (F.col("in_old") == 0)
+    ).select(*_COLS)
+    deleted = p.where(
+        (F.col("in_old") == 1) & (F.col("in_new") == 0)
+    ).select(*_COLS)
+    return created, deleted
 
 
 def change_summary(
@@ -68,32 +93,23 @@ def change_summary(
     """Per-graph change report: created / deleted / previous / current
     counts + the ``model-changed?`` flag (event_analyzer.clj:41-55).
 
-    Graphs present in only one side still report (full outer over the
-    per-graph aggregates): a brand-new model is all-created, a dropped
-    one all-deleted."""
-    created, deleted = model_changes(old, new, canonicalize, rounds)
-
-    def per_graph(df: DataFrame, name: str) -> DataFrame:
-        return df.groupBy("graph").agg(F.count("*").alias(name))
-
-    # sizes are SET sizes (Jena .size counts distinct statements)
-    out = (
-        per_graph(old.select(*_COLS).dropDuplicates(_COLS), "previous")
-        .join(
-            per_graph(new.select(*_COLS).dropDuplicates(_COLS), "current"),
-            "graph", "full_outer",
-        )
-        .join(per_graph(created, "created"), "graph", "left_outer")
-        .join(per_graph(deleted, "deleted"), "graph", "left_outer")
+    Graphs present in only one side still report automatically (their
+    triples carry the graph key through the presence frame): a
+    brand-new model is all-created, a dropped one all-deleted. Sizes
+    are SET sizes (Jena .size counts distinct statements). Cost: the
+    presence exchange + one per-graph aggregate."""
+    p = _presence(old, new, canonicalize, rounds)
+    created = ((F.col("in_new") == 1) & (F.col("in_old") == 0)).cast("long")
+    deleted = ((F.col("in_old") == 1) & (F.col("in_new") == 0)).cast("long")
+    out = p.groupBy("graph").agg(
+        F.sum(F.col("in_old").cast("long")).alias("previous"),
+        F.sum(F.col("in_new").cast("long")).alias("current"),
+        F.sum(created).alias("created"),
+        F.sum(deleted).alias("deleted"),
     )
-    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
     return out.select(
-        "graph",
-        z("previous").alias("previous"),
-        z("current").alias("current"),
-        z("created").alias("created"),
-        z("deleted").alias("deleted"),
-        ((z("created") + z("deleted")) > 0).alias("changed"),
+        "graph", "previous", "current", "created", "deleted",
+        ((F.col("created") + F.col("deleted")) > 0).alias("changed"),
     )
 
 
