@@ -2331,6 +2331,18 @@ def q_kg_cv_jsonld_variants(spark, sf_dir):
     return CJ.variation_jsonld_triples(fixtures.clinvar_variation_messages(ev))
 
 
+def q_kg_cv_jsonld_submissions(spark, sf_dir):
+    # the clinvar-streams submission transform (jsonld/submission.clj:
+    # 14-28): versioned cg:AssertionSet records, the whole message
+    # merged under @vocab (no dissoc list) — map-only
+    from genegraph_spark.sources import clinvar_jsonld as CJ
+
+    ev = _read(spark, sf_dir, "events")
+    return CJ.submission_jsonld_triples(
+        fixtures.clinvar_submission_messages(ev)
+    )
+
+
 def q_kg_cv_class_context(spark, sf_dir):
     # ClinGen classification-context binning (jsonld/clinical_assertion
     # .clj:83-125): SOMATIC_CANCER / PHARMACOGENOMIC / GERMLINE_DISEASE /
@@ -2729,6 +2741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_cv_jsonld_genes": q_kg_cv_jsonld_genes,
         "kg_cv_jsonld_variants": q_kg_cv_jsonld_variants,
         "kg_cv_class_context": q_kg_cv_class_context,
+        "kg_cv_jsonld_submissions": q_kg_cv_jsonld_submissions,
         "cur_cv_aggregate_latest": q_cur_cv_aggregate_latest,
         "cur_cv_members": q_cur_cv_members,
         "cur_cv_members_timeseries": q_cur_cv_members_timeseries,
@@ -3694,6 +3707,31 @@ def _cv_jsonld_oracles() -> dict[str, str]:
         f"WITH {_CV_CTES} " + " UNION ALL ".join(variant_parts)
     )
 
+    sub_ver = (
+        f"'{_CV_CG}clinvar.submission/SUB' || CAST(bid AS VARCHAR)"
+        " || '.' || srd"
+    )
+    submissions_parts = [
+        q("sub_rows", sub_ver, sub_ver, RT, f"'{_CV_CG}AssertionSet'", True),
+        q("sub_rows", sub_ver, sub_ver, _CV_CG + "id",
+          "'SUB' || CAST(bid AS VARCHAR)", False, XS),
+        q("sub_rows", sub_ver, sub_ver, _CV_CG + "release_date", "srd",
+          False, XS),
+        q("sub_rows", sub_ver, sub_ver, _CV_CG + "submission_date",
+          "'2024-03-2' || CAST(bid % 9 AS VARCHAR)", False, XS),
+        q("sub_rows", sub_ver, sub_ver, _CV_CG + "submitter_id",
+          "CAST(bid % 20 AS VARCHAR)", False, XS),
+    ]
+    submissions_sql = (
+        """WITH sub_base AS (
+  SELECT DISTINCT user_id % 20 AS bid, (event_id // 11) % 2 AS v
+  FROM events WHERE event_id % 11 = 0),
+sub_rows AS (
+  SELECT bid, '2024-04-0' || CAST(v + 1 AS VARCHAR) AS srd FROM sub_base)
+"""
+        + " UNION ALL ".join(submissions_parts)
+    )
+
     context_sql = f"""
 WITH {_CV_CTES},
 latest_var AS (
@@ -3848,6 +3886,7 @@ FROM moved"""
         "kg_cv_jsonld_genes": genes_sql,
         "kg_cv_jsonld_variants": variants_sql,
         "kg_cv_class_context": context_sql,
+        "kg_cv_jsonld_submissions": submissions_sql,
         "cur_cv_aggregate_latest": agg_latest_sql,
         "cur_cv_members": members_sql,
         "cur_cv_members_timeseries": timeseries_sql,

@@ -1078,3 +1078,29 @@ def clinvar_scv_messages(events: DataFrame) -> DataFrame:
         ).alias("content"),
     )
     return base.select(F.to_json(doc).alias("value"))
+
+
+def clinvar_submission_messages(events: DataFrame) -> DataFrame:
+    """clinvar-streams submission messages (jsonld/submission.clj)."""
+    base = (
+        events.where(F.col("event_id") % 11 == 0)
+        .select(
+            (F.col("user_id") % 20).alias("bid"),
+            ((F.col("event_id") / 11).cast("long") % 2).alias("v"),
+        )
+        .distinct()
+    )
+    bid, v = F.col("bid"), F.col("v")
+    doc = F.struct(
+        F.concat(F.lit("2024-04-0"), (v + 1).cast("string")).alias(
+            "release_date"
+        ),
+        F.struct(
+            F.concat(F.lit("SUB"), bid.cast("string")).alias("id"),
+            F.concat(F.lit("2024-03-2"), (bid % 9).cast("string")).alias(
+                "submission_date"
+            ),
+            (bid % 20).cast("string").alias("submitter_id"),
+        ).alias("content"),
+    )
+    return base.select(F.to_json(doc).alias("value"))

@@ -260,6 +260,35 @@ def archive_jsonld_triples(df: DataFrame, col: str = "value") -> DataFrame:
     ).select("graph", "t.*")
 
 
+SUBMISSION_SCHEMA = (
+    "release_date string, content struct<id: string,"
+    " submission_date: string, submitter_id: string>"
+)
+SUBMISSION = CGTERMS + "clinvar.submission/"
+
+
+def submission_jsonld_triples(df: DataFrame, col: str = "value") -> DataFrame:
+    """Submission messages → ``cg:AssertionSet`` records
+    (jsonld/submission.clj:14-28): the versioned id, the type, and the
+    whole message merged under @vocab (no dissoc list — even ``id`` and
+    ``release_date`` re-emit as properties, faithfully)."""
+    d = F.from_json(F.col(col), SUBMISSION_SCHEMA)
+    c, rd = d["content"], d["release_date"]
+    ver = F.concat(F.lit(SUBMISSION), c["id"], F.lit("."), rd)
+    structs = [
+        _t(ver, I.RDF_TYPE, CGTERMS + "AssertionSet", True),
+        _t(ver, CGTERMS + "id", c["id"], False, I.XSD_STRING),
+        _t(ver, CGTERMS + "release_date", rd, False, I.XSD_STRING),
+        _t(ver, CGTERMS + "submission_date", c["submission_date"], False,
+           I.XSD_STRING),
+        _t(ver, CGTERMS + "submitter_id", c["submitter_id"], False,
+           I.XSD_STRING),
+    ]
+    return df.select(
+        ver.alias("graph"), F.explode(F.array(*structs)).alias("t")
+    ).select("graph", "t.*")
+
+
 def parse_scv_messages(df: DataFrame, col: str = "value") -> DataFrame:
     """Clinical-assertion messages → one row per SCV version with the
     parsed fields exposed as columns (the classification-context join

@@ -467,3 +467,25 @@ WHERE {
             F.countDistinct("gene_release_date").alias("n")
         )
         assert per_gene.where(F.col("n") > 1).count() == 0
+
+
+class TestSubmissionTriples:
+    def test_assertion_set_record(self, spark):
+        """jsonld/submission.clj:14-28 — versioned AssertionSet with the
+        whole message merged under @vocab (id/release_date included)."""
+        msg = spark.createDataFrame(
+            [(
+                '{"release_date": "2024-04-01", "content": {"id": "SUB3",'
+                ' "submission_date": "2024-03-23", "submitter_id": "3"}}',
+            )],
+            "value string",
+        )
+        out = CJ.submission_jsonld_triples(msg)
+        ver = CJ.SUBMISSION + "SUB3.2024-04-01"
+        got = _triples_of(out, ver)
+        assert ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+                CJ.CGTERMS + "AssertionSet", True) in got
+        assert (CJ.CGTERMS + "id", "SUB3", False) in got
+        assert (CJ.CGTERMS + "release_date", "2024-04-01", False) in got
+        assert (CJ.CGTERMS + "submission_date", "2024-03-23", False) in got
+        assert (CJ.CGTERMS + "submitter_id", "3", False) in got
