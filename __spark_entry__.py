@@ -2581,6 +2581,24 @@ def q_text_bpe_merges(spark, sf_dir):
     return B.bpe_merges(_read(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_text_lm_filter(spark, sf_dir):
+    # CCNet-style LM filtering (Wenzek 2020 recipe, Brants 2007 stupid-
+    # backoff scorer): train a bigram LM on the doc_id%3==0 "reference
+    # corpus" slice (two map-side-combined count passes), score EVERY
+    # document via one bigram explode + co-keyed joins against the
+    # count tables, keep/drop via integer cross-multiplication
+    # thresholds. The float log-score stays out of the oracle-compared
+    # surface (cross-engine float arithmetic is not bit-stable)
+    from genegraph_spark.functions import ngram_lm as LM
+
+    docs = _read(spark, sf_dir, "documents")
+    uni, bi = LM.train_bigram_lm(docs.where(F.col("doc_id") % 3 == 0))
+    scored = LM.score_documents(docs, uni, bi)
+    return LM.lm_filter(scored, min_known_pct=50, max_oov_pct=10).select(
+        "doc_id", "n_tokens", "known_bigrams", "backoff_hits", "oov", "keep"
+    )
+
+
 def q_text_bpe_encode(spark, sf_dir):
     # tokenization under the trained vocab: the 8 learned merges apply
     # as a fixed chain of narrow column maps over the DISTINCT word
@@ -2751,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_count_diff": q_kg_type_count_diff,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_encode": q_text_bpe_encode,
+        "text_lm_filter": q_text_lm_filter,
         # round-5 additions (never driver-verified → front of the window)
         "alg_recursive_evidence": q_alg_recursive_evidence,
         "cur_resource_cards": q_cur_resource_cards,
@@ -3845,6 +3864,51 @@ FROM ag"""
     bpe_sql = _bpe_oracle(8)
     bpe_encode_sql = _bpe_oracle(8, encode=True)
 
+    lm_filter_sql = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+ref AS (SELECT t FROM toks WHERE doc_id % 3 = 0 AND len(t) > 0),
+uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(t) AS w FROM ref) GROUP BY 1),
+ref_bos AS (SELECT ['<s>'] || t AS t FROM ref),
+bi AS (
+  SELECT a, b, count(*) AS c
+  FROM (SELECT list_extract(t, i) AS a, list_extract(t, i + 1) AS b
+        FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+              FROM ref_bos))
+  GROUP BY 1, 2),
+bos_c AS (SELECT '<s>' AS w, sum(c) AS c FROM bi WHERE a = '<s>'),
+ctx AS (SELECT * FROM uni UNION ALL SELECT * FROM bos_c),
+doc_bos AS (SELECT doc_id, ['<s>'] || t AS t FROM toks WHERE len(t) > 0),
+grams AS (
+  SELECT doc_id, list_extract(t, i) AS a, list_extract(t, i + 1) AS b
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM doc_bos)),
+joined AS (
+  SELECT g.doc_id,
+         bi.c IS NOT NULL AS known,
+         bi.c IS NULL AND ub.c IS NOT NULL AS backoff
+  FROM grams g
+  LEFT JOIN bi ON bi.a = g.a AND bi.b = g.b
+  LEFT JOIN uni ub ON ub.w = g.b),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN known THEN 1 ELSE 0 END) AS BIGINT)
+           AS known_bigrams,
+         CAST(sum(CASE WHEN backoff THEN 1 ELSE 0 END) AS BIGINT)
+           AS backoff_hits,
+         CAST(sum(CASE WHEN NOT known AND NOT backoff THEN 1 ELSE 0 END)
+              AS BIGINT) AS oov
+  FROM joined GROUP BY doc_id)
+SELECT doc_id, n_tokens, known_bigrams, backoff_hits, oov,
+       (known_bigrams * 100 >= 50 * n_tokens
+        AND oov * 100 <= 10 * n_tokens) AS keep
+FROM agg"""
+
     # event-analyzer oracles: closed-form per-order change arithmetic
     # (the perturbation rules of _event_models expressed directly)
     event_analysis_sql = """
@@ -3881,6 +3945,7 @@ FROM moved"""
     return {
         "text_bpe_merges": bpe_sql,
         "text_bpe_encode": bpe_encode_sql,
+        "text_lm_filter": lm_filter_sql,
         "kg_event_analysis": event_analysis_sql,
         "kg_type_count_diff": type_diff_sql,
         "kg_cv_jsonld_genes": genes_sql,
