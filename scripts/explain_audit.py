@@ -27,6 +27,9 @@ DEFAULT = [
     "text_decontaminate",
     # round 5
     "cur_actionability_assertions",
+    # round 5 session 6
+    "kg_event_analysis", "text_lm_filter", "cur_cv_members_timeseries",
+    "kg_cv_class_context",
 ]
 
 MARKERS = [
