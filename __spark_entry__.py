@@ -2581,6 +2581,15 @@ def q_text_bpe_merges(spark, sf_dir):
     return B.bpe_merges(_read(spark, sf_dir, "documents"), n_merges=8)
 
 
+def q_text_chunk_windows(spark, sf_dir):
+    # sliding-window chunking (RAG / long-doc training windows):
+    # 64-token windows, stride 48 — per-document sequence + slice,
+    # pure column expressions, ZERO shuffles (plan: one narrow stage)
+    return TS.chunk_windows(
+        _read(spark, sf_dir, "documents"), window=64, stride=48
+    )
+
+
 def q_text_lm_filter(spark, sf_dir):
     # CCNet-style LM filtering (Wenzek 2020 recipe, Brants 2007 stupid-
     # backoff scorer): train a bigram LM on the doc_id%3==0 "reference
@@ -2770,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_encode": q_text_bpe_encode,
         "text_lm_filter": q_text_lm_filter,
+        "text_chunk_windows": q_text_chunk_windows,
         # round-5 additions (never driver-verified → front of the window)
         "alg_recursive_evidence": q_alg_recursive_evidence,
         "cur_resource_cards": q_cur_resource_cards,
@@ -3946,6 +3956,26 @@ FROM moved"""
         "text_bpe_merges": bpe_sql,
         "text_bpe_encode": bpe_encode_sql,
         "text_lm_filter": lm_filter_sql,
+        "text_chunk_windows": """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents),
+base AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+wins AS (
+  SELECT doc_id, t,
+         unnest(generate_series(0,
+           CASE WHEN n <= 64 THEN 0
+                ELSE CAST((n - 64 + 47) // 48 AS INT) END)) AS window_ix
+  FROM base)
+SELECT doc_id, CAST(window_ix AS BIGINT) AS window_ix,
+       CAST(window_ix * 48 AS BIGINT) AS start_tok,
+       CAST(len(list_slice(t, window_ix * 48 + 1, window_ix * 48 + 64))
+            AS BIGINT) AS n_window_tokens,
+       array_to_string(list_slice(t, window_ix * 48 + 1,
+                                  window_ix * 48 + 64), ' ')
+         AS window_text
+FROM wins""",
         "kg_event_analysis": event_analysis_sql,
         "kg_type_count_diff": type_diff_sql,
         "kg_cv_jsonld_genes": genes_sql,

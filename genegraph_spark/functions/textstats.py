@@ -623,3 +623,43 @@ def vocabulary(
     )
     w = Window.orderBy(F.desc("count"), F.asc("token"))
     return counts.withColumn("rank", F.row_number().over(w))
+
+
+def chunk_windows(
+    df, window: int = 64, stride: int = 48,
+    id_col: str = "doc_id", text_col: str = "text",
+):
+    """Sliding-window document chunking — the RAG-retrieval /
+    long-document training-window prep step: overlapping token windows
+    of ``window`` tokens advancing by ``stride`` (stride < window ⇒
+    overlap), the LAST window truncated, short documents yielding one
+    window. Public recipe: the fixed-size+overlap chunking every
+    retrieval pipeline documents (e.g. the LangChain/LlamaIndex
+    text-splitter defaults).
+
+    Spark-first: tokens → a ``sequence(0, n_windows-1)`` explode →
+    per-window ``slice`` + join — pure column expressions, one narrow
+    stage, no shuffle at all (windowing is per-document). The window
+    count uses the closed integer form
+    ``1 + ceil((n_tokens - window) / stride)`` so both engines derive
+    identical windows."""
+    t = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
+    base = df.select(F.col(id_col), t.alias("_t")).where(F.size("_t") > 0)
+    n = F.size("_t")
+    extra = n - F.lit(window)
+    n_win = F.when(extra <= 0, F.lit(1)).otherwise(
+        (F.floor((extra + stride - 1) / stride) + 1).cast("int")
+    )
+    out = base.select(
+        id_col, "_t",
+        F.explode(F.sequence(F.lit(0), n_win - 1)).alias("window_ix"),
+    )
+    start0 = F.col("window_ix") * stride
+    win_toks = F.slice("_t", start0 + 1, window)
+    return out.select(
+        id_col,
+        F.col("window_ix").cast("long").alias("window_ix"),
+        start0.cast("long").alias("start_tok"),
+        F.size(win_toks).cast("long").alias("n_window_tokens"),
+        F.array_join(win_toks, " ").alias("window_text"),
+    )

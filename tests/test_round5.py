@@ -1784,3 +1784,47 @@ class TestVocabulary:
         df = spark.createDataFrame([("x x y",)], "text string")
         out = [r.token for r in TS.vocabulary(df, min_count=2).collect()]
         assert out == ["x"]
+
+
+class TestChunkWindows:
+    """Sliding-window chunking (textstats.chunk_windows)."""
+
+    def _run(self, spark, text, window=4, stride=3):
+        from genegraph_spark.functions import textstats as TS
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return sorted(
+            (r.window_ix, r.start_tok, r.n_window_tokens, r.window_text)
+            for r in TS.chunk_windows(
+                df, window=window, stride=stride
+            ).collect()
+        )
+
+    def test_short_doc_single_window(self, spark):
+        assert self._run(spark, "a b c") == [(0, 0, 3, "a b c")]
+        assert self._run(spark, "a b c d") == [(0, 0, 4, "a b c d")]
+
+    def test_overlap_and_truncated_tail(self, spark):
+        # 6 tokens, window 4, stride 3 → windows at 0 and 3 (tail len 3)
+        got = self._run(spark, "a b c d e f")
+        assert got == [(0, 0, 4, "a b c d"), (1, 3, 3, "d e f")]
+
+    def test_exact_fit_no_phantom_window(self, spark):
+        # 7 tokens: windows at 0 and 3 (tokens 3-6) — NOT a third at 6
+        got = self._run(spark, "a b c d e f g")
+        assert got == [(0, 0, 4, "a b c d"), (1, 3, 4, "d e f g")]
+        # 10 tokens: starts 0,3,6 — the last covers through token 9
+        got = self._run(spark, "a b c d e f g h i j")
+        assert [g[1] for g in got] == [0, 3, 6]
+        assert got[-1] == (2, 6, 4, "g h i j")
+
+    def test_no_shuffle_plan(self, spark):
+        from genegraph_spark.functions import textstats as TS
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        plan = (
+            TS.chunk_windows(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
