@@ -3737,7 +3737,7 @@ def _cv_jsonld_oracles() -> dict[str, str]:
     )
 
     sub_ver = (
-        f"'{_CV_CG}clinvar.submission/SUB' || CAST(bid AS VARCHAR)"
+        f"'{_CV_CG}assertion_set/SUB' || CAST(bid AS VARCHAR)"
         " || '.' || srd"
     )
     submissions_parts = [
@@ -3878,7 +3878,7 @@ FROM ag"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\\s+'),
-                     x -> x <> '') AS t
+                     x -> x <> '' AND x <> '<s>') AS t
   FROM documents),
 ref AS (SELECT t FROM toks WHERE doc_id % 3 = 0 AND len(t) > 0),
 uni AS (
@@ -3890,8 +3890,9 @@ bi AS (
         FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
               FROM ref_bos))
   GROUP BY 1, 2),
-bos_c AS (SELECT '<s>' AS w, sum(c) AS c FROM bi WHERE a = '<s>'),
-ctx AS (SELECT * FROM uni UNION ALL SELECT * FROM bos_c),
+-- NOTE: no context-count (c_a) tables here ON PURPOSE — c_a feeds only
+-- the float avg_logprob, which is deliberately excluded from the
+-- oracle-compared surface (cross-engine float arithmetic)
 doc_bos AS (SELECT doc_id, ['<s>'] || t AS t FROM toks WHERE len(t) > 0),
 grams AS (
   SELECT doc_id, list_extract(t, i) AS a, list_extract(t, i + 1) AS b

@@ -140,13 +140,7 @@ def encode_words(
         F.array_join(chars, SEP), F.lit(SEP + END_OF_WORD)
     )
     for a, b in merges:
-        seq = F.trim(
-            F.replace(
-                F.concat(F.lit(" "), seq, F.lit(" ")),
-                F.lit(f" {a}{SEP}{b} "),
-                F.lit(f" {a}{b} "),
-            )
-        )
+        seq = _apply_merge(seq, a, b)
     return words.select(
         "word", "n", F.split(seq, SEP).alias("tokens")
     )

@@ -35,8 +35,11 @@ BACKOFF = 0.4  # Brants et al.'s fixed backoff weight
 
 
 def _tokens(text_col: str, lowercase: bool) -> Column:
+    # the literal BOS marker is RESERVED: a corpus token spelled '<s>'
+    # would otherwise collide with the synthetic context row and
+    # double-join every document's first bigram
     t = F.split(F.col(text_col), r"\s+")
-    t = F.filter(t, lambda x: x != "")
+    t = F.filter(t, lambda x: (x != "") & (x != BOS))
     if lowercase:
         t = F.transform(t, F.lower)
     return t

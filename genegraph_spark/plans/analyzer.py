@@ -96,20 +96,33 @@ def change_summary(
     Graphs present in only one side still report automatically (their
     triples carry the graph key through the presence frame): a
     brand-new model is all-created, a dropped one all-deleted. Sizes
-    are SET sizes (Jena .size counts distinct statements). Cost: the
-    presence exchange + one per-graph aggregate."""
+    are SET sizes of the RAW models (Jena ``.size`` counts the stored
+    statements — two distinct bnodes that WL-collapse to one signature
+    still count as two), so under ``canonicalize=True`` the sizes come
+    from a second, uncanonicalized presence pass while created/deleted/
+    changed use the canonical one. Cost: the presence exchange + one
+    per-graph aggregate (twice that when canonicalizing)."""
     p = _presence(old, new, canonicalize, rounds)
     created = ((F.col("in_new") == 1) & (F.col("in_old") == 0)).cast("long")
     deleted = ((F.col("in_old") == 1) & (F.col("in_new") == 0)).cast("long")
-    out = p.groupBy("graph").agg(
-        F.sum(F.col("in_old").cast("long")).alias("previous"),
-        F.sum(F.col("in_new").cast("long")).alias("current"),
+    diffs = p.groupBy("graph").agg(
         F.sum(created).alias("created"),
         F.sum(deleted).alias("deleted"),
     )
+    sizes_src = p if not canonicalize else _presence(old, new, False, rounds)
+    sizes = sizes_src.groupBy("graph").agg(
+        F.sum(F.col("in_old").cast("long")).alias("previous"),
+        F.sum(F.col("in_new").cast("long")).alias("current"),
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).cast("long")  # noqa: E731
+    out = sizes.join(diffs, "graph", "full_outer")
     return out.select(
-        "graph", "previous", "current", "created", "deleted",
-        ((F.col("created") + F.col("deleted")) > 0).alias("changed"),
+        "graph",
+        z("previous").alias("previous"),
+        z("current").alias("current"),
+        z("created").alias("created"),
+        z("deleted").alias("deleted"),
+        ((z("created") + z("deleted")) > 0).alias("changed"),
     )
 
 

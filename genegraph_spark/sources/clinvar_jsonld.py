@@ -264,7 +264,9 @@ SUBMISSION_SCHEMA = (
     "release_date string, content struct<id: string,"
     " submission_date: string, submitter_id: string>"
 )
-SUBMISSION = CGTERMS + "clinvar.submission/"
+# iri.clj:16 — the submission record namespace is assertion_set/, NOT a
+# clinvar.submission/ path (review-caught fidelity drift)
+SUBMISSION = CGTERMS + "assertion_set/"
 
 
 def submission_jsonld_triples(df: DataFrame, col: str = "value") -> DataFrame:

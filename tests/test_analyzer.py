@@ -120,3 +120,21 @@ class TestProcessingStatistics:
         got = {r.outcome: r.n for r in
                AN.processing_statistics(ev, "outcome_kind").collect()}
         assert got == {"ok": 2, "exception": 1}
+
+
+class TestCanonicalizedSizes:
+    def test_sizes_stay_raw_under_canonicalization(self, spark):
+        """model-sizes reports Jena .size of the RAW models: two
+        distinct bnodes that WL-collapse to one signature still count
+        as two statements even when canonicalize=True."""
+        old = _df(spark, [
+            ("g", "s", ":m", "_:a", True, None),
+            ("g", "s", ":m", "_:b", True, None),  # same WL signature
+        ])
+        new = _df(spark, [
+            ("g", "s", ":m", "_:z", True, None),
+            ("g", "s", ":m", "_:w", True, None),
+        ])
+        got = AN.change_summary(old, new, canonicalize=True).collect()[0]
+        assert (got.previous, got.current) == (2, 2)
+        assert got.changed is False  # isomorphic up to bnode renaming

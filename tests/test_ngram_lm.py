@@ -71,3 +71,17 @@ class TestScore:
         )
         kept = {r.doc_id: r.keep for r in LM.lm_filter(scored).collect()}
         assert kept == {1: True, 2: False}
+
+
+class TestReservedBos:
+    def test_literal_bos_token_is_dropped(self, spark):
+        """A corpus token spelled '<s>' is RESERVED — it must not merge
+        with the synthetic BOS context row (which would double-join
+        every document's first bigram)."""
+        uni, bi = LM.train_bigram_lm(_docs(spark, [(1, "<s> a b")]))
+        assert "<s>" not in {r.w for r in uni.collect()}
+        scored = LM.score_documents(
+            _docs(spark, [(9, "<s> a b")]), uni, bi
+        ).collect()[0]
+        # the '<s>' text token vanished: 2 scored tokens, both known
+        assert (scored.n_tokens, scored.known_bigrams) == (2, 2)
