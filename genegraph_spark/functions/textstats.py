@@ -606,10 +606,17 @@ def vocabulary(
     engines.
 
     Scale shape: one explode + one (token) groupBy with map-side
-    partial aggregation does the corpus-scale work; the ranking window
-    runs over the AGGREGATED vocabulary — dimension scale (unique
-    tokens), the same documented trade as ``win_ntile``'s global
-    window. ``min_count`` prunes the long tail before the window."""
+    partial aggregation does the corpus-scale work. The global rank is
+    a TWO-STAGE rank, not a single-partition window (at web scale the
+    distinct-token table is 10⁸–10⁹ rows even after ``min_count``):
+    ``repartitionByRange`` on the sort key spreads the vocabulary over
+    range partitions, ``row_number`` runs PER PARTITION, and the global
+    rank adds each partition's cumulative predecessor count — a
+    bounded driver-side collect of one row per partition (the
+    pagerank/BPE cost model). (token) is unique after the groupBy, so
+    ``(count DESC, token ASC)`` totally orders the vocabulary and the
+    final ranks are deterministic regardless of where the sampled
+    range boundaries fall."""
     from pyspark.sql import Window
 
     txt = F.col(text_col)
@@ -621,8 +628,34 @@ def vocabulary(
     counts = tokens.groupBy("token").agg(F.count("*").alias("count")).where(
         F.col("count") >= min_count
     )
-    w = Window.orderBy(F.desc("count"), F.asc("token"))
-    return counts.withColumn("rank", F.row_number().over(w))
+    # Stage 1: range-partition by the TOTAL sort order, pin partition
+    # ids + contents (the sizes pass and the rank pass must see the
+    # same layout), rank locally within each range partition.
+    parts = counts.repartitionByRange(
+        F.desc("count"), F.asc("token")
+    ).withColumn("_pid", F.spark_partition_id()).persist()
+    # Stage 2: one row per partition → cumulative offsets on the driver
+    # (bounded by spark.sql.shuffle.partitions, NOT by vocabulary size).
+    sizes = sorted(
+        (r["_pid"], r["_n"])
+        for r in parts.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    )
+    offsets, cum = {}, 0
+    for pid, n in sizes:
+        offsets[pid] = cum
+        cum += n
+    if not offsets:
+        return counts.withColumn("rank", F.lit(1).cast("int"))
+    w = Window.partitionBy("_pid").orderBy(F.desc("count"), F.asc("token"))
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_pid"),
+    )
+    return (
+        parts.withColumn("_lrk", F.row_number().over(w))
+        .withColumn("rank", (off + F.col("_lrk")).cast("int"))
+        .drop("_pid", "_lrk")
+    )
 
 
 def chunk_windows(
@@ -642,7 +675,17 @@ def chunk_windows(
     stage, no shuffle at all (windowing is per-document). The window
     count uses the closed integer form
     ``1 + ceil((n_tokens - window) / stride)`` so both engines derive
-    identical windows."""
+    identical windows. Requires ``stride <= window``: with a gap
+    (stride > window) the closed form's last window start can land at
+    or past the end of the token array and emit EMPTY windows (ADVICE
+    r5) — gapped sampling is a different operator."""
+    if window < 1 or stride < 1:
+        raise ValueError(f"window/stride must be >= 1, got {window}/{stride}")
+    if stride > window:
+        raise ValueError(
+            f"stride ({stride}) > window ({window}) would emit empty "
+            "trailing windows; use stride <= window"
+        )
     t = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "")
     base = df.select(F.col(id_col), t.alias("_t")).where(F.size("_t") > 0)
     n = F.size("_t")

@@ -549,7 +549,12 @@ def compatible_join(
 # Algebra data forms — create-query on collection input
 # ---------------------------------------------------------------------------
 
-def op(triples: DataFrame, form, params: dict | None = None) -> DataFrame:
+def op(
+    triples: DataFrame,
+    form,
+    params: dict | None = None,
+    distinct: bool = True,
+) -> DataFrame:
     """Compile a Clojure-style algebra DATA FORM to a bindings frame —
     the collection branch of the reference's ``create-query``
     (``query/resource.clj:228-229`` feeds it through
@@ -573,10 +578,17 @@ def op(triples: DataFrame, form, params: dict | None = None) -> DataFrame:
     ``(":slice", sub, offset, length)`` — the reference's OpSlice call
     passes a1 for both the sub-op and the offset (a latent bug there);
     this follows the documented OpSlice(sub, start, length) contract.
+
+    ``distinct`` mirrors ``::q/distinct`` (resource.clj:236-238):
+    ``create-query`` defaults it to TRUE and calls ``.setDistinct`` on
+    every non-ASK query, so reference data-form queries return SET
+    semantics unless the caller passes ``::q/distinct false`` —
+    pass ``distinct=False`` here for the same opt-out (bag semantics).
     """
     if params:
         form = _subst_form(form, {"?" + k.lstrip("?"): v for k, v in params.items()})
-    return _op(triples, form)
+    out = _op(triples, form)
+    return out.distinct() if distinct else out
 
 
 def _subst_form(form, mapping: dict):
@@ -624,14 +636,20 @@ def _op(triples: DataFrame, form) -> DataFrame:
 
 
 def data_query(
-    triples: DataFrame, form, params: dict | None = None, mode: str = "select"
+    triples: DataFrame,
+    form,
+    params: dict | None = None,
+    mode: str = "select",
+    distinct: bool = True,
 ):
     """``create-query`` on a data form + execution mode
     (``query/resource.clj:234-239``): ``select`` returns the bindings
     frame, ``ask`` a boolean, ``count`` the row count — the three modes
     the curation tier invokes (``{::q/params {:type :count}}`` /
-    ``{::q/type :ask}``)."""
-    out = op(triples, form, params)
+    ``{::q/type :ask}``). ``distinct`` defaults True per
+    resource.clj:236-238 (non-ASK queries get ``.setDistinct``); ASK
+    mode ignores it, exactly like the reference's ``case`` branch."""
+    out = op(triples, form, params, distinct=(distinct and mode != "ask"))
     if mode == "ask":
         return ask(out)
     if mode == "count":

@@ -867,13 +867,23 @@ def term_datatype(c: Column) -> Column:
 
 
 class _Compiler:
-    def __init__(self, triples: DataFrame, graph_var: str | None = None):
+    def __init__(
+        self,
+        triples: DataFrame,
+        graph_var: str | None = None,
+        in_graph: bool = False,
+    ):
         self.triples = triples
         self.spark = triples.sparkSession
         # set inside GRAPH ?g { ... }: every simple-predicate scan also
         # binds ?g from the store's graph column (NULL-graph rows — the
         # default graph — are excluded, per SPARQL named-graph semantics)
         self.graph_var = graph_var
+        # true inside any GRAPH form (constant OR variable): a further
+        # nested GRAPH would need the outer scope threaded through
+        # (SPARQL keeps ?g ranging over named graphs even inside a
+        # constant inner GRAPH) — unsupported, detected, and raised
+        self.in_graph = in_graph or graph_var is not None
 
     # -- patterns ------------------------------------------------------------
     def _unit(self) -> DataFrame:
@@ -1222,9 +1232,19 @@ class _Compiler:
                 # inner scan as a binding — solutions within one group
                 # element share one ?g binding via the natural joins.
                 gterm, inner = el[1], el[2]
+                if self.in_graph:
+                    # SPARQL keeps the OUTER ?g ranging over named graphs
+                    # even inside a constant inner GRAPH; silently
+                    # compiling the inner block without the outer scope
+                    # would leave ?g unbound / mis-scoped (ADVICE r5)
+                    raise SparqlSyntaxError(
+                        "nested GRAPH forms are not supported; flatten the "
+                        "query to one GRAPH scope per pattern"
+                    )
                 if gterm[0] == "iri":
                     sub_c = _Compiler(
-                        self.triples.where(F.col("graph") == gterm[1])
+                        self.triples.where(F.col("graph") == gterm[1]),
+                        in_graph=True,
                     )
                 elif gterm[0] == "var":
                     sub_c = _Compiler(self.triples, graph_var=gterm[1])
@@ -1296,6 +1316,23 @@ class _Compiler:
         inner = [el for el in grp if el[0] != "filter"]
         fs = [el[1] for el in grp if el[0] == "filter"]
         sub = self.group(inner)
+        # Only TOP-LEVEL filters hoist; an outer-correlated filter nested
+        # DEEPER (inside OPTIONAL/UNION/a braced group within the EXISTS
+        # pattern) would have compiled the outer variable as NULL during
+        # self.group(inner) above, silently making EXISTS never (NOT
+        # EXISTS always) hold for that branch — detect and raise instead
+        # (ADVICE r5).
+        deep_corr = (
+            self._nested_filter_vars(inner) & set(cur.columns)
+        ) - set(sub.columns)
+        if deep_corr:
+            raise SparqlSyntaxError(
+                "outer-correlated variable(s) "
+                + ", ".join(f"?{v}" for v in sorted(deep_corr))
+                + " referenced by a filter NESTED inside the EXISTS "
+                "pattern — unsupported correlation depth; lift the "
+                "filter to the EXISTS top level"
+            )
         hoisted = []
         for e in fs:
             vs = self._expr_vars(e)
@@ -1321,6 +1358,34 @@ class _Compiler:
         for e in hoisted:
             conds.append(self.bool_expr(_rename_vars(e, ren, outer_cols), scope))
         return cur.join(sub_r, reduce(lambda a, b: a & b, conds), how)
+
+    @classmethod
+    def _nested_filter_vars(cls, elements: list) -> set:
+        """Variables referenced by FILTER / EXISTS expressions at any
+        depth BELOW the given elements (the elements' own top-level
+        filters are the caller's to handle). Used by :meth:`_exists_join`
+        to refuse correlation depths §8.1.1 substitution would need but
+        this compiler does not implement."""
+        out: set = set()
+
+        def walk(els, top):
+            for el in els:
+                kind = el[0]
+                if kind == "filter":
+                    if not top:
+                        out.update(cls._expr_vars(el[1]))
+                elif kind == "fexists":
+                    walk(el[1], False)
+                elif kind in ("optional", "minus", "group"):
+                    walk(el[1], False)
+                elif kind == "union":
+                    for g in el[1]:
+                        walk(g, False)
+                elif kind == "graphpat":
+                    walk(el[2], False)
+
+        walk(elements, True)
+        return out
 
     @staticmethod
     def _expr_vars(e) -> set:

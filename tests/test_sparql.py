@@ -1336,6 +1336,18 @@ class TestGraphPattern:
         ).collect()
         assert [r.s for r in out] == ["urn:a"]
 
+    def test_nested_graph_forms_raise(self, spark, multi):
+        # ADVICE r5: a constant GRAPH nested inside GRAPH ?g silently
+        # returned ?g unbound (SPARQL keeps ?g ranging over named
+        # graphs); now every nested GRAPH form raises explicitly
+        for q in [
+            "SELECT ?g ?v WHERE { GRAPH ?g { GRAPH <urn:g1> { ?s :p ?v } } }",
+            "SELECT ?g ?h WHERE { GRAPH ?g { GRAPH ?h { ?s :p ?v } } }",
+            "SELECT ?v WHERE { GRAPH <urn:g2> { GRAPH <urn:g1> { ?s :p ?v } } }",
+        ]:
+            with pytest.raises(S.SparqlSyntaxError, match="nested GRAPH"):
+                S.sparql(multi, q).collect()
+
 
 class TestCurationValueSetQueries:
     """The two value-set queries common/curation.clj:320-331 embeds in
@@ -1680,3 +1692,43 @@ class TestCorrelatedExists:
                }""",
         )
         assert sorted(r.s for r in out.collect()) == ["c"]
+
+    def test_deep_correlated_filter_raises(self, spark):
+        """ADVICE r5: only TOP-LEVEL filters of the EXISTS pattern hoist;
+        an outer-correlated filter nested deeper (inside OPTIONAL/UNION/
+        a braced group within the EXISTS) would silently read the outer
+        var as NULL — must raise instead."""
+        tri = self._vals(spark)
+        for q in [
+            # inside OPTIONAL within the EXISTS
+            """SELECT ?s WHERE {
+                 ?s :val ?v .
+                 FILTER EXISTS { ?o :val ?w .
+                   OPTIONAL { ?o :val ?x . FILTER(?x > ?v) } }
+               }""",
+            # inside a UNION branch within the EXISTS
+            """SELECT ?s WHERE {
+                 ?s :val ?v .
+                 FILTER NOT EXISTS {
+                   { ?o :val ?w . FILTER(?w > ?v) } UNION { ?o :val ?w } }
+               }""",
+            # inside a braced sub-group within the EXISTS
+            """SELECT ?s WHERE {
+                 ?s :val ?v .
+                 FILTER EXISTS { { ?o :val ?w . FILTER(?w > ?v) } }
+               }""",
+        ]:
+            with pytest.raises(S.SparqlSyntaxError, match="correlation depth"):
+                S.sparql(tri, q).collect()
+
+    def test_deep_filter_on_inner_vars_still_fine(self, spark):
+        """Nested filters that reference only pattern-bound vars keep
+        working — the raise is scoped to OUTER-correlated ones."""
+        out = S.sparql(
+            self._vals(spark),
+            """SELECT ?s WHERE {
+                 ?s :val ?v .
+                 FILTER EXISTS { { ?o :val ?w . FILTER(?w > 5) } }
+               }""",
+        )
+        assert sorted(r.s for r in out.collect()) == ["a", "b", "c"]
