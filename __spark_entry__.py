@@ -349,6 +349,29 @@ def q_alg_text_search_ranked(spark, sf_dir):
     return A.text_search_ranked(t, "red widget bolt", predicates=[":name"], limit=12)
 
 
+def q_alg_text_search_bm25(spark, sf_dir):
+    # BM25-RANKED text search (algebra.text_search_ranked
+    # scoring="bm25"): Lucene's default similarity since 6.0 — the
+    # reference's actual text-BGP ranker (k1=1.2, b=0.75, smoothed
+    # idf, per-node length normalization over the index's norms table)
+    part = _read(spark, sf_dir, "part")
+    from genegraph_spark.operators.triples import triple
+
+    t = part.select(
+        *triple(
+            F.lit("g"),
+            F.concat(F.lit("urn:part:"), F.col("p_partkey").cast("string")),
+            ":name",
+            F.col("p_name"),
+            False,
+            I.XSD_STRING,
+        )
+    )
+    return A.text_search_ranked(
+        t, "red widget bolt", predicates=[":name"], limit=12, scoring="bm25"
+    )
+
+
 def q_alg_sparql_text_query(spark, sf_dir):
     # the Jena full-text BGP through the SPARQL TEXT front-end:
     # (?s ?score) text:query ( :name "..." limit ) joined to a type
@@ -1037,6 +1060,27 @@ def q_snap_latest_asof(spark, sf_dir):
     )
 
 
+def q_snap_export(spark, sf_dir):
+    # snapshot-export row set (source/snapshot/core.clj write-snapshots
+    # ∘ ga4gh.clj:179-200 latest-versions-seq-all ∘ the as-of filters of
+    # variation_descriptor.clj:20-39): latest version ≤ cutoff per
+    # entity, entities whose LATEST in-window version is a tombstone
+    # dropped entirely — the exact rows the gzipped NDJSON artifact
+    # serializes (byte determinism + manifest + publish covered by
+    # TestSnapshotExport)
+    from genegraph_spark.plans.snapshot_export import latest_versions
+
+    pages = fixtures.pages_df(spark, sf_dir, with_html=False)
+    docs = pages.select(
+        F.col("url").alias("is_version_of"), "version", "text", "lang",
+        "tombstone",
+    )
+    out = latest_versions(docs, until=3, deleted_col="tombstone")
+    return out.select(
+        F.col("is_version_of").alias("url"), "version", "text", "lang"
+    )
+
+
 def q_join_affiliation_precedence(spark, sf_dir):
     # left join + COALESCE + ORDER BY DESC LIMIT 1 composition
     # (gene_validity_refactor.clj:397-412: classification affiliation wins
@@ -1584,6 +1628,62 @@ def q_cur_gene_validity_reports(spark, sf_dir):
     from genegraph_spark.plans import resolvers as R
 
     return R.gene_validity_reports(_read(spark, sf_dir, "events"))
+
+
+def q_kg_gdm_chain(spark, sf_dir):
+    # the FULL gene-validity transform chain, CORPUS MODE
+    # (gene_validity_refactor.clj:414-463 / transform_gdm_corpus): N
+    # suffix-cloned AR curations flow through all 22 reference
+    # constructs + both unlinks + evidence connections + legacy-id +
+    # proband cap in ONE set of graph-scoped jobs — per-graph
+    # affiliation/entrez/legacy seeding instead of the reference's
+    # per-event driver loop. Suffixes derive from events (event_id % 5)
+    # so the fixture is sf-driven; the oracle re-derives every graph's
+    # rows from the pinned single-curation golden by the same suffix
+    # substitution (the chain is rename-equivariant — pinned by
+    # TestFullGdmChain's hand-derived goldens and the corpus≡single
+    # isomorphism test). Bnode-labeled rows are excluded here: their
+    # labels are md5-of-binding-tuple and not SQL-derivable; bnode
+    # content is covered by those same tests.
+    from genegraph_spark.functions.names import load_names_edn
+    from genegraph_spark.functions.serialize import read_turtle
+    from genegraph_spark.operators.gdm_chain import transform_gdm_corpus
+
+    ref_dir = "/root/reference/src/genegraph/transform/gene_validity_refactor"
+    res_dir = "/root/reference/resources"
+    ev = _read(spark, sf_dir, "events")
+    # bounded driver decision: ≤5 distinct suffix classes, not per-row
+    ks = sorted(
+        r.k
+        for r in ev.select((F.col("event_id") % 5).alias("k")).distinct().collect()
+    )
+    sfx = [f"-c{k}" for k in ks]
+    schema = (
+        "graph string, subject string, predicate string, object string, "
+        "object_is_iri boolean, object_datatype string"
+    )
+    corpus = spark.createDataFrame(
+        [(f"urn:gdm{x}", *r) for x in sfx for r in fixtures.gdm_curation_rows(x)],
+        schema,
+    )
+    names = load_names_edn(
+        os.path.join(res_dir, "property-names.edn"),
+        os.path.join(res_dir, "class-names.edn"),
+    )
+    dictionary = read_turtle(
+        spark, os.path.join(ref_dir, "gdm_sepio_relationships.ttl"), graph="g"
+    )
+    entrez_map = spark.createDataFrame(
+        [("HGNC:1100" + x, "https://www.ncbi.nlm.nih.gov/gene/672" + x) for x in sfx],
+        "hgnc string, entrez_gene string",
+    )
+    out = transform_gdm_corpus(
+        corpus, ref_dir, dictionary, names=names, entrez_map=entrez_map
+    )
+    return out.where(
+        ~F.col("subject").startswith("_:")
+        & ~(F.col("object_is_iri") & F.col("object").startswith("_:"))
+    )
 
 
 def q_kg_dosage_jira(spark, sf_dir):
@@ -2788,6 +2888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cur_gene_validity_reports": q_cur_gene_validity_reports,
         "cur_users_groups": q_cur_users_groups,
         "kg_dosage_jira": q_kg_dosage_jira,
+        "kg_gdm_chain": q_kg_gdm_chain,
         "kg_actionability_docs": q_kg_actionability_docs,
         "kg_clinvar_statements": q_kg_clinvar_statements,
         "kg_hgnc_genes": q_kg_hgnc_genes,
@@ -2911,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alg_transitive_closure": q_alg_transitive_closure,
         "alg_text_search": q_alg_text_search,
         "alg_text_search_ranked": q_alg_text_search_ranked,
+        "alg_text_search_bm25": q_alg_text_search_bm25,
         "alg_sparql_text_query": q_alg_sparql_text_query,
         # versioned idioms + aggregations
         "ver_latest_event_per_user": q_ver_latest_event_per_user,
@@ -2924,6 +3026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_json_nested": q_src_json_nested,
         "src_event_archive": q_src_event_archive,
         "snap_latest_asof": q_snap_latest_asof,
+        "snap_export": q_snap_export,
         "join_affiliation_precedence": q_join_affiliation_precedence,
         "join_asof_descriptor": q_join_asof_descriptor,
         "alg_diff": q_alg_diff,
@@ -3221,6 +3324,133 @@ WITH base AS (SELECT doc_id,
        ELSE text END AS text
   FROM documents)
 SELECT doc_id, {scrub} AS scrubbed, {counts} FROM base"""
+
+
+def _gdm_chain_oracle() -> str:
+    """kg_gdm_chain oracle: the single-curation golden (107 non-bnode
+    rows, suffix '@'-parameterized) cross-joined with the events-derived
+    suffix classes — the same rename the Spark side applies. The golden
+    is pinned from a verified run; its validity rests on
+    TestFullGdmChain's HAND-DERIVED assertions over the same chain and
+    the corpus==single-run isomorphism test (rename equivariance), both
+    in tests/test_gdm_chain.py."""
+    return """
+WITH sufs AS (
+  SELECT DISTINCT '-c' || CAST(event_id % 5 AS VARCHAR) AS s FROM events),
+base(subject, predicate, object, object_is_iri, object_datatype) AS (VALUES
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'http://dataexchange.clinicalgenome.org/terms/website_legacy_id', 'http://dataexchange.clinicalgenome.org/gci/assertion_cls1@-2020-05-01T123000', TRUE, CAST(NULL AS VARCHAR)),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'http://purl.obolibrary.org/obo/SEPIO_0000041', 'http://purl.obolibrary.org/obo/SEPIO_0004094', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'http://purl.obolibrary.org/obo/SEPIO_0000132', 'http://dataexchange.clinicalgenome.org/gcixform/Moderate', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'http://purl.obolibrary.org/obo/SEPIO_0000159', 'http://dataexchange.clinicalgenome.org/gci/cls1@_contrib', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/cls1@_auto_classification', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/cls1@_experimental_evidence_line', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/cls1@_overall_genetic_evidence_line', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'http://purl.obolibrary.org/obo/SEPIO_0000388', 'http://dataexchange.clinicalgenome.org/gci/gdm1@', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'http://purl.obolibrary.org/obo/SEPIO_0000389', 'http://purl.obolibrary.org/obo/SEPIO_0000146', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'http://purl.obolibrary.org/obo/SEPIO_0000390', 'http://dataexchange.clinicalgenome.org/gcixform/Moderate', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '12.5', FALSE, 'xsd:decimal'),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'http://purl.obolibrary.org/obo/SEPIO_0004162', 'https://pubmed.ncbi.nlm.nih.gov/31001', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'http://purl.org/dc/terms/description', 'Curated summary', FALSE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004002', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_ad_dn_el', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '0', FALSE, 'xsd:integer'),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_ad_dn_el', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004009', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_ad_null_el', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '0', FALSE, 'xsd:integer'),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_ad_null_el', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004010', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_ad_other_el', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '0', FALSE, 'xsd:integer'),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_ad_other_el', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004011', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_ar_el', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '6', FALSE, 'xsd:integer'),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_ar_el', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004008', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_auto_classification', 'http://purl.obolibrary.org/obo/SEPIO_0000132', 'http://dataexchange.clinicalgenome.org/gcixform/Moderate', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_auto_classification', 'http://purl.obolibrary.org/obo/SEPIO_0000388', 'http://dataexchange.clinicalgenome.org/gci/gdm1@', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_auto_classification', 'http://purl.obolibrary.org/obo/SEPIO_0000389', 'http://purl.obolibrary.org/obo/SEPIO_0000146', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_auto_classification', 'http://purl.obolibrary.org/obo/SEPIO_0000390', 'http://dataexchange.clinicalgenome.org/gcixform/Moderate', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_auto_classification', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '12.5', FALSE, 'xsd:decimal'),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_auto_classification', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004098', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_cc_el', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '0', FALSE, 'xsd:integer'),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_cc_el', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004007', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_contrib', 'http://purl.obolibrary.org/obo/BFO_0000055', 'http://purl.obolibrary.org/obo/SEPIO_0000155', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_contrib', 'http://purl.obolibrary.org/obo/SEPIO_0000017', 'http://dataexchange.clinicalgenome.org/agent/10015@', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_contrib', 'http://purl.obolibrary.org/obo/SEPIO_0000160', '2020-05-01T12:30:00', FALSE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_experimental_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/cls1@_functional_alteration_evidence_line', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_experimental_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/cls1@_functional_evidence_line', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_experimental_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/cls1@_model_rescue_evidence_line', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_experimental_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '4', FALSE, 'xsd:integer'),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_experimental_evidence_line', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004006', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_functional_alteration_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '1', FALSE, 'xsd:integer'),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_functional_alteration_evidence_line', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004014', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_functional_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '2', FALSE, 'xsd:integer'),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_functional_evidence_line', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004013', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_model_rescue_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '1', FALSE, 'xsd:integer'),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_model_rescue_evidence_line', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004015', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_overall_genetic_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/cls1@_ad_dn_el', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_overall_genetic_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/cls1@_ad_null_el', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_overall_genetic_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/cls1@_ad_other_el', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_overall_genetic_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/cls1@_ar_el', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_overall_genetic_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/cls1@_cc_el', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_overall_genetic_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/cls1@_seg_el', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_overall_genetic_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/ind1@_proband_score_evidence_line', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_overall_genetic_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '8.5', FALSE, 'xsd:decimal'),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_overall_genetic_evidence_line', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004005', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_seg_el', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/fam1@_family_segregation', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_seg_el', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '0', FALSE, 'xsd:integer'),
+  ('http://dataexchange.clinicalgenome.org/gci/cls1@_seg_el', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004012', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/fam1@', 'http://www.w3.org/2000/01/rdf-schema#label', 'Family 1', FALSE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/fam1@', 'rdf:type', 'http://purl.obolibrary.org/obo/PCO_0000020', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/fam1@_family_segregation', 'http://purl.obolibrary.org/obo/SEPIO_0000282', 'http://dataexchange.clinicalgenome.org/gci/fam1@', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/fam1@_family_segregation', 'http://purl.obolibrary.org/obo/SEPIO_0004125', '3.2', FALSE, 'xsd:decimal'),
+  ('http://dataexchange.clinicalgenome.org/gci/fam1@_family_segregation', 'http://purl.org/dc/terms/source', 'https://pubmed.ncbi.nlm.nih.gov/31001', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/fam1@_family_segregation', 'http://www.w3.org/2000/01/rdf-schema#label', 'Family 1', FALSE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/fam1@_family_segregation', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0000247', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/gdm1@', 'http://purl.obolibrary.org/obo/SEPIO_0000144', 'http://purl.obolibrary.org/obo/HP_0000007', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/gdm1@', 'http://purl.obolibrary.org/obo/SEPIO_0000388', 'https://www.ncbi.nlm.nih.gov/gene/672@', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/gdm1@', 'http://purl.obolibrary.org/obo/SEPIO_0000389', 'http://purl.obolibrary.org/obo/RO_0004013', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/gdm1@', 'http://purl.obolibrary.org/obo/SEPIO_0000390', 'http://dataexchange.clinicalgenome.org/gci/mondo1@', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/gdm1@', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004001', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/ind1@', 'http://purl.obolibrary.org/obo/SEPIO_0000275', 'http://dataexchange.clinicalgenome.org/gci/var1@', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/ind1@', 'http://purl.obolibrary.org/obo/SEPIO_0004129', 'http://dataexchange.clinicalgenome.org/gci/vs1@_variant_evidence_item', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/ind1@', 'http://purl.obolibrary.org/obo/SEPIO_0004129', 'http://dataexchange.clinicalgenome.org/gci/vs2@_variant_evidence_item', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/ind1@', 'http://www.w3.org/2000/01/rdf-schema#label', 'Proband 1', FALSE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/ind1@', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004081', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/ind1@_proband_score_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/ind1@', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/ind1@_proband_score_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/vs1@', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/ind1@_proband_score_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/vs2@', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/ind1@_proband_score_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '3', FALSE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/ind1@_proband_score_evidence_line', 'http://purl.obolibrary.org/obo/SEPIO_0004130', 'Score', FALSE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/ind1@_proband_score_evidence_line', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004174', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/var1@', 'http://www.w3.org/2004/02/skos/core#prefLabel', 'NM_7:c.1A>T', FALSE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/var1@', 'https://terms.ga4gh.org/CanonicalReference', 'http://reg.genome.network/allele/CA123', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/var1@', 'rdf:type', 'https://terms.ga4gh.org/VariationDescriptor', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs1@', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/vs1@_variant_evidence_item', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs1@', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '1.0', FALSE, 'xsd:decimal'),
+  ('http://dataexchange.clinicalgenome.org/gci/vs1@', 'http://purl.obolibrary.org/obo/SEPIO_0004128', '1.5', FALSE, 'xsd:decimal'),
+  ('http://dataexchange.clinicalgenome.org/gci/vs1@', 'http://purl.obolibrary.org/obo/SEPIO_0004130', 'Score', FALSE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs1@', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004120', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs1@_variant_evidence_item', 'http://purl.obolibrary.org/obo/GENO_0000608', 'http://purl.obolibrary.org/obo/GENO_0000135', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs1@_variant_evidence_item', 'http://purl.obolibrary.org/obo/GENO_0000877', 'http://purl.obolibrary.org/obo/GENO_0000888', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs1@_variant_evidence_item', 'http://purl.obolibrary.org/obo/SEPIO_0000275', 'http://dataexchange.clinicalgenome.org/gci/var1@', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs1@_variant_evidence_item', 'http://purl.org/dc/terms/source', 'https://pubmed.ncbi.nlm.nih.gov/31001', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs1@_variant_evidence_item', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004117', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs2@', 'http://purl.obolibrary.org/obo/SEPIO_0000189', 'http://dataexchange.clinicalgenome.org/gci/vs2@_variant_evidence_item', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs2@', 'http://purl.obolibrary.org/obo/SEPIO_0000429', '2.0', FALSE, 'xsd:decimal'),
+  ('http://dataexchange.clinicalgenome.org/gci/vs2@', 'http://purl.obolibrary.org/obo/SEPIO_0004128', '2.0', FALSE, 'xsd:decimal'),
+  ('http://dataexchange.clinicalgenome.org/gci/vs2@', 'http://purl.obolibrary.org/obo/SEPIO_0004130', 'Score', FALSE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs2@', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004121', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs2@_variant_evidence_item', 'http://purl.obolibrary.org/obo/GENO_0000608', 'http://purl.obolibrary.org/obo/GENO_0000135', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs2@_variant_evidence_item', 'http://purl.obolibrary.org/obo/GENO_0000877', 'http://purl.obolibrary.org/obo/GENO_0000888', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs2@_variant_evidence_item', 'http://purl.obolibrary.org/obo/SEPIO_0000275', 'http://dataexchange.clinicalgenome.org/gci/var1@', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs2@_variant_evidence_item', 'http://purl.org/dc/terms/source', 'https://pubmed.ncbi.nlm.nih.gov/31001', TRUE, NULL),
+  ('http://dataexchange.clinicalgenome.org/gci/vs2@_variant_evidence_item', 'rdf:type', 'http://purl.obolibrary.org/obo/SEPIO_0004118', TRUE, NULL),
+  ('https://pubmed.ncbi.nlm.nih.gov/31001', 'http://purl.obolibrary.org/obo/SEPIO_0004160', 'false', FALSE, 'xsd:boolean'),
+  ('https://pubmed.ncbi.nlm.nih.gov/31001', 'http://purl.org/dc/terms/creator', 'Kim J', FALSE, NULL),
+  ('https://pubmed.ncbi.nlm.nih.gov/31001', 'http://purl.org/dc/terms/date', '2019', FALSE, NULL),
+  ('https://pubmed.ncbi.nlm.nih.gov/31001', 'http://purl.org/dc/terms/title', 'A study', FALSE, NULL),
+  ('https://pubmed.ncbi.nlm.nih.gov/31001', 'rdf:type', 'http://purl.org/dc/terms/BibliographicResource', TRUE, NULL))
+SELECT 'urn:gdm' || s AS graph,
+       replace(subject, '@', s) AS subject,
+       replace(predicate, '@', s) AS predicate,
+       replace(object, '@', s) AS object,
+       object_is_iri, object_datatype
+FROM base CROSS JOIN sufs"""
 
 
 def _dosage_jira_oracle() -> str:
@@ -4802,6 +5032,33 @@ scored AS (
 SELECT node, n_matched, score,
        CAST(row_number() OVER (ORDER BY score DESC, node ASC) AS INT) AS rank
 FROM scored ORDER BY score DESC, node ASC LIMIT 12""",
+        "alg_text_search_bm25": """
+WITH docs AS (
+  SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS node, p_name FROM part),
+idx AS (
+  SELECT node, token, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT node,
+               unnest(string_split_regex(lower(p_name), '[^a-z0-9]+')) AS token
+        FROM docs)
+  WHERE token <> '' GROUP BY 1, 2),
+nd AS (SELECT CAST(count(DISTINCT node) AS DOUBLE) AS n FROM idx),
+dl AS (SELECT node, CAST(sum(tf) AS DOUBLE) AS dl FROM idx GROUP BY 1),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+hits AS (SELECT * FROM idx WHERE token IN ('red', 'widget', 'bolt')),
+dfr AS (SELECT token, CAST(count(DISTINCT node) AS DOUBLE) AS df
+        FROM hits GROUP BY 1),
+scored AS (
+  SELECT node, CAST(count(DISTINCT h.token) AS BIGINT) AS n_matched,
+         round(sum(
+           ln(1.0 + ((SELECT n FROM nd) - df + 0.5) / (df + 0.5))
+           * (CAST(tf AS DOUBLE) * 2.2)
+           / (CAST(tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * dl.dl / (SELECT avgdl FROM ad)))
+         ), 6) AS score
+  FROM hits h JOIN dfr USING (token) JOIN dl USING (node) GROUP BY node)
+SELECT node, n_matched, score,
+       CAST(row_number() OVER (ORDER BY score DESC, node ASC) AS INT) AS rank
+FROM scored ORDER BY score DESC, node ASC LIMIT 12""",
         "alg_sparql_text_query": """
 WITH docs AS (
   SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS node, p_name FROM part),
@@ -5825,6 +6082,7 @@ SELECT 'urn:curation:' || CAST(event_id AS VARCHAR) AS assertion,
        END AS animal_model
 FROM events""",
         "kg_dosage_jira": _dosage_jira_oracle(),
+        "kg_gdm_chain": _gdm_chain_oracle(),
         "kg_actionability_docs": _actionability_oracle(),
         **_basedata_oracles(),
         **_cv_jsonld_oracles(),
@@ -6233,6 +6491,12 @@ WITH {_PAGES}
 SELECT url, version FROM (
   SELECT url, version, row_number() OVER (PARTITION BY url ORDER BY version DESC) AS _rn
   FROM pages WHERE version <= 2) WHERE _rn = 1""",
+        "snap_export": f"""
+WITH {_PAGES}
+SELECT url, version, text, lang FROM (
+  SELECT url, version, text, lang, tombstone,
+         row_number() OVER (PARTITION BY url ORDER BY version DESC) AS _rn
+  FROM pages WHERE version <= 3) WHERE _rn = 1 AND NOT tombstone""",
         "join_affiliation_precedence": """
 SELECT user_id, event_id, affiliation FROM (
   SELECT e.user_id, e.event_id,

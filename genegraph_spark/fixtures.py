@@ -1104,3 +1104,132 @@ def clinvar_submission_messages(events: DataFrame) -> DataFrame:
         ).alias("content"),
     )
     return base.select(F.to_json(doc).alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# GDM curation fixture (corpus-chain flagship query + tests)
+# ---------------------------------------------------------------------------
+
+GDM_GCI = "http://dataexchange.clinicalgenome.org/gci/"
+GDM_GCX = "http://dataexchange.clinicalgenome.org/gcixform/"
+GDM_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def gdm_curation_rows(sfx: str = ""):
+    """The AR (SOPv8) curation fixture, IRI-suffix parameterized: the
+    chain is equivariant under a consistent IRI rename, so ``sfx``
+    clones drive both the corpus-mode equivalence test and the
+    ``kg_gdm_chain`` flagship query. Rows are (s, p, o, is_iri, dt)
+    tuples; callers add the graph column."""
+
+    def iri(s, p, o):
+        return (s, p, o, True, None)
+
+    def lit(s, p, o, dt=None):
+        return (s, p, o, False, dt)
+
+    c = GDM_GCI + "cls1" + sfx
+    g = GDM_GCI + "gdm1" + sfx
+    ind = GDM_GCI + "ind1" + sfx
+    vs1, vs2 = GDM_GCI + "vs1" + sfx, GDM_GCI + "vs2" + sfx
+    var = GDM_GCI + "var1" + sfx
+    fam = GDM_GCI + "fam1" + sfx
+    aff = "http://dataexchange.clinicalgenome.org/agent/10015" + sfx
+    gene = GDM_GCI + "gene1" + sfx
+    mondo = GDM_GCI + "mondo1" + sfx
+    ann = GDM_GCI + "ann1" + sfx
+    pub = GDM_GCI + "pub1" + sfx
+    rows = [
+            # --- GDM core (proposition / find_affiliation inputs)
+            iri(g, GDM_RDF + "type", GDM_GCI + "gdm"),
+            iri(g, GDM_GCI + "gene", gene),
+            lit(gene, GDM_GCI + "hgncId", "HGNC:1100" + sfx),
+            iri(g, GDM_GCI + "disease", mondo),
+            lit(g, GDM_GCI + "modeInheritance",
+                "Autosomal recessive inheritance (HP:0000007)"),
+            # --- approved + published classification
+            iri(c, GDM_RDF + "type", GDM_GCI + "provisionalClassification"),
+            lit(c, GDM_GCI + "approvedClassification", "true", "xsd:boolean"),
+            lit(c, GDM_GCI + "publishClassification", "true", "xsd:boolean"),
+            iri(c, GDM_GCI + "autoClassification", GDM_GCX + "Moderate"),
+            iri(c, GDM_GCI + "alteredClassification", GDM_GCX + "NoModification"),
+            iri(c, GDM_GCI + "affiliation", aff),
+            lit(c, GDM_GCI + "last_modified", "2020-05-02"),
+            lit(c, GDM_GCI + "evidenceSummary", "Curated summary"),
+            lit(c, GDM_GCI + "approvalDate", "2020-05-01T12:30:00"),
+            iri(c, GDM_GCI + "classificationPoints", "_:pts"),
+            iri(c, GDM_GCI + "earliestArticles", pub),
+            lit(c, GDM_GCI + "classificationContributors", "10015" + sfx),
+            lit(c, GDM_GCI + "classificationContributors", "10029" + sfx),
+            # --- points tree
+            lit("_:pts", GDM_GCI + "evidencePointsTotal", "12.5", "xsd:decimal"),
+            lit("_:pts", GDM_GCI + "geneticEvidenceTotal", "8.5", "xsd:decimal"),
+            lit("_:pts", GDM_GCI + "experimentalEvidenceTotal", "4", "xsd:integer"),
+            iri("_:pts", GDM_GCI + "function", "_:f"),
+            lit("_:f", GDM_GCI + "pointsCounted", "2", "xsd:integer"),
+            iri("_:pts", GDM_GCI + "functionalAlteration", "_:fa"),
+            lit("_:fa", GDM_GCI + "pointsCounted", "1", "xsd:integer"),
+            iri("_:pts", GDM_GCI + "modelsRescue", "_:mr"),
+            lit("_:mr", GDM_GCI + "pointsCounted", "1", "xsd:integer"),
+            iri("_:pts", GDM_GCI + "segregation", "_:segp"),
+            lit("_:segp", GDM_GCI + "pointsCounted", "0", "xsd:integer"),
+            lit("_:segp", GDM_GCI + "evidenceCountExome", "0", "xsd:integer"),
+            iri("_:pts", GDM_GCI + "caseControl", "_:ccp"),
+            lit("_:ccp", GDM_GCI + "pointsCounted", "0", "xsd:integer"),
+            iri("_:pts", GDM_GCI + "autosomalRecessiveDisorder", "_:ar"),
+            lit("_:ar", GDM_GCI + "pointsCounted", "6", "xsd:integer"),
+            iri("_:pts", GDM_GCI + "autosomalDominantOrXlinkedDisorder", "_:ad"),
+            iri("_:ad", GDM_GCI + "probandWithOtherVariantTypeWithGeneImpact", "_:t1"),
+            lit("_:t1", GDM_GCI + "pointsCounted", "0", "xsd:integer"),
+            iri("_:ad", GDM_GCI + "probandWithPredictedOrProvenNullVariant", "_:t2"),
+            lit("_:t2", GDM_GCI + "pointsCounted", "0", "xsd:integer"),
+            iri("_:ad", GDM_GCI + "variantIsDeNovo", "_:t3"),
+            lit("_:t3", GDM_GCI + "pointsCounted", "0", "xsd:integer"),
+            # --- SOPv8 variant scores for one AR proband
+            iri(vs1, GDM_RDF + "type", GDM_GCI + "variantScore"),
+            iri(vs1, GDM_GCI + "variantScored", var),
+            lit(vs1, GDM_GCI + "deNovo", "No"),
+            lit(vs1, GDM_GCI + "scoreStatus", "Score"),
+            lit(vs1, GDM_GCI + "date_created", "2020-01-01"),
+            iri(vs1, GDM_GCI + "affiliation", aff),
+            lit(vs1, GDM_GCI + "calculatedScore", "1.5", "xsd:decimal"),
+            lit(vs1, GDM_GCI + "score", "1.0", "xsd:decimal"),
+            iri(vs1, GDM_GCI + "variantType", GDM_GCI + "PREDICTED_OR_PROVEN_NULL"),
+            iri(vs2, GDM_RDF + "type", GDM_GCI + "variantScore"),
+            iri(vs2, GDM_GCI + "variantScored", var),
+            lit(vs2, GDM_GCI + "deNovo", "No"),
+            lit(vs2, GDM_GCI + "scoreStatus", "Score"),
+            lit(vs2, GDM_GCI + "date_created", "2020-01-02"),
+            iri(vs2, GDM_GCI + "affiliation", aff),
+            lit(vs2, GDM_GCI + "calculatedScore", "2.0", "xsd:decimal"),
+            iri(vs2, GDM_GCI + "variantType", GDM_GCI + "OTHER_VARIANT_TYPE"),
+            iri(ind, GDM_GCI + "variantScores", vs1),
+            iri(ind, GDM_GCI + "variantScores", vs2),
+            lit(ind, GDM_GCI + "label", "Proband 1"),
+            lit(ind, GDM_GCI + "proband", "true", "xsd:boolean"),
+            iri(ind, GDM_GCI + "method", "_:m"),
+            # --- the scored variant (construct_alleles input)
+            iri(var, GDM_RDF + "type", GDM_GCI + "variant"),
+            lit(var, GDM_GCI + "carId", "CA123"),
+            lit(var, GDM_GCI + "preferredTitle", "NM_7:c.1A>T"),
+            # --- annotation + article
+            iri(ann, GDM_RDF + "type", GDM_GCI + "annotation"),
+            iri(ann, GDM_GCI + "individuals", ind),
+            iri(ann, GDM_GCI + "article", pub),
+            iri(pub, GDM_RDF + "type", GDM_GCI + "article"),
+            lit(pub, GDM_GCI + "pmid", "31001"),
+            lit(pub, GDM_GCI + "title", "A study"),
+            lit(pub, GDM_GCI + "date", "2019-04-01"),
+            iri(pub, GDM_GCI + "authors", "_:l1"),
+            lit("_:l1", GDM_RDF + "first", "Kim J"),
+            # --- a LOD-scored family (kept by the segregation unlink)
+            iri(fam, GDM_RDF + "type", GDM_GCI + "family"),
+            iri(fam, GDM_GCI + "segregation", "_:fseg"),
+            lit(fam, GDM_GCI + "label", "Family 1"),
+            # same affiliation the chain pre-binds (?affiliation param):
+            # a different one would drop the family from the pattern
+            iri(fam, GDM_GCI + "affiliation", aff),
+            lit("_:fseg", GDM_GCI + "estimatedLodScore", "3.2", "xsd:decimal"),
+            iri(ann, GDM_GCI + "families", fam),
+    ]
+    return rows

@@ -446,6 +446,7 @@ def text_search_ranked(
     query: str,
     predicates: list[str] | None = None,
     limit: int = 10,
+    scoring: str = "tfidf",
 ) -> DataFrame:
     """Relevance-RANKED text search — replaces the substring tier of
     :func:`text_search` with tf·idf scoring over :func:`text_index`,
@@ -453,20 +454,30 @@ def text_search_ranked(
     (``database/query.clj:133-153``; the suggesters already rank by
     weight, ``suggest/suggesters.clj:24-60`` — same shape).
 
-    score(node) = Σ_matched-tokens tf · ln(1 + N/df), rounded to 6dp so
-    the ordering key is engine-portable (the pagerank/PMI convention);
-    ties break on node. Returns (node, n_matched, score, rank).
+    ``scoring="tfidf"`` (default): score(node) = Σ_matched-tokens
+    tf · ln(1 + N/df). ``scoring="bm25"``: Okapi BM25 with Lucene's
+    defaults (k1=1.2, b=0.75) and Lucene's smoothed idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` — the reference's Lucene
+    similarity since 6.0 — over per-node token-count lengths and the
+    corpus mean length. Both round to 6dp so the ordering key is
+    engine-portable (the pagerank/PMI convention); ties break on node.
+    Returns (node, n_matched, score, rank).
 
     Scale shape: the query-token filter prunes the index scan to
     |q| postings lists; document frequencies for those tokens and the
     corpus-size scalar are dictionary-scale broadcasts; one grouped sum
-    per node and a TakeOrderedAndProject finish it. No corpus-wide
-    join, no driver-side collection.
+    per node and a TakeOrderedAndProject finish it. BM25 adds the
+    per-node length table (one more grouped pass over the index, joined
+    co-keyed on node) — at store scale that table is materialized WITH
+    the index, exactly like Lucene's norms file. No corpus-wide join,
+    no driver-side collection.
     """
     import re as _re
 
     from pyspark.sql import Window
 
+    if scoring not in ("tfidf", "bm25"):
+        raise ValueError(f"unknown scoring {scoring!r}; use 'tfidf' or 'bm25'")
     idx = text_index(triples, predicates)
     qtokens = [t for t in _re.split(r"[^a-z0-9]+", query.lower()) if t]
     if not qtokens:
@@ -478,14 +489,27 @@ def text_search_ranked(
         .agg(F.countDistinct("node").alias("df"))
     )
     hits = idx.where(F.col("token").isin(qtokens))
+    n, dfc, tf = (
+        F.col("n").cast("double"),
+        F.col("df").cast("double"),
+        F.col("tf").cast("double"),
+    )
+    if scoring == "bm25":
+        k1, b = 1.2, 0.75
+        doclen = idx.groupBy("node").agg(F.sum("tf").alias("dl"))
+        avgdl = doclen.agg(F.avg("dl").alias("avgdl"))
+        idf = F.log(F.lit(1.0) + (n - dfc + 0.5) / (dfc + 0.5))
+        norm = F.lit(k1) * (
+            F.lit(1 - b) + F.lit(b) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        weight = idf * (tf * (k1 + 1)) / (tf + norm)
+        hits = hits.join(doclen, "node").crossJoin(F.broadcast(avgdl))
+    else:
+        weight = tf * F.log(F.lit(1.0) + n / dfc)
     scored = (
         hits.join(F.broadcast(dfreq), "token")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "w",
-            F.col("tf").cast("double")
-            * F.log(F.lit(1.0) + F.col("n").cast("double") / F.col("df").cast("double")),
-        )
+        .withColumn("w", weight)
         .groupBy("node")
         .agg(
             F.countDistinct("token").alias("n_matched"),

@@ -26,7 +26,14 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .sparql import RDF_TYPE, RDF_TYPE_FULL, load_query_dir, sparql
+from .sparql import (
+    RDF_TYPE,
+    RDF_TYPE_FULL,
+    load_query_dir,
+    sparql,
+    tag_iri,
+    tag_lit,
+)
 
 # Public bases, verbatim from the reference
 # (transform/gene_validity_refactor.clj:11-13, 414-427).
@@ -122,7 +129,8 @@ def legacy_website_id(model: DataFrame, names: dict | None = None) -> str | None
         "select ?activity where { ?activity :bfo/realizes :sepio/ApproverRole }",
         names=names,
     ).limit(1).collect()  # bounded: one approval activity per curation
-    date = None
+    # nil approval date renders as "" (Clojure `str nil`), not "None"
+    date = ""
     if acts:
         dates = sparql(
             model,
@@ -290,11 +298,319 @@ def _transform_gdm(gdm, qs, dictionary, entrez_gene, affiliation, names):
     parts = [unlinked, connections]
     if legacy is not None:
         parts.append(
+            # the reference binds the legacy id as a RESOURCE
+            # (q/resource, gene_validity_refactor.clj:393) — an IRI
             qs["add-legacy-website-id"]
-            .run(unlinked, legacy_id=legacy)
+            .run(unlinked, legacy_id=("iri", legacy))
             .localCheckpoint(eager=True)
         )
     linked = reduce(DataFrame.unionByName, parts)
     scored = add_proband_scores(linked, names=names).localCheckpoint(eager=True)
     final = qs["unlink-variant-scores-when-proband-scores-exist"].run(scored)
+    return final.dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# Corpus mode — N curations through the 22-construct chain in ONE job
+# ---------------------------------------------------------------------------
+
+def find_affiliations(gdm: DataFrame) -> DataFrame:
+    """Per-graph ``find_affiliation``: one row per graph with the
+    curation's affiliation IRI — the most-recent provisional
+    classification's, else the GDM's own (``has-affiliation-query``,
+    gene_validity_refactor.clj:397-412, lifted from a per-curation
+    LIMIT-1 query to ONE window-top-1 over the whole corpus).
+
+    Scale: two predicate-filtered scans + co-keyed joins + one
+    per-graph window — everything partitions on the graph key."""
+    from pyspark.sql import Window
+
+    t = F.col("predicate").isin([RDF_TYPE, RDF_TYPE_FULL])
+    aff = F.col("predicate") == GCI_BASE + "affiliation"
+    props = gdm.where(t & (F.col("object") == GCI_BASE + "gdm")).select(
+        "graph", F.col("subject").alias("prop")
+    )
+    affs = gdm.where(aff).select(
+        "graph", F.col("subject").alias("node"), F.col("object").alias("a")
+    )
+    gaff = props.join(
+        affs.withColumnRenamed("node", "prop").withColumnRenamed("a", "gdm_aff"),
+        ["graph", "prop"],
+        "left",
+    )
+    cls = gdm.where(
+        t & (F.col("object") == GCI_BASE + "provisionalClassification")
+    ).select("graph", F.col("subject").alias("cls"))
+    cls_full = (
+        cls.join(
+            affs.withColumnRenamed("node", "cls").withColumnRenamed("a", "cls_aff"),
+            ["graph", "cls"],
+        )
+        .join(
+            gdm.where(F.col("predicate") == GCI_BASE + "last_modified").select(
+                "graph",
+                F.col("subject").alias("cls"),
+                F.col("object").alias("date"),
+            ),
+            ["graph", "cls"],
+        )
+    )
+    sol = gaff.join(cls_full, "graph", "left")
+    w = Window.partitionBy("graph").orderBy(
+        F.desc_nulls_last("date"), F.asc_nulls_last("cls_aff")
+    )
+    return (
+        sol.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            "graph", F.coalesce("cls_aff", "gdm_aff").alias("affiliation")
+        )
+    )
+
+
+def find_hgnc_genes(gdm: DataFrame) -> DataFrame:
+    """Per-graph ``gdm-is-about-gene-query``
+    (gene_validity_refactor.clj:340-346): the GDM's HGNC id literal, one
+    deterministic row per graph (min stands in for the reference's
+    first-solution take)."""
+    t = F.col("predicate").isin([RDF_TYPE, RDF_TYPE_FULL])
+    props = gdm.where(t & (F.col("object") == GCI_BASE + "gdm")).select(
+        "graph", F.col("subject").alias("prop")
+    )
+    genes = gdm.where(F.col("predicate") == GCI_BASE + "gene").select(
+        "graph", F.col("subject").alias("prop"), F.col("object").alias("gene")
+    )
+    hgnc = gdm.where(F.col("predicate") == GCI_BASE + "hgncId").select(
+        "graph", F.col("subject").alias("gene"), F.col("object").alias("hgnc")
+    )
+    return (
+        props.join(genes, ["graph", "prop"])
+        .join(hgnc, ["graph", "gene"])
+        .groupBy("graph")
+        .agg(F.min("hgnc").alias("hgnc"))
+    )
+
+
+def legacy_website_ids(model: DataFrame, names: dict | None = None) -> DataFrame:
+    """Per-graph ``legacy-website-id``
+    (gene_validity_refactor.clj:371-395): assertion-base +
+    ``assertion_<id>-<colon-stripped approval date>``, one grouped pass
+    per input (min = the reference's first-solution take; curations
+    have one approval activity and one assertion). Graphs without a
+    matching assertion produce no row — exactly the single-curation
+    path's skip."""
+    names = names or {}
+
+    def N(k):
+        return names.get(k, k)
+
+    t = F.col("predicate").isin([RDF_TYPE, RDF_TYPE_FULL])
+    acts = (
+        model.where(
+            (F.col("predicate") == N(":bfo/realizes"))
+            & (F.col("object") == N(":sepio/ApproverRole"))
+        )
+        .groupBy("graph")
+        .agg(F.min("subject").alias("activity"))
+    )
+    dates = model.where(
+        F.col("predicate") == N(":sepio/activity-date")
+    ).select(
+        "graph", F.col("subject").alias("activity"), F.col("object").alias("d")
+    )
+    adate = acts.join(dates, ["graph", "activity"], "left").groupBy("graph").agg(
+        F.min("d").alias("date")
+    )
+    asserts = (
+        model.where(
+            t
+            & (
+                F.col("object")
+                == N(":sepio/GeneValidityEvidenceLevelAssertion")
+            )
+        )
+        .groupBy("graph")
+        .agg(F.min("subject").alias("assertion"))
+    )
+    rx = r"^(.*/)([a-z0-9-]*)$"
+    base = F.regexp_extract("assertion", rx, 1)
+    aid = F.regexp_extract("assertion", rx, 2)
+    legacy = F.when(
+        base != "",
+        F.concat(
+            base,
+            F.lit("assertion_"),
+            aid,
+            F.lit("-"),
+            F.coalesce(F.translate(F.col("date"), ":", ""), F.lit("")),
+        ),
+    )
+    return (
+        asserts.join(adate, "graph", "left")
+        .select("graph", legacy.alias("legacy_id"))
+        .where(F.col("legacy_id").isNotNull())
+    )
+
+
+def _replicate_dictionary(graphs: DataFrame, dictionary: DataFrame) -> DataFrame:
+    """The dictionary (``gdm_sepio_relationships.ttl``, a few hundred
+    triples) must be visible INSIDE every curation's graph for the
+    graph-scoped scans — replicate it per graph via a broadcast cross
+    join (dimension × graph-dimension; generated map-side, linear in
+    curation count)."""
+    d = dictionary.drop("graph")
+    return graphs.crossJoin(F.broadcast(d)).select(
+        "graph", "subject", "predicate", "object", "object_is_iri",
+        "object_datatype",
+    )
+
+
+def transform_gdm_corpus(
+    events: DataFrame,
+    query_dir: str,
+    dictionary: DataFrame,
+    names: dict | None = None,
+    entrez_map: DataFrame | None = None,
+    affiliations: DataFrame | None = None,
+) -> DataFrame:
+    """``transform-gdm`` over a CORPUS of curations — each named graph
+    of ``events`` is one GDM model, and all of them flow through the 22
+    reference constructs + unlinks + augments + proband cap in ONE set
+    of Spark jobs (no driver loop over curations; VERDICT r5 item 3).
+
+    Per-curation parameters become per-graph seed frames: affiliation
+    (:func:`find_affiliations`, or a caller-provided ``affiliations``
+    frame), the Entrez gene (per-graph HGNC id joined against
+    ``entrez_map(hgnc, entrez_gene)`` — the reference's
+    ``?gene :owl/same-as ?hgnc_gene`` lookup over its HGNC dataset),
+    and the legacy website id (:func:`legacy_website_ids`). Each
+    construct runs with ``per_graph`` seeding, which reproduces Jena's
+    QuerySolutionMap substitution at every scope — including
+    ``?affiliation`` referenced inside the family-segregation
+    ``FILTER NOT EXISTS``.
+
+    Curations missing an affiliation or an Entrez mapping run with that
+    variable FREE, exactly like the reference passing a nil param: the
+    corpus splits into at most four null-signature slices (a bounded
+    driver decision, not a per-curation loop) and each slice runs the
+    chain once with the vars its graphs actually bind.
+
+    Scale: the unit of parallelism is the GRAPH key end to end — scans,
+    path steps, OPTIONAL/MINUS/EXISTS joins, the proband-cap
+    aggregation, and the final dedup all partition on it. The per-stage
+    ``localCheckpoint`` discipline of the single-curation path carries
+    over unchanged (Catalyst plan-size containment, not data movement).
+    """
+    spark = events.sparkSession
+    graphs = events.select("graph").distinct()
+    affs = affiliations if affiliations is not None else find_affiliations(events)
+    seeds = graphs.join(affs, "graph", "left")
+    if entrez_map is not None:
+        ent = find_hgnc_genes(events).join(
+            F.broadcast(entrez_map), "hgnc"
+        ).select("graph", "entrez_gene")
+        seeds = seeds.join(ent, "graph", "left")
+    else:
+        seeds = seeds.withColumn("entrez_gene", F.lit(None).cast("string"))
+    seeds = seeds.localCheckpoint(eager=True)
+
+    cp_key = "spark.sql.constraintPropagation.enabled"
+    cp_prev = spark.conf.get(cp_key, "true")
+    spark.conf.set(cp_key, "false")
+    try:
+        return _transform_gdm_corpus(
+            events, query_dir, dictionary, names, seeds
+        )
+    finally:
+        spark.conf.set(cp_key, cp_prev)
+
+
+def _transform_gdm_corpus(events, query_dir, dictionary, names, seeds):
+    qs = load_query_dir(query_dir, names=names)
+    params = {
+        "gcibase": GCI_BASE,
+        "legacy_report_base": LEGACY_REPORT_BASE,
+        "arbase": AR_BASE,
+        "cvbase": CV_BASE,
+        "pmbase": PM_BASE,
+        "affbase": AFF_BASE,
+    }
+    seed_vars = ["affiliation", "entrez_gene"]
+    # null-signature slices: ≤ 2^len(seed_vars) rows collected — a
+    # bounded driver decision mirroring "was this param passed" in the
+    # reference, NOT per-curation work
+    sigs = [
+        tuple(r[v] for v in seed_vars)
+        for r in seeds.select(
+            *[F.col(v).isNull().alias(v) for v in seed_vars]
+        ).distinct().collect()
+    ]
+    slices = []
+    for sig in sorted(sigs):
+        cond = reduce(
+            lambda a, b: a & b,
+            [
+                F.col(v).isNull() if null else F.col(v).isNotNull()
+                for v, null in zip(seed_vars, sig)
+            ],
+        )
+        bound = [v for v, null in zip(seed_vars, sig) if not null]
+        sl = seeds.where(cond)
+        g_sl = sl.select("graph")
+        source = (
+            events.join(g_sl, "graph", "left_semi")
+            .unionByName(_replicate_dictionary(g_sl, dictionary))
+            .localCheckpoint(eager=True)
+        )
+        per_graph = sl.select(
+            "graph", *[tag_iri(v).alias(v) for v in bound]
+        )
+        unlinked = (
+            reduce(
+                DataFrame.unionByName,
+                [
+                    qs[name]
+                    .run(source, per_graph=per_graph, **params)
+                    .localCheckpoint(eager=True)
+                    for name in CONSTRUCT_ORDER
+                ],
+            )
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        slices.append((unlinked, g_sl))
+
+    unlinked = reduce(
+        DataFrame.unionByName, [u for u, _ in slices]
+    ).localCheckpoint(eager=True)
+    all_graphs = reduce(DataFrame.unionByName, [g for _, g in slices])
+    bare = all_graphs.select("graph")
+    unlinked = (
+        qs["unlink-segregations-when-no-proband-and-lod-scores"]
+        .run(unlinked, per_graph=bare)
+        .localCheckpoint(eager=True)
+    )
+    connections = (
+        qs["construct-evidence-connections"]
+        .run(
+            unlinked.unionByName(_replicate_dictionary(bare, dictionary)),
+            per_graph=bare,
+        )
+        .localCheckpoint(eager=True)
+    )
+    legacy = legacy_website_ids(unlinked, names=names)
+    augment = (
+        qs["add-legacy-website-id"]
+        .run(
+            unlinked,
+            # q/resource: the legacy id is bound as an IRI
+            per_graph=legacy.select("graph", tag_iri("legacy_id").alias("legacy_id")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    linked = unlinked.unionByName(connections).unionByName(augment)
+    scored = add_proband_scores(linked, names=names).localCheckpoint(eager=True)
+    final = qs["unlink-variant-scores-when-proband-scores-exist"].run(
+        scored, per_graph=bare
+    )
     return final.dropDuplicates()

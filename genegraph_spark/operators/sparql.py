@@ -80,6 +80,24 @@ _TEXT_QUERY_IRIS = (
 )
 RDF_TYPE_FULL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 XSD_BOOLEAN = "xsd:boolean"
+
+# Reserved binding column for per-graph (corpus) mode — the graph term
+# every scan binds and every seed row keys on. No query variable may
+# shadow it (?__g is not a plausible SPARQL variable).
+GRAPH_BINDING = "__g"
+
+
+def tag_iri(c: Column | str) -> Column:
+    """Tag a raw IRI column as the engine's internal IRI term — for
+    building :meth:`Query.run` ``per_graph`` seed columns."""
+    return F.concat(F.lit("I|"), F.col(c) if isinstance(c, str) else c)
+
+
+def tag_lit(c: Column | str, datatype: str | None = None) -> Column:
+    """Tag a raw value column as a (typed) literal term — the
+    ``per_graph`` counterpart of a plain-string pre-bound param."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.concat(F.lit(f"L|{datatype or ''}|"), col.cast("string"))
 _MAXLEN = 1 << 20  # effectively-unbounded substr length
 
 
@@ -872,6 +890,7 @@ class _Compiler:
         triples: DataFrame,
         graph_var: str | None = None,
         in_graph: bool = False,
+        graph_seed: DataFrame | None = None,
     ):
         self.triples = triples
         self.spark = triples.sparkSession
@@ -879,6 +898,15 @@ class _Compiler:
         # binds ?g from the store's graph column (NULL-graph rows — the
         # default graph — are excluded, per SPARQL named-graph semantics)
         self.graph_var = graph_var
+        # per-graph pre-binding (corpus mode): a frame of one row per
+        # graph — column graph_var (tagged graph term) plus one TAGGED
+        # column per pre-bound variable. EVERY group starts from this
+        # frame, so the vars behave exactly like Jena QuerySolutionMap
+        # substitution at each scope: inner OPTIONAL / UNION / MINUS /
+        # EXISTS groups all natural-join the per-graph value (the
+        # family-segregation NOT EXISTS references ?affiliation three
+        # levels deep — a post-hoc join could not reproduce that).
+        self.graph_seed = graph_seed
         # true inside any GRAPH form (constant OR variable): a further
         # nested GRAPH would need the outer scope threaded through
         # (SPARQL keeps ?g ranging over named graphs even inside a
@@ -936,19 +964,21 @@ class _Compiler:
                 else:
                     cols.append(gtag.alias(gv))
             return df.select(*cols)
-        if self.graph_var:
-            raise SparqlSyntaxError(
-                "property paths inside GRAPH ?var are not supported; "
-                "use a constant graph IRI"
-            )
         pairs = self.path_pairs(path)
         out_cols: list[Column] = []
         df = pairs
+        gv = self.graph_var
         for term, col in ((s, "node"), (o, "next")):
-            if term[0] == "var":
+            if term[0] == "var" and gv is not None and term[1] == gv:
+                df = df.where(
+                    F.col(col) == F.concat(F.lit("I|"), F.col("_g"))
+                )
+            elif term[0] == "var":
                 out_cols.append(F.col(col).alias(term[1]))
             else:
                 df = df.where(F.col(col) == _tag_const(term))
+        if gv is not None:
+            out_cols.append(F.concat(F.lit("I|"), F.col("_g")).alias(gv))
         return df.select(*out_cols) if out_cols else df.select(F.lit(1).alias("_unit"))
 
     def _text_query(self, s, o) -> DataFrame:
@@ -1071,26 +1101,36 @@ class _Compiler:
         seq/alt keep bag semantics; ?/*/+/{n,m} are distinct per SPARQL
         1.1 §9.3. Each base step is a predicate-filtered scan (pushdown);
         * / + use the path-doubling fixpoint of
-        :func:`.algebra.transitive_closure` (⌈log2 d⌉ shuffle rounds)."""
+        :func:`.algebra.transitive_closure` (⌈log2 d⌉ shuffle rounds).
+
+        Under ``graph_var`` (GRAPH ?g / per-graph mode) every pairs
+        frame also carries the raw ``_g`` graph column and every path
+        join co-keys on it, so closures and sequences never cross named
+        graphs — the per-graph corpus chain relies on this."""
         kind = p[0]
+        in_g = self.graph_var is not None
+
+        def base(df: DataFrame) -> DataFrame:
+            cols = [_enc_subject().alias("node"), _enc_object().alias("next")]
+            if in_g:
+                df = df.where(F.col("graph").isNotNull())
+                cols.append(F.col("graph").alias("_g"))
+            return df.select(*cols)
+
         if kind == "pred":
-            return (
-                self.triples.where(self._pred_filter(p[1]))
-                .select(_enc_subject().alias("node"), _enc_object().alias("next"))
-            )
+            return base(self.triples.where(self._pred_filter(p[1])))
         if kind == "neg":
-            return (
+            return base(
                 self.triples.where(~F.col("predicate").isin(list(p[1])))
-                .select(_enc_subject().alias("node"), _enc_object().alias("next"))
             )
         if kind == "inv":
             q = self.path_pairs(p[1])
-            return q.select(F.col("next").alias("node"), F.col("node").alias("next"))
+            sel = [F.col("next").alias("node"), F.col("node").alias("next")]
+            if in_g:
+                sel.append(F.col("_g"))
+            return q.select(*sel)
         if kind == "seq":
-            a, b = self.path_pairs(p[1]).alias("l"), self.path_pairs(p[2]).alias("r")
-            return a.join(b, F.col("l.next") == F.col("r.node")).select(
-                F.col("l.node").alias("node"), F.col("r.next").alias("next")
-            )
+            return self._seq_pairs(self.path_pairs(p[1]), self.path_pairs(p[2]))
         if kind == "alt":
             return self.path_pairs(p[1]).unionByName(self.path_pairs(p[2]))
         if kind == "opt":
@@ -1115,11 +1155,22 @@ class _Compiler:
 
     def _seq_pairs(self, a: DataFrame, b: DataFrame) -> DataFrame:
         a, b = a.alias("l"), b.alias("r")
-        return a.join(b, F.col("l.next") == F.col("r.node")).select(
-            F.col("l.node").alias("node"), F.col("r.next").alias("next")
-        )
+        cond = F.col("l.next") == F.col("r.node")
+        sel = [F.col("l.node").alias("node"), F.col("r.next").alias("next")]
+        if self.graph_var is not None:
+            cond = cond & (F.col("l._g") == F.col("r._g"))
+            sel.append(F.col("l._g").alias("_g"))
+        return a.join(b, cond).select(*sel)
 
     def _identity(self) -> DataFrame:
+        if self.graph_var is not None:
+            t = self.triples.where(F.col("graph").isNotNull())
+            nodes = t.select(
+                _enc_subject().alias("node"), F.col("graph").alias("_g")
+            ).unionByName(
+                t.select(_enc_object().alias("node"), F.col("graph").alias("_g"))
+            ).distinct()
+            return nodes.select("node", F.col("node").alias("next"), "_g")
         nodes = self.triples.select(_enc_subject().alias("node")).unionByName(
             self.triples.select(_enc_object().alias("node"))
         ).distinct()
@@ -1127,14 +1178,12 @@ class _Compiler:
 
     def _closure(self, edges: DataFrame, max_iter: int = 20) -> DataFrame:
         """Path-doubling closure over a pairs frame — the generalized form
-        of :func:`.algebra.transitive_closure` (same convergence guard)."""
+        of :func:`.algebra.transitive_closure` (same convergence guard).
+        Under graph mode the doubling join co-keys on ``_g``."""
         closure = edges.distinct().localCheckpoint(eager=True)
         prev = closure.count()
         for _ in range(max_iter):
-            l, r = closure.alias("l"), closure.alias("r")
-            doubled = l.join(r, F.col("l.next") == F.col("r.node")).select(
-                F.col("l.node").alias("node"), F.col("r.next").alias("next")
-            )
+            doubled = self._seq_pairs(closure, closure)
             closure = closure.union(doubled).distinct().localCheckpoint(eager=True)
             n = closure.count()
             if n == prev:
@@ -1155,7 +1204,7 @@ class _Compiler:
         value) instead of a NULL-rejecting equi-join — the
         construct_functional_evidence.sparql shape, where three
         mutually-exclusive OPTIONALs each BIND the same ?gciSubType."""
-        cur: DataFrame | None = None
+        cur: DataFrame | None = self.graph_seed
         maybe: set = set()
         filters: list = []
         exists_clauses: list = []
@@ -1232,6 +1281,12 @@ class _Compiler:
                 # inner scan as a binding — solutions within one group
                 # element share one ?g binding via the natural joins.
                 gterm, inner = el[1], el[2]
+                if self.graph_seed is not None:
+                    raise SparqlSyntaxError(
+                        "GRAPH forms inside per-graph (corpus) mode are "
+                        "not supported — the whole query already runs "
+                        "graph-scoped"
+                    )
                 if self.in_graph:
                     # SPARQL keeps the OUTER ?g ranging over named graphs
                     # even inside a constant inner GRAPH; silently
@@ -1264,6 +1319,13 @@ class _Compiler:
                 sq: Query = el[1]
                 if sq.form != "select":
                     raise SparqlSyntaxError("subqueries must be SELECTs")
+                if self.graph_seed is not None:
+                    # an inner GROUP BY without the graph key would
+                    # aggregate ACROSS curations — refuse until needed
+                    raise SparqlSyntaxError(
+                        "sub-SELECT inside per-graph (corpus) mode is "
+                        "not supported"
+                    )
                 sub_bind, sub_maybe = self._group(sq.pattern)
                 sub = _select_project(self, sq, sub_bind, tagged=True)
                 proj = set(sub.columns)
@@ -1933,13 +1995,44 @@ class PreparedQuery:
             q.describe_terms = _apply_names(q.describe_terms, names)
             q.having = _apply_names(q.having, names)
 
-    def run(self, triples: DataFrame, **params):
+    def run(
+        self,
+        triples: DataFrame,
+        per_graph: DataFrame | None = None,
+        **params,
+    ):
         """Execute. ``params`` pre-bind variables (QuerySolutionMap,
         resource.clj:86-92): a plain string binds a literal; an
         ``('iri', value)`` tuple binds an IRI. Returns a DataFrame for
         SELECT (decoded value columns) and CONSTRUCT (repo triple
-        schema), a bool for ASK."""
+        schema), a bool for ASK.
+
+        ``per_graph`` (corpus mode) generalizes pre-binding to N named
+        graphs in ONE job: a frame with a raw ``graph`` column plus one
+        TAGGED term column per variable (``"I|<iri>"`` / ``"L|dt|<v>"``;
+        see :func:`tag_iri`). The query compiles graph-scoped — every
+        scan, join, path step, OPTIONAL/UNION/MINUS/EXISTS subgroup
+        stays within one graph, and each graph's row of ``per_graph``
+        is its QuerySolutionMap. Only CONSTRUCT is supported (the GDM
+        corpus chain's need); constructed triples carry their graph.
+
+        Scale: ``per_graph`` is one row per graph (the same cardinality
+        class as the graph dimension); seed joins co-key on the graph
+        term alongside the pattern's own join keys, so the plan stays
+        shuffle-partitioned by graph — no driver loop over curations.
+        """
         q = self.ast
+        if per_graph is not None:
+            if q.form != "construct":
+                raise SparqlSyntaxError(
+                    "per_graph (corpus) mode supports CONSTRUCT queries only"
+                )
+            if "graph" not in per_graph.columns:
+                raise ValueError("per_graph frame needs a 'graph' column")
+            seed = per_graph.select(
+                F.concat(F.lit("I|"), F.col("graph")).alias(GRAPH_BINDING),
+                *[c for c in per_graph.columns if c != "graph"],
+            )
         # Jena's QuerySolutionMap binds Clojure numbers/booleans as TYPED
         # literals, so a pre-bound number participates in numeric FILTER
         # comparisons (find.clj's coordinate-range query filters
@@ -1973,7 +2066,10 @@ class PreparedQuery:
                 for v in dict.fromkeys([*q.select_vars, *q.group_by])
                 if v in mapping
             ]
-        c = _Compiler(triples)
+        if per_graph is not None:
+            c = _Compiler(triples, graph_var=GRAPH_BINDING, graph_seed=seed)
+        else:
+            c = _Compiler(triples)
         bindings = c.group(pattern)
         if q.form == "ask":
             return A.ask(bindings)
@@ -1996,6 +2092,11 @@ class PreparedQuery:
                     return F.concat(F.lit(v + "-"), row_suffix)
                 return F.lit(v)
 
+            graph_col = (
+                term_value(F.col(GRAPH_BINDING))
+                if per_graph is not None
+                else F.lit(None).cast("string")
+            )
             outs = []
             for s, path, o in templates:
                 assert path[0] in ("pred", "pvar"), "CONSTRUCT templates take simple predicates"
@@ -2026,7 +2127,7 @@ class PreparedQuery:
                     src = src.where(term_is_iri(F.col(path[1])))
                 outs.append(
                     src.select(
-                        F.lit(None).cast("string").alias("graph"),
+                        graph_col.alias("graph"),
                         sc.cast("string").alias("subject"),
                         pred.cast("string").alias("predicate"),
                         obj.cast("string").alias("object"),

@@ -14,6 +14,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from genegraph_spark.operators import sparql as S
 
@@ -404,6 +405,14 @@ class TestUnlinkVariantScores:
         assert (cap, has_ev, vl1) in out
 
 
+def gdm_fixture_rows(sfx=""):
+    """Single-sourced in genegraph_spark.fixtures (the kg_gdm_chain
+    flagship query clones the same curation)."""
+    from genegraph_spark.fixtures import gdm_curation_rows
+
+    return gdm_curation_rows(sfx)
+
+
 class TestFullGdmChain:
     """transform_gdm end-to-end (gene_validity_refactor.clj:414-463):
     one AR (SOPv8) curation fixture driven through all 22 reference
@@ -423,101 +432,9 @@ class TestFullGdmChain:
     ENTREZ = "https://www.ncbi.nlm.nih.gov/gene/672"
 
     def _fixture(self, spark):
-        c, g, ind = self.CLS, self.GDM, self.IND
-        rows = [
-            # --- GDM core (proposition / find_affiliation inputs)
-            iri(g, RDF + "type", GCI + "gdm"),
-            iri(g, GCI + "gene", GCI + "gene1"),
-            lit(GCI + "gene1", GCI + "hgncId", "HGNC:1100"),
-            iri(g, GCI + "disease", GCI + "mondo1"),
-            lit(g, GCI + "modeInheritance",
-                "Autosomal recessive inheritance (HP:0000007)"),
-            # --- approved + published classification
-            iri(c, RDF + "type", GCI + "provisionalClassification"),
-            lit(c, GCI + "approvedClassification", "true", "xsd:boolean"),
-            lit(c, GCI + "publishClassification", "true", "xsd:boolean"),
-            iri(c, GCI + "autoClassification", GCX + "Moderate"),
-            iri(c, GCI + "alteredClassification", GCX + "NoModification"),
-            iri(c, GCI + "affiliation", self.AFF),
-            lit(c, GCI + "last_modified", "2020-05-02"),
-            lit(c, GCI + "evidenceSummary", "Curated summary"),
-            lit(c, GCI + "approvalDate", "2020-05-01T12:30:00"),
-            iri(c, GCI + "classificationPoints", "_:pts"),
-            iri(c, GCI + "earliestArticles", GCI + "pub1"),
-            lit(c, GCI + "classificationContributors", "10015"),
-            lit(c, GCI + "classificationContributors", "10029"),
-            # --- points tree
-            lit("_:pts", GCI + "evidencePointsTotal", "12.5", "xsd:decimal"),
-            lit("_:pts", GCI + "geneticEvidenceTotal", "8.5", "xsd:decimal"),
-            lit("_:pts", GCI + "experimentalEvidenceTotal", "4", "xsd:integer"),
-            iri("_:pts", GCI + "function", "_:f"),
-            lit("_:f", GCI + "pointsCounted", "2", "xsd:integer"),
-            iri("_:pts", GCI + "functionalAlteration", "_:fa"),
-            lit("_:fa", GCI + "pointsCounted", "1", "xsd:integer"),
-            iri("_:pts", GCI + "modelsRescue", "_:mr"),
-            lit("_:mr", GCI + "pointsCounted", "1", "xsd:integer"),
-            iri("_:pts", GCI + "segregation", "_:segp"),
-            lit("_:segp", GCI + "pointsCounted", "0", "xsd:integer"),
-            lit("_:segp", GCI + "evidenceCountExome", "0", "xsd:integer"),
-            iri("_:pts", GCI + "caseControl", "_:ccp"),
-            lit("_:ccp", GCI + "pointsCounted", "0", "xsd:integer"),
-            iri("_:pts", GCI + "autosomalRecessiveDisorder", "_:ar"),
-            lit("_:ar", GCI + "pointsCounted", "6", "xsd:integer"),
-            iri("_:pts", GCI + "autosomalDominantOrXlinkedDisorder", "_:ad"),
-            iri("_:ad", GCI + "probandWithOtherVariantTypeWithGeneImpact", "_:t1"),
-            lit("_:t1", GCI + "pointsCounted", "0", "xsd:integer"),
-            iri("_:ad", GCI + "probandWithPredictedOrProvenNullVariant", "_:t2"),
-            lit("_:t2", GCI + "pointsCounted", "0", "xsd:integer"),
-            iri("_:ad", GCI + "variantIsDeNovo", "_:t3"),
-            lit("_:t3", GCI + "pointsCounted", "0", "xsd:integer"),
-            # --- SOPv8 variant scores for one AR proband
-            iri(self.VS1, RDF + "type", GCI + "variantScore"),
-            iri(self.VS1, GCI + "variantScored", self.VAR),
-            lit(self.VS1, GCI + "deNovo", "No"),
-            lit(self.VS1, GCI + "scoreStatus", "Score"),
-            lit(self.VS1, GCI + "date_created", "2020-01-01"),
-            iri(self.VS1, GCI + "affiliation", self.AFF),
-            lit(self.VS1, GCI + "calculatedScore", "1.5", "xsd:decimal"),
-            lit(self.VS1, GCI + "score", "1.0", "xsd:decimal"),
-            iri(self.VS1, GCI + "variantType", GCI + "PREDICTED_OR_PROVEN_NULL"),
-            iri(self.VS2, RDF + "type", GCI + "variantScore"),
-            iri(self.VS2, GCI + "variantScored", self.VAR),
-            lit(self.VS2, GCI + "deNovo", "No"),
-            lit(self.VS2, GCI + "scoreStatus", "Score"),
-            lit(self.VS2, GCI + "date_created", "2020-01-02"),
-            iri(self.VS2, GCI + "affiliation", self.AFF),
-            lit(self.VS2, GCI + "calculatedScore", "2.0", "xsd:decimal"),
-            iri(self.VS2, GCI + "variantType", GCI + "OTHER_VARIANT_TYPE"),
-            iri(ind, GCI + "variantScores", self.VS1),
-            iri(ind, GCI + "variantScores", self.VS2),
-            lit(ind, GCI + "label", "Proband 1"),
-            lit(ind, GCI + "proband", "true", "xsd:boolean"),
-            iri(ind, GCI + "method", "_:m"),
-            # --- the scored variant (construct_alleles input)
-            iri(self.VAR, RDF + "type", GCI + "variant"),
-            lit(self.VAR, GCI + "carId", "CA123"),
-            lit(self.VAR, GCI + "preferredTitle", "NM_7:c.1A>T"),
-            # --- annotation + article
-            iri(GCI + "ann1", RDF + "type", GCI + "annotation"),
-            iri(GCI + "ann1", GCI + "individuals", ind),
-            iri(GCI + "ann1", GCI + "article", GCI + "pub1"),
-            iri(GCI + "pub1", RDF + "type", GCI + "article"),
-            lit(GCI + "pub1", GCI + "pmid", "31001"),
-            lit(GCI + "pub1", GCI + "title", "A study"),
-            lit(GCI + "pub1", GCI + "date", "2019-04-01"),
-            iri(GCI + "pub1", GCI + "authors", "_:l1"),
-            lit("_:l1", RDF + "first", "Kim J"),
-            # --- a LOD-scored family (kept by the segregation unlink)
-            iri(self.FAM, RDF + "type", GCI + "family"),
-            iri(self.FAM, GCI + "segregation", "_:fseg"),
-            lit(self.FAM, GCI + "label", "Family 1"),
-            # same affiliation the chain pre-binds (?affiliation param):
-            # a different one would drop the family from the pattern
-            iri(self.FAM, GCI + "affiliation", self.AFF),
-            lit("_:fseg", GCI + "estimatedLodScore", "3.2", "xsd:decimal"),
-            iri(GCI + "ann1", GCI + "families", self.FAM),
-        ]
-        return T(spark, rows)
+        return T(spark, gdm_fixture_rows())
+
+
 
     def test_chain(self, spark, names, dictionary):
         from genegraph_spark.operators.gdm_chain import transform_gdm
@@ -1634,3 +1551,91 @@ class TestVariantExperimentalConstructs:
             for o, _ in props.get(":sepio/has-evidence-line", set())
         }
         assert GCI + "el2" not in objs
+
+
+class TestGdmCorpusChain:
+    """transform_gdm_corpus (VERDICT r5 item 3): N curations through the
+    22-construct chain in ONE set of jobs — per-graph affiliation /
+    entrez / legacy-id seeding replaces the per-curation scalar lookups.
+
+    Equivalence law: the chain is equivariant under a consistent IRI
+    rename, so the corpus output for a suffix-cloned curation must be
+    isomorphic (bnode-blind) to the single-curation output with the
+    same rename applied. One single run + one corpus run cover three
+    clones."""
+
+    SFX = ["-sfxa", "-sfxb", "-sfxc"]
+    ENTREZ = "https://www.ncbi.nlm.nih.gov/gene/672"
+
+    def _norm(self, df, graph=None, rename=None):
+        """Collect to a canonical frame: constant graph, optional
+        suffix rename on every term column."""
+        out = df
+        if graph is not None:
+            out = out.where(F.col("graph").eqNullSafe(graph))
+        out = out.select(
+            F.lit("x").alias("graph"), "subject", "predicate", "object",
+            "object_is_iri", "object_datatype",
+        )
+        if rename is not None:
+            a, b = rename
+            for c in ("subject", "predicate", "object"):
+                out = out.withColumn(c, F.replace(F.col(c), F.lit(a), F.lit(b)))
+        return out
+
+    def test_corpus_equals_suffixed_single(self, spark, names, dictionary):
+        from genegraph_spark.operators import gdm_chain as GC
+        from genegraph_spark.operators.model import is_isomorphic
+
+        frames = [
+            spark.createDataFrame(
+                [(f"urn:cur{i}", *r) for r in gdm_fixture_rows(x)],
+                TRIPLE_SCHEMA,
+            )
+            for i, x in enumerate(self.SFX)
+        ]
+        corpus = frames[0]
+        for f in frames[1:]:
+            corpus = corpus.unionByName(f)
+        entrez_map = spark.createDataFrame(
+            [("HGNC:1100" + x, self.ENTREZ + x) for x in self.SFX],
+            "hgnc string, entrez_gene string",
+        )
+        out = GC.transform_gdm_corpus(
+            corpus, REF_DIR, dictionary, names=names, entrez_map=entrez_map
+        ).localCheckpoint(eager=True)
+        # every graph produced rows and carries ONLY its own suffix
+        per_graph = {
+            r.graph: r.n
+            for r in out.groupBy("graph").count().withColumnRenamed("count", "n").collect()
+        }
+        assert set(per_graph) == {f"urn:cur{i}" for i in range(3)}
+        assert min(per_graph.values()) > 50
+        leaked = out.where(
+            F.col("graph").eqNullSafe("urn:cur0")
+            & (
+                F.col("subject").contains("-sfxb")
+                | F.col("object").contains("-sfxb")
+            )
+        ).count()
+        assert leaked == 0
+
+        # single-curation reference run (suffix -sfxa; the chain derives
+        # the affiliation itself, exercising find_affiliations parity)
+        single = GC.transform_gdm(
+            T(spark, gdm_fixture_rows(self.SFX[0])),
+            REF_DIR,
+            dictionary,
+            entrez_gene=self.ENTREZ + self.SFX[0],
+            names=names,
+        ).localCheckpoint(eager=True)
+
+        # corpus graph 0 ≡ single run (same suffix)
+        assert is_isomorphic(
+            self._norm(out, graph="urn:cur0"), self._norm(single)
+        )
+        # corpus graph 1 ≡ single run renamed -sfxa → -sfxb
+        assert is_isomorphic(
+            self._norm(out, graph="urn:cur1"),
+            self._norm(single, rename=(self.SFX[0], self.SFX[1])),
+        )

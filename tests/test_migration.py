@@ -96,3 +96,100 @@ class TestLoadStreamData:
         store = NamedGraphStore(spark, info["database"])
         assert MIG.version_id(store).startswith("commit-")
         assert MIG.version_id(store, "explicit") == "explicit"
+
+
+class TestSnapshotExport:
+    """plans/snapshot_export — write-snapshots / latest-versions /
+    publish (source/snapshot/core.clj:25-155, ga4gh.clj:179-200,
+    variation_descriptor.clj:20-39)."""
+
+    def _store(self, spark, tmp_path):
+        from genegraph_spark.sinks.snapshots import SnapshotStore
+
+        store = SnapshotStore(spark, str(tmp_path / "snapstore"))
+        rows = [
+            # (is_version_of, version, label, deleted)
+            ("urn:v1", "2020-01-01", "v1 r1", False),
+            ("urn:v1", "2020-06-01", "v1 r2", False),
+            ("urn:v1", "2021-01-01", "v1 r3", False),
+            ("urn:v2", "2020-03-01", "v2 r1", False),
+            ("urn:v2", "2020-09-01", "v2 gone", True),   # deleted latest
+            ("urn:v3", "2021-05-01", "v3 r1", False),
+        ]
+        docs = spark.createDataFrame(
+            rows, "is_version_of string, version string, label string, deleted boolean"
+        )
+        store.write("variation", docs, snapshot=0)
+        return store
+
+    def test_latest_versions_asof_and_deleted(self, spark, tmp_path):
+        from genegraph_spark.plans import snapshot_export as SE
+
+        store = self._store(spark, tmp_path)
+        docs = store.read("variation")
+        # no cutoff: v1 r3 + v3; v2's latest is deleted → dropped
+        out = {r.is_version_of: r.label for r in SE.latest_versions(docs).collect()}
+        assert out == {"urn:v1": "v1 r3", "urn:v3": "v3 r1"}
+        # as-of 2020-07: v1 r2; v2 r1 (deletion is later); v3 not yet
+        out = {
+            r.is_version_of: r.label
+            for r in SE.latest_versions(docs, until="2020-07-01").collect()
+        }
+        assert out == {"urn:v1": "v1 r2", "urn:v2": "v2 r1"}
+        # filter_deleted=False keeps the tombstoned latest
+        out = SE.latest_versions(docs, filter_deleted=False).count()
+        assert out == 3
+
+    def test_export_is_byte_deterministic(self, spark, tmp_path):
+        import gzip as _gz
+
+        from genegraph_spark.plans import snapshot_export as SE
+
+        store = self._store(spark, tmp_path)
+        datasets = [
+            {"output_basename": "variation-descriptors.ndjson",
+             "entity_type": "variation"}
+        ]
+        m1 = SE.write_snapshots(store, datasets, str(tmp_path / "o1"), "snapshots/v7")
+        m2 = SE.write_snapshots(store, datasets, str(tmp_path / "o2"), "snapshots/v7")
+        f1 = tmp_path / "o1" / "snapshots/v7" / "variation-descriptors.ndjson.gz"
+        f2 = tmp_path / "o2" / "snapshots/v7" / "variation-descriptors.ndjson.gz"
+        b1, b2 = f1.read_bytes(), f2.read_bytes()
+        assert b1 == b2 and len(b1) > 0
+        lines = [l for l in _gz.decompress(b1).decode().splitlines() if l]
+        assert len(lines) == 2 == m1["counts"]["variation-descriptors.ndjson.gz"]
+        import json as _json
+
+        recs = [_json.loads(l) for l in lines]
+        # sorted by entity key; snapshot partition column not exported
+        assert [r["is_version_of"] for r in recs] == ["urn:v1", "urn:v3"]
+        assert all("snapshot" not in r for r in recs)
+        assert m1["files"] == ["variation-descriptors.ndjson.gz"]
+        # multi-shard output is still one valid gzip stream, same rows
+        SE.write_snapshots(
+            store, datasets, str(tmp_path / "o3"), "snapshots/v7", shards=3
+        )
+        b3 = (tmp_path / "o3" / "snapshots/v7" / "variation-descriptors.ndjson.gz").read_bytes()
+        assert _gz.decompress(b3) == _gz.decompress(b1)
+
+    def test_publish_and_delimiter_join(self, spark, tmp_path):
+        from genegraph_spark.plans import snapshot_export as SE
+
+        assert SE.join_dedup_delimiters("/", ["a/", "/b", "c"]) == "a/b/c"
+        assert SE.join_dedup_delimiters("/", ["/a/", "b/"]) == "/a/b/"
+        assert SE.join_dedup_delimiters("/", ["a"]) == "a"
+        store = self._store(spark, tmp_path)
+        m = SE.write_snapshots(
+            store,
+            [{"output_basename": "variation-descriptors.ndjson",
+              "entity_type": "variation"}],
+            str(tmp_path / "out"),
+            "snapshots/v8/",  # trailing slash must not double
+        )
+        rels = SE.publish_snapshots(m, str(tmp_path / "bucket"))
+        assert rels == [
+            "snapshots/v8/variation-descriptors.ndjson.gz",
+            "snapshots/v8/manifest.json",
+        ]
+        for rel in rels:
+            assert (tmp_path / "bucket" / rel).exists()

@@ -327,6 +327,56 @@ class TestRankedTextSearch:
         scores = [r.score for r in out]
         assert scores == sorted(scores, reverse=True)
 
+    def test_bm25_matches_hand_computation(self, spark):
+        import math
+
+        from genegraph_spark.operators import algebra as A
+
+        # N=3 docs; doc a: "red red widget" (dl=3), b: "red bolt" (dl=2),
+        # c: "blue gear" (dl=2); query "red" → df=2, avgdl=7/3
+        t = self._t(spark, [
+            ("urn:a", "red red widget"),
+            ("urn:b", "red bolt"),
+            ("urn:c", "blue gear"),
+        ])
+        out = {r.node: r.score for r in
+               A.text_search_ranked(t, "red", limit=10, scoring="bm25").collect()}
+        k1, b, avgdl = 1.2, 0.75, 7 / 3
+        idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+
+        def bm25(tf, dl):
+            return round(
+                idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6
+            )
+
+        assert out == {"urn:a": bm25(2, 3), "urn:b": bm25(1, 2)}
+
+    def test_bm25_length_normalization_demotes_long_docs(self, spark):
+        from genegraph_spark.operators import algebra as A
+
+        # same tf=1 for 'widget': the short doc must outrank the long one
+        t = self._t(spark, [
+            ("urn:short", "widget"),
+            ("urn:long", "widget " + " ".join(f"w{i}" for i in range(30))),
+        ])
+        out = [
+            r.node
+            for r in A.text_search_ranked(
+                t, "widget", limit=10, scoring="bm25"
+            ).collect()
+        ]
+        assert out == ["urn:short", "urn:long"]
+        # tf·idf (no length norm) ties them — ordering falls to the node
+        tie = A.text_search_ranked(t, "widget", limit=10).collect()
+        assert tie[0].score == tie[1].score
+
+    def test_unknown_scoring_rejected(self, spark):
+        from genegraph_spark.operators import algebra as A
+
+        t = self._t(spark, [("urn:a", "x")])
+        with pytest.raises(ValueError, match="scoring"):
+            A.text_search_ranked(t, "x", scoring="cosine")
+
     def test_rare_token_scores_higher_idf(self, spark):
         from genegraph_spark.operators import algebra as A
 
