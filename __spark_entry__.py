@@ -2809,10 +2809,16 @@ def q_kg_type_count_diff(spark, sf_dir):
 # queries() asserts the list against the full board so a typo fails
 # loudly (VERDICT r4 "what's wrong" #2); _verdict_ordering itself stays
 # total over arbitrary base lists.
-_R5_PRIORITY = [
-    "alg_sparql_agg", "join_salted_topk", "graph_pagerank",
-    "graph_degrees", "graph_comention_pmi", "text_decontaminate",
-    "text_domain_mix", "dedup_spans",
+# VERDICT r5 "next round" #1: the 11 entries that have never received a
+# driver verdict are pinned first (the boost is inert once a verdict
+# lands); the r6 additions (kg_gdm_chain, snap_export,
+# alg_text_search_bm25) follow as ordinary never-verified entries.
+_R6_PRIORITY = [
+    "alg_sparql_graph", "alg_sparql_subselect", "alg_sparql_text_query",
+    "alg_text_search_ranked", "cur_region_features",
+    "fn_variation_expressions", "text_boilerplate_strip",
+    "text_pack_sequences", "text_stratified_sample", "text_url_dedup",
+    "text_vocabulary",
 ]
 
 
@@ -2843,7 +2849,7 @@ def _verdict_ordering(base_names):
             if prev is None or rnd >= prev[0]:
                 latest[name] = (rnd, ok)
     pos = {n: i for i, n in enumerate(base_names)}
-    prio = {n: i for i, n in enumerate(_R5_PRIORITY) if n in pos}
+    prio = {n: i for i, n in enumerate(_R6_PRIORITY) if n in pos}
 
     def key(n):
         if n in prio and latest.get(n) is None:
@@ -3039,7 +3045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_broadcast_dim": q_join_broadcast_dim,
         "win_running_total": q_win_running_total,
     }
-    unknown = [n for n in _R5_PRIORITY if n not in base]
+    unknown = [n for n in _R6_PRIORITY if n not in base]
     assert not unknown, f"priority names not on the board: {unknown}"
     ordered = _verdict_ordering(list(base))
     return {n: base[n] for n in ordered}

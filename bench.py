@@ -349,9 +349,50 @@ def main() -> None:
                 "sf": float(sf),
                 "throughput": throughput,
                 "scaling": compact_scaling,
+                "diff_vs_prev": _diff_vs_prev(per_query),
             }
         )
     )
+
+
+def _diff_vs_prev(per_query: dict) -> dict:
+    """Self-triaging artifact (VERDICT r5 item 7): per-query sec ratio
+    vs the newest recorded BENCH_r*.json, inlined into the bench line so
+    the driver's artifact carries its own round-over-round diff. Ratios
+    >2x are flagged for the best-of-3 re-measure protocol (this host's
+    co-tenant noise band, BENCH.md); new queries are listed, not
+    ratioed."""
+    import glob as _glob
+    import re as _re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in _glob.glob(os.path.join(repo, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return {}
+    n, path = max(rounds)
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        return {"prev_round": n, "error": "unparseable previous artifact"}
+    if isinstance(prev.get("parsed"), dict):  # driver wrapper shape
+        prev = prev["parsed"]
+    pq = prev.get("queries") or {}
+    ratios = {
+        k: round(v / pq[k], 3)
+        for k, v in per_query.items()
+        if isinstance(pq.get(k), (int, float)) and pq[k] > 0
+    }
+    return {
+        "prev_round": n,
+        "ratios": ratios,
+        "new_queries": sorted(set(per_query) - set(pq)),
+        "flagged_over_2x": sorted(k for k, r in ratios.items() if r > 2.0),
+    }
 
 
 if __name__ == "__main__":

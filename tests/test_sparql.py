@@ -1323,11 +1323,31 @@ class TestGraphPattern:
         ).collect()
         assert [r.g for r in out] == ["urn:g1"]
 
-    def test_path_inside_graph_var_raises(self, spark, multi):
-        with pytest.raises(S.SparqlSyntaxError):
-            S.sparql(
-                multi, "SELECT ?g WHERE { GRAPH ?g { ?s :p/:q ?v } }"
-            ).collect()
+    def test_path_inside_graph_var_stays_per_graph(self, spark):
+        # r6: property paths thread the graph column (corpus mode needs
+        # them) — a seq path inside GRAPH ?g must not hop across graphs
+        rows = [
+            ("urn:g1", "urn:a", ":p", "urn:b", True, None),
+            ("urn:g1", "urn:b", ":q", "v1", False, None),
+            ("urn:g2", "urn:a", ":p", "urn:c", True, None),
+            # bait: the second step exists only in g2 — a cross-graph
+            # join would produce (g?, urn:a, v2)
+            ("urn:g2", "urn:b", ":q", "v2", False, None),
+            (None, "urn:a", ":p", "urn:b", True, None),  # default graph
+        ]
+        t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+        out = S.sparql(
+            t, "SELECT ?g ?s ?v WHERE { GRAPH ?g { ?s :p/:q ?v } }"
+        ).collect()
+        assert [(r.g, r.s, r.v) for r in out] == [("urn:g1", "urn:a", "v1")]
+        # closure paths stay per-graph too
+        out = S.sparql(
+            t,
+            "SELECT DISTINCT ?g ?v WHERE { GRAPH ?g { ?s :p*/:q ?v } } ORDER BY ?v",
+        ).collect()
+        assert [(r.g, r.v) for r in out] == [
+            ("urn:g1", "v1"), ("urn:g2", "v2"),
+        ]
 
     def test_path_inside_constant_graph_works(self, spark, multi):
         out = S.sparql(
