@@ -1382,19 +1382,51 @@ class _Compiler:
         # DEEPER (inside OPTIONAL/UNION/a braced group within the EXISTS
         # pattern) would have compiled the outer variable as NULL during
         # self.group(inner) above, silently making EXISTS never (NOT
-        # EXISTS always) hold for that branch — detect and raise instead
-        # (ADVICE r5).
+        # EXISTS always) hold for that branch. Fix (ADVICE r5 asked for
+        # a raise; this implements the semantics instead): DECORRELATE
+        # by seeding — re-compile the EXISTS pattern with a seed frame
+        # of the outer solutions' DISTINCT correlated values, so every
+        # scope (nested OPTIONAL/UNION/EXISTS included) evaluates with
+        # the variable bound per outer value (§8.1.1 substitution, the
+        # magic-set shape), then semi/anti-join the correlated vars as
+        # ordinary shared columns. Spark-first: one distinct on the
+        # bounded correlated-value set + co-keyed joins — no per-row
+        # re-evaluation, no driver loop.
         deep_corr = (
             self._nested_filter_vars(inner) & set(cur.columns)
         ) - set(sub.columns)
         if deep_corr:
-            raise SparqlSyntaxError(
-                "outer-correlated variable(s) "
-                + ", ".join(f"?{v}" for v in sorted(deep_corr))
-                + " referenced by a filter NESTED inside the EXISTS "
-                "pattern — unsupported correlation depth; lift the "
-                "filter to the EXISTS top level"
+            if self.graph_seed is not None:
+                raise SparqlSyntaxError(
+                    "outer-correlated filters nested inside EXISTS are "
+                    "not supported in per-graph (corpus) mode"
+                )
+            corr = sorted(
+                (self._nested_filter_vars(inner) | set().union(
+                    *[self._expr_vars(e) for e in fs] or [set()]
+                ))
+                & set(cur.columns) - set(sub.columns)
             )
+            seed = cur.select(*corr).where(
+                reduce(
+                    lambda a, b: a & b,
+                    [F.col(c).isNotNull() for c in corr],
+                )
+            ).distinct()
+            sub_c = _Compiler(
+                self.triples, graph_var=self.graph_var, graph_seed=seed
+            )
+            sub = sub_c.group(inner)
+            for e in fs:
+                # with the correlated values in scope, every top-level
+                # filter is an ordinary inner filter
+                sub = sub.where(sub_c.bool_expr(e, sub))
+            fs = []
+            # NOTE on unbound outer values: a row whose correlated var
+            # is NULL joins nothing → EXISTS false / NOT EXISTS true,
+            # matching the error-→-false reading of a filter over an
+            # unbound variable (§17.2) — same convention as the hoisted
+            # top-level path below.
         hoisted = []
         for e in fs:
             vs = self._expr_vars(e)
@@ -1426,8 +1458,8 @@ class _Compiler:
         """Variables referenced by FILTER / EXISTS expressions at any
         depth BELOW the given elements (the elements' own top-level
         filters are the caller's to handle). Used by :meth:`_exists_join`
-        to refuse correlation depths §8.1.1 substitution would need but
-        this compiler does not implement."""
+        to decide when the EXISTS pattern needs seeded decorrelation
+        (§8.1.1 substitution into nested scopes)."""
         out: set = set()
 
         def walk(els, top):

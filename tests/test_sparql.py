@@ -1713,33 +1713,55 @@ class TestCorrelatedExists:
         )
         assert sorted(r.s for r in out.collect()) == ["c"]
 
-    def test_deep_correlated_filter_raises(self, spark):
-        """ADVICE r5: only TOP-LEVEL filters of the EXISTS pattern hoist;
-        an outer-correlated filter nested deeper (inside OPTIONAL/UNION/
-        a braced group within the EXISTS) would silently read the outer
-        var as NULL — must raise instead."""
+    def test_deep_correlated_filter_decorrelates(self, spark):
+        """ADVICE r5 flagged nested outer-correlated filters as silently
+        NULL-compiled; r6 implements the §8.1.1 substitution instead —
+        the EXISTS pattern re-compiles SEEDED with the distinct outer
+        correlated values, so filters at any depth see the binding."""
         tri = self._vals(spark)
-        for q in [
-            # inside OPTIONAL within the EXISTS
+        # braced sub-group: exists a strictly larger value → a, b
+        out = S.sparql(
+            tri,
+            """SELECT ?s WHERE {
+                 ?s :val ?v .
+                 FILTER EXISTS { { ?o :val ?w . FILTER(?w > ?v) } }
+               }""",
+        )
+        assert sorted(r.s for r in out.collect()) == ["a", "b"]
+        # UNION branches: first branch correlated, second never matches;
+        # NOT EXISTS keeps only the max (the silent-NULL bug kept all 3)
+        out = S.sparql(
+            tri,
+            """SELECT ?s WHERE {
+                 ?s :val ?v .
+                 FILTER NOT EXISTS {
+                   { ?o :val ?w . FILTER(?w > ?v) }
+                   UNION
+                   { ?o :val ?w . FILTER(?w > 100) } }
+               }""",
+        )
+        assert [r.s for r in out.collect()] == ["c"]
+        # two levels of EXISTS nesting
+        out = S.sparql(
+            tri,
+            """SELECT ?s WHERE {
+                 ?s :val ?v .
+                 FILTER EXISTS { ?o :val ?w .
+                   FILTER EXISTS { ?p :val ?u . FILTER(?u > ?v) } }
+               }""",
+        )
+        assert sorted(r.s for r in out.collect()) == ["a", "b"]
+        # OPTIONAL inside EXISTS: the optional filter cannot remove the
+        # required match, so all rows keep their EXISTS
+        out = S.sparql(
+            tri,
             """SELECT ?s WHERE {
                  ?s :val ?v .
                  FILTER EXISTS { ?o :val ?w .
                    OPTIONAL { ?o :val ?x . FILTER(?x > ?v) } }
                }""",
-            # inside a UNION branch within the EXISTS
-            """SELECT ?s WHERE {
-                 ?s :val ?v .
-                 FILTER NOT EXISTS {
-                   { ?o :val ?w . FILTER(?w > ?v) } UNION { ?o :val ?w } }
-               }""",
-            # inside a braced sub-group within the EXISTS
-            """SELECT ?s WHERE {
-                 ?s :val ?v .
-                 FILTER EXISTS { { ?o :val ?w . FILTER(?w > ?v) } }
-               }""",
-        ]:
-            with pytest.raises(S.SparqlSyntaxError, match="correlation depth"):
-                S.sparql(tri, q).collect()
+        )
+        assert sorted(r.s for r in out.collect()) == ["a", "b", "c"]
 
     def test_deep_filter_on_inner_vars_still_fine(self, spark):
         """Nested filters that reference only pattern-bound vars keep
