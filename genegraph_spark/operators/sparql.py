@@ -2055,9 +2055,10 @@ class PreparedQuery:
         """
         q = self.ast
         if per_graph is not None:
-            if q.form != "construct":
+            if q.form not in ("construct", "select", "ask"):
                 raise SparqlSyntaxError(
-                    "per_graph (corpus) mode supports CONSTRUCT queries only"
+                    "per_graph (corpus) mode supports CONSTRUCT, SELECT "
+                    "and ASK queries"
                 )
             if "graph" not in per_graph.columns:
                 raise ValueError("per_graph frame needs a 'graph' column")
@@ -2104,6 +2105,24 @@ class PreparedQuery:
             c = _Compiler(triples)
         bindings = c.group(pattern)
         if q.form == "ask":
+            if per_graph is not None:
+                # per-graph ASK: one boolean PER GRAPH (the reference
+                # runs its activity ASKs once per event model) — the
+                # seed's graphs left-join the solutions' graph set
+                got = (
+                    bindings.select(GRAPH_BINDING)
+                    .distinct()
+                    .withColumn("_e", F.lit(True))
+                )
+                return (
+                    seed.select(GRAPH_BINDING)
+                    .distinct()
+                    .join(got, GRAPH_BINDING, "left")
+                    .select(
+                        term_value(F.col(GRAPH_BINDING)).alias("graph"),
+                        F.coalesce(F.col("_e"), F.lit(False)).alias("result"),
+                    )
+                )
             return A.ask(bindings)
         if q.form == "construct":
             # A template bnode (_:label) denotes a FRESH blank node PER
@@ -2183,6 +2202,8 @@ class PreparedQuery:
             return A.describe(triples, nodes)
 
         # SELECT
+        if per_graph is not None:
+            return _select_project_per_graph(c, q, bindings)
         return _select_project(c, q, bindings, tagged=False)
 
 
@@ -2379,6 +2400,55 @@ def _select_project(c: "_Compiler", q: Query, bindings: DataFrame, tagged: bool)
                     if (q.offset or q.limit is not None) \
                     else A.order_by(out, *q.order, numeric_aware=True)
         return out
+
+
+def _select_project_per_graph(c: "_Compiler", q: Query, bindings: DataFrame) -> DataFrame:
+    """SELECT in per-graph (corpus) mode: the reference runs each of
+    these queries PER EVENT MODEL, so every solution modifier scopes to
+    one graph — aggregates group WITHIN a graph, DISTINCT is per
+    (graph, row), and ORDER BY/LIMIT/OFFSET pick each graph's top rows
+    (``has-affiliation-query``'s ``ORDER BY DESC(?date) LIMIT 1`` must
+    yield one row PER CURATION, not one row total).
+
+    Shape: reuse :func:`_select_project` with the graph binding
+    appended to the projection (and to GROUP BY when aggregating), then
+    apply the modifiers as ONE window partitioned by graph — no global
+    single-partition sort, no per-graph loop."""
+    import copy
+
+    q2 = copy.copy(q)
+    base_vars = q.select_vars or [
+        col for col in bindings.columns if not col.startswith("_")
+    ]
+    # ORDER BY may reference non-projected vars (SPARQL §15.1; Spark's
+    # ResolveMissingReferences covers a global orderBy but NOT window
+    # expressions) — carry them through as hidden columns
+    hidden = [
+        v
+        for v, _ in q.order
+        if v not in base_vars and v in bindings.columns
+    ]
+    q2.select_vars = list(base_vars) + hidden + [GRAPH_BINDING]
+    if q.group_by or any(_contains_agg(e) for e, _ in q.select_exprs):
+        q2.group_by = list(q.group_by) + [GRAPH_BINDING]
+    q2.order, q2.limit, q2.offset = [], None, 0
+    out = _select_project(c, q2, bindings, tagged=False)
+    if q.order or q.limit is not None or q.offset:
+        from pyspark.sql import Window as _W
+
+        keys = (
+            list(A._sort_exprs(q.order, numeric_aware=True))
+            if q.order
+            else [F.lit(1)]
+        )
+        w = _W.partitionBy(GRAPH_BINDING).orderBy(*keys)
+        out = out.withColumn("_rn", F.row_number().over(w))
+        if q.offset:
+            out = out.where(F.col("_rn") > q.offset)
+        if q.limit is not None:
+            out = out.where(F.col("_rn") <= q.offset + q.limit)
+        out = out.drop("_rn")
+    return out.drop(*hidden).withColumnRenamed(GRAPH_BINDING, "graph")
 
 
 def sparql(triples: DataFrame, text: str, /, names: dict | None = None, **params):

@@ -1774,3 +1774,98 @@ class TestCorrelatedExists:
                }""",
         )
         assert sorted(r.s for r in out.collect()) == ["a", "b", "c"]
+
+
+class TestPerGraphSelectAsk:
+    """per_graph SELECT/ASK (corpus mode, r6): the reference runs these
+    queries once per event model, so solution modifiers scope to ONE
+    graph — per-graph aggregates, per-graph ORDER BY/LIMIT, one ASK
+    boolean per graph."""
+
+    def _t(self, spark):
+        rows = [
+            ("g1", "urn:a1", ":val", "1", False, "http://www.w3.org/2001/XMLSchema#integer"),
+            ("g1", "urn:a2", ":val", "9", False, "http://www.w3.org/2001/XMLSchema#integer"),
+            ("g2", "urn:b1", ":val", "5", False, "http://www.w3.org/2001/XMLSchema#integer"),
+            ("g3", "urn:c1", ":other", "x", False, None),
+        ]
+        return spark.createDataFrame(rows, TRIPLE_SCHEMA)
+
+    def _graphs(self, spark, *gs):
+        return spark.createDataFrame([(g,) for g in gs], "graph string")
+
+    def test_per_graph_order_limit(self, spark):
+        q = S.PreparedQuery(
+            "SELECT ?s ?v WHERE { ?s :val ?v } ORDER BY DESC(?v) LIMIT 1"
+        )
+        out = q.run(self._t(spark), per_graph=self._graphs(spark, "g1", "g2"))
+        got = sorted((r.graph, r.s, r.v) for r in out.collect())
+        # one top row PER GRAPH (a global LIMIT 1 would keep only g1's)
+        assert got == [("g1", "urn:a2", "9"), ("g2", "urn:b1", "5")]
+
+    def test_per_graph_aggregate(self, spark):
+        q = S.PreparedQuery(
+            "SELECT (SUM(?v) AS ?total) (COUNT(?s) AS ?n) WHERE { ?s :val ?v }"
+        )
+        out = q.run(self._t(spark), per_graph=self._graphs(spark, "g1", "g2"))
+        got = {r.graph: (r.total, r.n) for r in out.collect()}
+        assert got == {"g1": ("10", 2), "g2": ("5", 1)} or got == {
+            "g1": (10.0, 2), "g2": (5.0, 1),
+        } or got == {"g1": (10, 2), "g2": (5, 1)}
+
+    def test_per_graph_ask(self, spark):
+        q = S.PreparedQuery("ASK WHERE { ?s :val ?v }")
+        out = q.run(
+            self._t(spark), per_graph=self._graphs(spark, "g1", "g2", "g3")
+        )
+        got = {r.graph: r.result for r in out.collect()}
+        # g3 has triples but none matching; it must report False, not
+        # vanish
+        assert got == {"g1": True, "g2": True, "g3": False}
+
+    def test_verbatim_affiliation_query_per_graph(self, spark):
+        """The reference's has-affiliation-query
+        (gene_validity_refactor.clj:397-412) VERBATIM over two curations
+        in one job — its ORDER BY DESC(?date) LIMIT 1 must resolve PER
+        CURATION. Cross-checked against find_affiliations (two
+        independent implementations, one answer)."""
+        from genegraph_spark.operators.gdm_chain import find_affiliations
+
+        GCI = "http://dataexchange.clinicalgenome.org/gci/"
+        rows = []
+        for g, aff_new, aff_old in [
+            ("urn:cur1", "urn:aff-new1", "urn:aff-old1"),
+            ("urn:cur2", "urn:aff-new2", "urn:aff-old2"),
+        ]:
+            rows += [
+                (g, g + "/gdm", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", GCI + "gdm", True, None),
+                (g, g + "/clsA", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", GCI + "provisionalClassification", True, None),
+                (g, g + "/clsA", GCI + "affiliation", aff_old, True, None),
+                (g, g + "/clsA", GCI + "last_modified", "2019-01-01", False, None),
+                (g, g + "/clsB", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", GCI + "provisionalClassification", True, None),
+                (g, g + "/clsB", GCI + "affiliation", aff_new, True, None),
+                (g, g + "/clsB", GCI + "last_modified", "2021-06-01", False, None),
+            ]
+        t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+        q = S.PreparedQuery(
+            """prefix gci: <http://dataexchange.clinicalgenome.org/gci/>
+               select ?affiliationIRI where {
+                 ?proposition a gci:gdm .
+                 OPTIONAL { ?proposition gci:affiliation ?gdmAffiliationIRI . }
+                 OPTIONAL {
+                   ?classification a gci:provisionalClassification .
+                   ?classification gci:affiliation ?classificationAffiliationIRI .
+                   ?classification gci:last_modified ?date .
+                 }
+                 BIND(COALESCE(?classificationAffiliationIRI, ?gdmAffiliationIRI)
+                      AS ?affiliationIRI) }
+               ORDER BY DESC(?date) LIMIT 1"""
+        )
+        out = q.run(t, per_graph=self._graphs(spark, "urn:cur1", "urn:cur2"))
+        got = {r.graph: r.affiliationIRI for r in out.collect()}
+        assert got == {"urn:cur1": "urn:aff-new1", "urn:cur2": "urn:aff-new2"}
+        # independent implementation agrees
+        via_frame = {
+            r.graph: r.affiliation for r in find_affiliations(t).collect()
+        }
+        assert via_frame == got
