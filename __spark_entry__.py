@@ -644,6 +644,21 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    # INCREMENTAL cross-snapshot near-dup (dedup.MinhashIndex): index
+    # the version-1 corpus once, then dedup the version-2 "new crawl"
+    # batch against it via one (band, bucket) co-keyed join + the
+    # MinHash estimator — old text is never re-read or re-shingled
+    import tempfile
+
+    from genegraph_spark.operators.dedup import MinhashIndex
+
+    vdocs = _versioned_docs(spark, sf_dir)
+    ix = MinhashIndex(spark, tempfile.mkdtemp(prefix="gg_mhidx_"))
+    ix.build(vdocs.where(F.col("doc_id") % 10 == 1))
+    return ix.query(vdocs.where(F.col("doc_id") % 10 == 2), threshold=0.5)
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(_versioned_docs(spark, sf_dir), k=3, threshold=0.6).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -2956,6 +2971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -5159,6 +5175,27 @@ jac AS (SELECT i.id_a, i.id_b,
   round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6) AS jaccard
   FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a JOIN sizes sb ON sb.doc_id = i.id_b)
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.6""",
+        "dedup_incremental": f"""
+WITH {_PAGES}, {_VDOCS}, {_shingle_sql('vdocs', 3)}, {_minhash_sql(16)},
+bands AS (
+  SELECT doc_id, 0 AS band, md5(concat_ws('|', h0, h1, h2, h3)) AS bucket FROM sigs
+  UNION ALL SELECT doc_id, 1, md5(concat_ws('|', h4, h5, h6, h7)) FROM sigs
+  UNION ALL SELECT doc_id, 2, md5(concat_ws('|', h8, h9, h10, h11)) FROM sigs
+  UNION ALL SELECT doc_id, 3, md5(concat_ws('|', h12, h13, h14, h15)) FROM sigs),
+newb AS (SELECT * FROM bands WHERE doc_id % 10 = 2),
+oldb AS (SELECT * FROM bands WHERE doc_id % 10 = 1),
+cand AS (
+  SELECT DISTINCT n.doc_id AS id_a, o.doc_id AS id_b, 'index' AS source
+  FROM newb n JOIN oldb o ON n.band = o.band AND n.bucket = o.bucket
+  UNION
+  SELECT DISTINCT a.doc_id, b.doc_id, 'batch'
+  FROM newb a JOIN newb b ON a.band = b.band AND a.bucket = b.bucket
+     AND a.doc_id < b.doc_id),
+est AS (
+  SELECT c.id_a, c.id_b,
+         round(CAST((CAST(sa.h0 = sb.h0 AS INT) + CAST(sa.h1 = sb.h1 AS INT) + CAST(sa.h2 = sb.h2 AS INT) + CAST(sa.h3 = sb.h3 AS INT) + CAST(sa.h4 = sb.h4 AS INT) + CAST(sa.h5 = sb.h5 AS INT) + CAST(sa.h6 = sb.h6 AS INT) + CAST(sa.h7 = sb.h7 AS INT) + CAST(sa.h8 = sb.h8 AS INT) + CAST(sa.h9 = sb.h9 AS INT) + CAST(sa.h10 = sb.h10 AS INT) + CAST(sa.h11 = sb.h11 AS INT) + CAST(sa.h12 = sb.h12 AS INT) + CAST(sa.h13 = sb.h13 AS INT) + CAST(sa.h14 = sb.h14 AS INT) + CAST(sa.h15 = sb.h15 AS INT)) AS DOUBLE) / 16, 6) AS est_jaccard, c.source
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.id_a JOIN sigs sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, est_jaccard, source FROM est WHERE est_jaccard >= 0.5""",
         "dedup_ngram_jaccard": f"""
 WITH {_PAGES}, {_VDOCS}, {_shingle_sql('vdocs', 3)}, {_JACCARD_PAIRS}
 SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.6""",

@@ -67,18 +67,19 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidates(
+def band_rows(
     sigs: DataFrame, id_col: str = "doc_id", n_hashes: int = 16, n_bands: int = 4
 ) -> DataFrame:
-    """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket."""
+    """(id, band, bucket) LSH band rows — ONE pass over the signatures:
+    all band buckets as an array, exploded (a union of per-band selects
+    re-aggregates the upstream signature shuffle once per band —
+    measured 4× the exchanges at n_bands=4). Shared by the in-corpus
+    candidate join and the persisted :class:`MinhashIndex`."""
     assert n_hashes % n_bands == 0, (
         f"n_bands={n_bands} must divide n_hashes={n_hashes} evenly "
         "(trailing hashes would be silently ignored)"
     )
     rows_per_band = n_hashes // n_bands
-    # ONE pass over the signatures: all band buckets as an array, exploded
-    # (a union of per-band selects re-aggregates the upstream signature
-    # shuffle once per band — measured 4× the exchanges at n_bands=4)
     band_structs = []
     for b in range(n_bands):
         cols = [f"h{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
@@ -87,9 +88,16 @@ def lsh_candidates(
                 F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")
             )
         )
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col), F.explode(F.array(*band_structs)).alias("_b")
     ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.bucket").alias("bucket"))
+
+
+def lsh_candidates(
+    sigs: DataFrame, id_col: str = "doc_id", n_hashes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Candidate pairs (id_a < id_b) sharing at least one LSH band bucket."""
+    banded = band_rows(sigs, id_col, n_hashes, n_bands)
     a = banded.alias("a")
     b_ = banded.alias("b")
     return (
@@ -487,3 +495,185 @@ def duplicate_spans(
             (F.col("_last") + k - F.col("span_start")).alias("n_tokens"),
         )
     )
+
+
+class MinhashIndex:
+    """Persisted banded-MinHash index — INCREMENTAL near-dup across
+    corpus snapshots: each new crawl batch dedups against the
+    already-indexed corpus WITHOUT re-shingling or re-reading old text
+    (the production daily-snapshot shape; beyond-the-reference
+    LLM-data operator, same family as :class:`similarity.IvfIndex`).
+
+    Layout under ``path``:
+
+    - ``bands/`` parquet partitioned by ``band``: (doc_id, band, bucket)
+    - ``sigs/``  parquet: (doc_id, h0..h{n-1})
+    - ``meta.json``: shingle k, n_hashes, n_bands, doc count
+
+    Candidates verify with the MinHash ESTIMATOR (fraction of equal
+    signature components — the standard unbiased Jaccard estimate), so
+    the index stores O(n_docs × n_hashes) and never the shingles; when
+    both sides' text is at hand, compose with :func:`jaccard` for the
+    exact verify (``minhash_near_duplicates`` style).
+
+    Scale shape: ``query`` is ONE co-keyed join of the new batch's band
+    rows against the indexed band rows on (band, bucket) — the indexed
+    side streams from parquet, nothing broadcasts — plus one signature
+    join per candidate side. ``append`` is a blind parquet append (the
+    band layout is append-friendly); no rebuild, no compaction needed
+    until bucket skew says otherwise.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        k: int = 3,
+        n_hashes: int = 16,
+        n_bands: int = 4,
+    ):
+        import json
+        import os
+
+        self.spark = spark
+        self.path = path
+        meta_path = os.path.join(path, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = json.load(fh)
+            if (meta["k"], meta["n_hashes"], meta["n_bands"]) != (
+                k, n_hashes, n_bands,
+            ):
+                raise ValueError(
+                    f"index at {path} was built with "
+                    f"k={meta['k']}/n_hashes={meta['n_hashes']}/"
+                    f"n_bands={meta['n_bands']}; got {k}/{n_hashes}/{n_bands}"
+                )
+        self.k, self.n_hashes, self.n_bands = k, n_hashes, n_bands
+
+    # -- internals -----------------------------------------------------------
+    def _sig_frame(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        sh = shingles(docs, id_col, text_col, self.k)
+        return minhash_signatures(sh, id_col, self.n_hashes)
+
+    def _write_meta(self, n_docs: int) -> None:
+        import json
+        import os
+
+        with open(os.path.join(self.path, "meta.json"), "w") as fh:
+            json.dump(
+                {
+                    "k": self.k,
+                    "n_hashes": self.n_hashes,
+                    "n_bands": self.n_bands,
+                    "n_docs": n_docs,
+                },
+                fh,
+            )
+
+    def _store(self, sigs: DataFrame, id_col: str, mode: str) -> int:
+        import os
+
+        sigs = sigs.localCheckpoint(eager=True)  # one shingle pass, two writes
+        bands = band_rows(sigs, id_col, self.n_hashes, self.n_bands)
+        bands.write.mode(mode).partitionBy("band").parquet(
+            os.path.join(self.path, "bands")
+        )
+        sigs.write.mode(mode).parquet(os.path.join(self.path, "sigs"))
+        return sigs.count()
+
+    def _read(self, name: str) -> DataFrame:
+        import os
+
+        return self.spark.read.parquet(os.path.join(self.path, name))
+
+    # -- public ---------------------------------------------------------------
+    def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+        """(Re)build the index from scratch."""
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        n = self._store(self._sig_frame(docs, id_col, text_col), id_col, "overwrite")
+        self._write_meta(n)
+        return self
+
+    def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
+        """Add a batch to the index (after the caller has dealt with its
+        query() matches). Blind parquet append — ids must be new."""
+        import json
+        import os
+
+        n = self._store(self._sig_frame(docs, id_col, text_col), id_col, "append")
+        with open(os.path.join(self.path, "meta.json")) as fh:
+            meta = json.load(fh)
+        self._write_meta(meta["n_docs"] + n)
+        return self
+
+    def estimated_jaccard(
+        self, pairs: DataFrame, sigs_a: DataFrame, sigs_b: DataFrame
+    ) -> DataFrame:
+        """(id_a, id_b, est_jaccard): fraction of equal MinHash
+        components — exact rational arithmetic, rounded 6dp for the
+        engine-portable compare convention."""
+        ha = sigs_a.select(
+            F.col(sigs_a.columns[0]).alias("id_a"),
+            *[F.col(f"h{i}").alias(f"a{i}") for i in range(self.n_hashes)],
+        )
+        hb = sigs_b.select(
+            F.col(sigs_b.columns[0]).alias("id_b"),
+            *[F.col(f"h{i}").alias(f"b{i}") for i in range(self.n_hashes)],
+        )
+        eq = sum(
+            (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+            for i in range(self.n_hashes)
+        )
+        return (
+            pairs.join(ha, "id_a")
+            .join(hb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(eq / F.lit(float(self.n_hashes)), 6).alias("est_jaccard"),
+            )
+        )
+
+    def query(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        threshold: float = 0.5,
+        include_batch: bool = True,
+    ) -> DataFrame:
+        """Near-dup matches for a NEW batch: (id_a=new, id_b=match,
+        est_jaccard, source) where source is 'index' (match already
+        indexed) or 'batch' (within the new batch, id_a < id_b).
+        Thresholds on the 6dp-rounded estimate."""
+        new_sigs = self._sig_frame(docs, id_col, text_col).localCheckpoint(
+            eager=True
+        )
+        new_bands = band_rows(new_sigs, id_col, self.n_hashes, self.n_bands)
+        idx_bands = self._read("bands")
+        cand_idx = (
+            new_bands.select(F.col(id_col).alias("id_a"), "band", "bucket")
+            .join(
+                idx_bands.select(F.col(id_col).alias("id_b"), "band", "bucket"),
+                ["band", "bucket"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        idx_sigs = self._read("sigs")
+        out = self.estimated_jaccard(cand_idx, new_sigs, idx_sigs).withColumn(
+            "source", F.lit("index")
+        )
+        if include_batch:
+            cand_new = lsh_candidates(
+                new_sigs, id_col, self.n_hashes, self.n_bands
+            )
+            out = out.unionByName(
+                self.estimated_jaccard(cand_new, new_sigs, new_sigs).withColumn(
+                    "source", F.lit("batch")
+                )
+            )
+        return out.where(F.col("est_jaccard") >= threshold)

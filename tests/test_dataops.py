@@ -201,3 +201,55 @@ def test_pii_scrub(spark):
     assert "alice" not in row.s and "4567" not in row.s and "192.168" not in row.s
     assert "plain text stays" in row.s
     assert (row.c.email, row.c.phone, row.c.ipv4) == (1, 1, 1)
+
+
+class TestMinhashIndex:
+    """Persisted incremental near-dup index (dedup.MinhashIndex):
+    new-batch-vs-indexed-corpus without re-shingling old data."""
+
+    def test_build_query_append(self, spark, docs, tmp_path):
+        ix = dedup.MinhashIndex(spark, str(tmp_path / "mh"))
+        # index snapshot 1 = docs 1..3; new batch = 4 (unique), 5 (dup of 1)
+        ix.build(docs.where("doc_id <= 3"))
+        batch = docs.where("doc_id >= 4")
+        out = ix.query(batch, threshold=0.5).collect()
+        got = {(r.id_a, r.id_b, r.source): r.est_jaccard for r in out}
+        # doc 5 is byte-identical to 1 and 2 → estimator 1.0 vs both
+        assert got[(5, 1, "index")] == 1.0
+        assert got[(5, 2, "index")] == 1.0
+        # near-dup 3 also collides (identical minus one shingle)
+        assert got[(5, 3, "index")] > 0.5
+        # doc 4 shares nothing
+        assert not any(a == 4 for a, _, _ in got)
+        # no within-batch pairs here (4 vs 5 are unrelated)
+        assert not any(s == "batch" for _, _, s in got)
+        # append the batch, then a later snapshot matches against it too
+        ix.append(batch)
+        later = spark.createDataFrame(
+            [(6, "the quick brown fox jumps over the lazy dog")],
+            "doc_id long, text string",
+        )
+        out2 = {
+            (r.id_a, r.id_b) for r in ix.query(later, threshold=0.9).collect()
+        }
+        assert (6, 5) in out2 and (6, 1) in out2
+
+    def test_within_batch_pairs_and_threshold(self, spark, docs, tmp_path):
+        ix = dedup.MinhashIndex(spark, str(tmp_path / "mh2"))
+        ix.build(docs.where("doc_id = 4"))
+        out = ix.query(docs.where("doc_id in (1, 2)"), threshold=0.5).collect()
+        got = {(r.id_a, r.id_b, r.source) for r in out}
+        assert got == {(1, 2, "batch")}
+        # include_batch=False suppresses within-batch pairs
+        assert (
+            ix.query(
+                docs.where("doc_id in (1, 2)"), threshold=0.5,
+                include_batch=False,
+            ).count()
+            == 0
+        )
+
+    def test_param_mismatch_rejected(self, spark, docs, tmp_path):
+        dedup.MinhashIndex(spark, str(tmp_path / "mh3")).build(docs)
+        with pytest.raises(ValueError, match="built with"):
+            dedup.MinhashIndex(spark, str(tmp_path / "mh3"), n_bands=8)
