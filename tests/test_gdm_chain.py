@@ -1639,3 +1639,57 @@ class TestGdmCorpusChain:
             self._norm(out, graph="urn:cur1"),
             self._norm(single, rename=(self.SFX[0], self.SFX[1])),
         )
+
+
+class TestGdmCorpusToStore:
+    """The production composition: curation events → corpus chain →
+    named-graph store MERGE (replaceNamedModel per curation) → a
+    resolver query answered FROM THE STORE. This is the reference's
+    stream.clj consume → transform-gdm → replaceNamedModel loop as one
+    batch job per stage."""
+
+    def test_chain_output_publishes_and_queries(self, spark, names, dictionary, tmp_path):
+        from genegraph_spark.operators import gdm_chain as GC
+        from genegraph_spark.operators.sparql import sparql
+        from genegraph_spark.sinks.named_graph import NamedGraphStore
+
+        sfx = ["-sa", "-sb"]
+        corpus = None
+        for i, x in enumerate(sfx):
+            f = spark.createDataFrame(
+                [(f"urn:cur{i}", *r) for r in gdm_fixture_rows(x)],
+                TRIPLE_SCHEMA,
+            )
+            corpus = f if corpus is None else corpus.unionByName(f)
+        entrez = spark.createDataFrame(
+            [("HGNC:1100" + x, "urn:entrez" + x) for x in sfx],
+            "hgnc string, entrez_gene string",
+        )
+        out = GC.transform_gdm_corpus(
+            corpus, REF_DIR, dictionary, names=names, entrez_map=entrez
+        )
+        store = NamedGraphStore(spark, str(tmp_path / "store"))
+        store.merge(out)
+        assert store.triples().select("graph").distinct().count() == 2
+        # the resolver-side question, answered from the store: every
+        # curation's assertion + its legacy website id
+        got = sparql(
+            store.triples(),
+            """select ?assertion ?legacy where {
+                 ?assertion a :sepio/GeneValidityEvidenceLevelAssertion .
+                 ?assertion :cg/website-legacy-id ?legacy }""",
+            names=names,
+        ).collect()
+        rows = {(r.assertion, r.legacy) for r in got}
+        assert rows == {
+            (
+                GCI + f"cls1{x}",
+                GCI + f"assertion_cls1{x}-2020-05-01T123000",
+            )
+            for x in sfx
+        }
+        # replaceNamedModel semantics: re-merging one curation's model
+        # replaces ONLY that graph (idempotent here)
+        store.merge(out.where(F.col("graph") == "urn:cur0"))
+        assert store.triples().count() == out.count()
+        assert store.triples().select("graph").distinct().count() == 2
