@@ -472,6 +472,7 @@ def transform_gdm_corpus(
     names: dict | None = None,
     entrez_map: DataFrame | None = None,
     affiliations: DataFrame | None = None,
+    constructs: list[str] | None = None,
 ) -> DataFrame:
     """``transform-gdm`` over a CORPUS of curations — each named graph
     of ``events`` is one GDM model, and all of them flow through the 22
@@ -500,6 +501,10 @@ def transform_gdm_corpus(
     aggregation, and the final dedup all partition on it. The per-stage
     ``localCheckpoint`` discipline of the single-curation path carries
     over unchanged (Catalyst plan-size containment, not data movement).
+
+    ``constructs`` narrows the construct pass list to a subset of
+    :data:`CONSTRUCT_ORDER` (wiring diagnostics/tests only — production
+    runs the full chain).
     """
     spark = events.sparkSession
     graphs = events.select("graph").distinct()
@@ -519,13 +524,14 @@ def transform_gdm_corpus(
     spark.conf.set(cp_key, "false")
     try:
         return _transform_gdm_corpus(
-            events, query_dir, dictionary, names, seeds
+            events, query_dir, dictionary, names, seeds,
+            constructs or CONSTRUCT_ORDER,
         )
     finally:
         spark.conf.set(cp_key, cp_prev)
 
 
-def _transform_gdm_corpus(events, query_dir, dictionary, names, seeds):
+def _transform_gdm_corpus(events, query_dir, dictionary, names, seeds, constructs):
     qs = load_query_dir(query_dir, names=names)
     params = {
         "gcibase": GCI_BASE,
@@ -572,7 +578,7 @@ def _transform_gdm_corpus(events, query_dir, dictionary, names, seeds):
                     qs[name]
                     .run(source, per_graph=per_graph, **params)
                     .localCheckpoint(eager=True)
-                    for name in CONSTRUCT_ORDER
+                    for name in constructs
                 ],
             )
             .dropDuplicates()

@@ -411,3 +411,68 @@ def stream_pages_to_store(
     q.awaitTermination()
     store = NamedGraphStore(spark, store_path)
     return {"batches": n_batches["n"], "last_commit": store.last_commit()}
+
+
+TRIPLES_SCHEMA = (
+    "graph string, subject string, predicate string, object string, "
+    "object_is_iri boolean, object_datatype string"
+)
+
+
+def stream_gdm_to_store(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    checkpoint_dir: str,
+    query_dir: str,
+    dictionary: DataFrame,
+    names: dict | None = None,
+    entrez_map: DataFrame | None = None,
+    constructs: list[str] | None = None,
+) -> dict:
+    """The reference's gene-validity PRIMARY loop, streamed: curation
+    event MODELS (triple rows, graph = curation IRI) from a file-stream
+    source → per-micro-batch :func:`~genegraph_spark.operators.gdm_chain.
+    transform_gdm_corpus` (EVERY curation in the batch flows through the
+    22-construct chain in ONE set of graph-scoped jobs — the corpus-mode
+    payoff applied to streaming: the reference transforms one event at a
+    time, stream.clj:150-236 + transform-gdm) → NamedGraphStore MERGE,
+    one commit per micro-batch.
+
+    Same delivery contract as :func:`stream_pages_to_store`: checkpoint
+    advances after the batch function, whole-graph-replace MERGE makes
+    replays content-idempotent.
+
+    ``constructs`` narrows the chain to a subset of CONSTRUCT_ORDER for
+    wiring diagnostics/tests — production callers leave it None (the
+    full chain; its correctness is pinned by the batch-mode tests)."""
+    from ..operators.gdm_chain import transform_gdm_corpus
+    from ..sinks.named_graph import NamedGraphStore
+
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = transform_gdm_corpus(
+            batch_df,
+            query_dir,
+            dictionary,
+            names=names,
+            entrez_map=entrez_map,
+            constructs=constructs,
+        )
+        NamedGraphStore(spark, store_path).merge(out)
+        n_batches["n"] += 1
+
+    q = (
+        spark.readStream.schema(TRIPLES_SCHEMA)
+        .parquet(source_dir)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    q.awaitTermination()
+    store = NamedGraphStore(spark, store_path)
+    return {"batches": n_batches["n"], "last_commit": store.last_commit()}

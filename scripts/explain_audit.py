@@ -30,6 +30,9 @@ DEFAULT = [
     # round 5 session 6
     "kg_event_analysis", "text_lm_filter", "cur_cv_members_timeseries",
     "kg_cv_class_context",
+    # round 6
+    "dedup_incremental", "snap_export", "alg_text_search_bm25",
+    "text_vocabulary",
 ]
 
 MARKERS = [

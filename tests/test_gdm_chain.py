@@ -1693,3 +1693,84 @@ class TestGdmCorpusToStore:
         store.merge(out.where(F.col("graph") == "urn:cur0"))
         assert store.triples().count() == out.count()
         assert store.triples().select("graph").distinct().count() == 2
+
+
+class TestStreamGdmToStore:
+    """stream.clj's gene-validity primary loop, streamed: curation event
+    models → per-micro-batch transform_gdm_corpus → store MERGE. The
+    wiring test runs a 3-construct subset (full-chain correctness is
+    pinned by the batch-mode tests above); catch-up and idempotence
+    follow the stream_pages_to_store contract."""
+
+    SUBSET = [
+        "construct-proposition",
+        "construct-evidence-level-assertion",
+        "construct-alleles",
+    ]
+
+    def test_streamed_loop_matches_batch(self, spark, names, dictionary, tmp_path):
+        import os
+
+        from genegraph_spark.operators.gdm_chain import transform_gdm_corpus
+        from genegraph_spark.sinks.named_graph import NamedGraphStore
+        from genegraph_spark.streaming.stream import (
+            TRIPLES_SCHEMA,
+            stream_gdm_to_store,
+        )
+
+        src = str(tmp_path / "events")
+        os.makedirs(src, exist_ok=True)
+
+        def frame(i, x):
+            return spark.createDataFrame(
+                [(f"urn:cur{i}", *r) for r in gdm_fixture_rows(x)],
+                TRIPLES_SCHEMA,
+            )
+
+        entrez = spark.createDataFrame(
+            [("HGNC:1100" + x, "urn:e" + x) for x in ("-qa", "-qb", "-qc")],
+            "hgnc string, entrez_gene string",
+        )
+        kw = dict(
+            query_dir=REF_DIR, dictionary=dictionary, names=names,
+            entrez_map=entrez, constructs=self.SUBSET,
+        )
+        # delivery 1: two curations in one file → one micro-batch
+        frame(0, "-qa").unionByName(frame(1, "-qb")).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(src, "d1"))
+        rep = stream_gdm_to_store(
+            spark, os.path.join(src, "*"), str(tmp_path / "store"),
+            str(tmp_path / "ckpt"), **kw,
+        )
+        assert rep["batches"] == 1
+        store = NamedGraphStore(spark, str(tmp_path / "store"))
+        assert {
+            r.graph for r in store.triples().select("graph").distinct().collect()
+        } == {"urn:cur0", "urn:cur1"}
+        # streamed content ≡ direct corpus run over the same subset
+        direct = transform_gdm_corpus(
+            frame(0, "-qa").unionByName(frame(1, "-qb")),
+            REF_DIR, dictionary, names=names, entrez_map=entrez,
+            constructs=self.SUBSET,
+        )
+        got = {tuple(r) for r in store.triples().collect()}
+        want = {tuple(r) for r in direct.collect()}
+        assert got == want
+        # delivery 2: only the NEW file processes (checkpoint catch-up)
+        frame(2, "-qc").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, "d2")
+        )
+        rep2 = stream_gdm_to_store(
+            spark, os.path.join(src, "*"), str(tmp_path / "store"),
+            str(tmp_path / "ckpt"), **kw,
+        )
+        assert rep2["batches"] == 1
+        assert store.triples().select("graph").distinct().count() == 3
+        # idle rerun commits nothing
+        rep3 = stream_gdm_to_store(
+            spark, os.path.join(src, "*"), str(tmp_path / "store"),
+            str(tmp_path / "ckpt"), **kw,
+        )
+        assert rep3["batches"] == 0
+        assert rep3["last_commit"] == rep2["last_commit"]
