@@ -1774,3 +1774,32 @@ class TestStreamGdmToStore:
         )
         assert rep3["batches"] == 0
         assert rep3["last_commit"] == rep2["last_commit"]
+
+
+class TestCorpusChainPlanShape:
+    """The corpus-mode scale claim, plan-asserted: a construct whose
+    WHERE has DISCONNECTED pattern blocks (construct_evidence_level_
+    assertion's ?proposition block ∥ ?classification block — joined only
+    through the per-event model in the reference) must join them on the
+    graph key under per_graph — hash joins, never a cartesian product
+    that would cross N curations × N curations."""
+
+    def test_disconnected_blocks_join_on_graph(self, spark, names):
+        import os
+
+        from genegraph_spark.operators.sparql import PreparedQuery
+
+        q = PreparedQuery(
+            open(
+                os.path.join(REF_DIR, "construct_evidence_level_assertion.sparql")
+            ).read(),
+            names=names,
+        )
+        t = spark.createDataFrame([], TRIPLE_SCHEMA)
+        seed = spark.createDataFrame(
+            [("urn:cur0", "I|urn:aff")], "graph string, affiliation string"
+        )
+        out = q.run(t, per_graph=seed)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
