@@ -2134,6 +2134,34 @@ def q_alg_sparql_agg(spark, sf_dir):
     )
 
 
+def q_alg_sparql_pergraph(spark, sf_dir):
+    # per-graph SELECT (r6 corpus mode): one query over N named graphs
+    # where ORDER BY/LIMIT resolve PER GRAPH — the reference's
+    # per-event-model query loop collapsed into one job (a window
+    # partitioned by the graph key, never a global sort). Graphs =
+    # part brands; top-2 parts by integer-cents price per brand,
+    # (price DESC, part ASC) deterministic
+    from genegraph_spark.operators.sparql import PreparedQuery
+
+    part = _read(spark, sf_dir, "part")
+    t = part.select(
+        F.col("p_brand").alias("graph"),
+        F.concat(F.lit("urn:part:"), F.col("p_partkey").cast("string")).alias(
+            "subject"
+        ),
+        F.lit(":cents").alias("predicate"),
+        (F.col("p_retailprice") * 100).cast("bigint").cast("string").alias(
+            "object"
+        ),
+        F.lit(False).alias("object_is_iri"),
+        F.lit("xsd:integer").alias("object_datatype"),
+    )
+    q = PreparedQuery(
+        "SELECT ?s ?v WHERE { ?s :cents ?v } ORDER BY DESC(?v) ?s LIMIT 2"
+    )
+    return q.run(t, per_graph=t.select("graph").distinct())
+
+
 def q_alg_sparql_subselect(spark, sf_dir):
     # Sub-SELECT (SPARQL 1.1 §12) from query text: the clinvar
     # aggregate-assertion latest-as-of idiom (source/graphql/clinvar/
@@ -2942,6 +2970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocabulary": q_text_vocabulary,
         "alg_sparql_agg": q_alg_sparql_agg,
         "alg_sparql_subselect": q_alg_sparql_subselect,
+        "alg_sparql_pergraph": q_alg_sparql_pergraph,
         "alg_sparql_graph": q_alg_sparql_graph,
         "join_salted_topk": q_join_salted_topk,
         "graph_pagerank": q_graph_pagerank,
@@ -5054,6 +5083,16 @@ scored AS (
 SELECT node, n_matched, score,
        CAST(row_number() OVER (ORDER BY score DESC, node ASC) AS INT) AS rank
 FROM scored ORDER BY score DESC, node ASC LIMIT 12""",
+        "alg_sparql_pergraph": """
+SELECT graph, s, v FROM (
+  SELECT p_brand AS graph,
+         'urn:part:' || CAST(p_partkey AS VARCHAR) AS s,
+         CAST(CAST(p_retailprice * 100 AS BIGINT) AS VARCHAR) AS v,
+         row_number() OVER (
+           PARTITION BY p_brand
+           ORDER BY CAST(p_retailprice * 100 AS BIGINT) DESC,
+                    'urn:part:' || CAST(p_partkey AS VARCHAR) ASC) AS _rn
+  FROM part) WHERE _rn <= 2""",
         "alg_text_search_bm25": """
 WITH docs AS (
   SELECT 'urn:part:' || CAST(p_partkey AS VARCHAR) AS node, p_name FROM part),
