@@ -373,7 +373,18 @@ def _diff_vs_prev(per_query: dict) -> dict:
             rounds.append((int(m.group(1)), p))
     if not rounds:
         return {}
-    n, path = max(rounds)
+    # Baseline = the newest recorded round — correct when the driver
+    # runs bench (its own artifact lands AFTER). A manual re-run in the
+    # SAME round would self-compare (ratios ≈ 1.0, review-caught);
+    # SPARK_GRAFT_DIFF_BASE=N pins the baseline round for those.
+    base_env = os.environ.get("SPARK_GRAFT_DIFF_BASE")
+    if base_env is not None:
+        pick = [r for r in rounds if r[0] == int(base_env)]
+        if not pick:
+            return {"error": f"no BENCH_r{int(base_env):02d}.json on disk"}
+        n, path = pick[0]
+    else:
+        n, path = max(rounds)
     try:
         with open(path) as f:
             prev = json.load(f)

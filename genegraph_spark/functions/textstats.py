@@ -630,10 +630,13 @@ def vocabulary(
     )
     # Stage 1: range-partition by the TOTAL sort order, pin partition
     # ids + contents (the sizes pass and the rank pass must see the
-    # same layout), rank locally within each range partition.
+    # same layout), rank locally within each range partition. Eager
+    # localCheckpoint (the house convention) pins the layout WITHOUT
+    # leaving a session-lifetime cache entry behind (review-caught:
+    # persist() here had no unpersist path).
     parts = counts.repartitionByRange(
         F.desc("count"), F.asc("token")
-    ).withColumn("_pid", F.spark_partition_id()).persist()
+    ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
     # Stage 2: one row per partition → cumulative offsets on the driver
     # (bounded by spark.sql.shuffle.partitions, NOT by vocabulary size).
     sizes = sorted(

@@ -506,9 +506,17 @@ class MinhashIndex:
 
     Layout under ``path``:
 
-    - ``bands/`` parquet partitioned by ``band``: (doc_id, band, bucket)
-    - ``sigs/``  parquet: (doc_id, h0..h{n-1})
-    - ``meta.json``: shingle k, n_hashes, n_bands, doc count
+    - ``bands/batch=N/`` parquet partitioned by ``band``: (id, band, bucket)
+    - ``sigs/batch=N/``  parquet: (id, h0..h{n-1})
+    - ``meta.json``: shingle k, n_hashes, n_bands, id column, doc count,
+      and ``n_batches`` — the COMMIT POINT
+
+    Commit protocol (the store/snapshot convention): each build/append
+    writes its batch dirs first and rewrites ``meta.json`` LAST; readers
+    only read batches ``< n_batches``, so a run killed between the two
+    parquet writes leaves an invisible orphan batch, and the replayed
+    append (same batch number, mode=overwrite) clobbers it — no
+    half-indexed batch can silently eat candidates.
 
     Candidates verify with the MinHash ESTIMATOR (fraction of equal
     signature components — the standard unbiased Jaccard estimate), so
@@ -519,9 +527,8 @@ class MinhashIndex:
     Scale shape: ``query`` is ONE co-keyed join of the new batch's band
     rows against the indexed band rows on (band, bucket) — the indexed
     side streams from parquet, nothing broadcasts — plus one signature
-    join per candidate side. ``append`` is a blind parquet append (the
-    band layout is append-friendly); no rebuild, no compaction needed
-    until bucket skew says otherwise.
+    join per candidate side. ``append`` writes one new batch dir; no
+    rebuild, no compaction needed until bucket skew says otherwise.
     """
 
     def __init__(
@@ -532,31 +539,57 @@ class MinhashIndex:
         n_hashes: int = 16,
         n_bands: int = 4,
     ):
-        import json
-        import os
-
         self.spark = spark
         self.path = path
-        meta_path = os.path.join(path, "meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as fh:
-                meta = json.load(fh)
-            if (meta["k"], meta["n_hashes"], meta["n_bands"]) != (
-                k, n_hashes, n_bands,
-            ):
-                raise ValueError(
-                    f"index at {path} was built with "
-                    f"k={meta['k']}/n_hashes={meta['n_hashes']}/"
-                    f"n_bands={meta['n_bands']}; got {k}/{n_hashes}/{n_bands}"
-                )
+        meta = self._meta()
+        if meta is not None and (
+            meta["k"], meta["n_hashes"], meta["n_bands"]
+        ) != (k, n_hashes, n_bands):
+            raise ValueError(
+                f"index at {path} was built with "
+                f"k={meta['k']}/n_hashes={meta['n_hashes']}/"
+                f"n_bands={meta['n_bands']}; got {k}/{n_hashes}/{n_bands}"
+            )
         self.k, self.n_hashes, self.n_bands = k, n_hashes, n_bands
 
     # -- internals -----------------------------------------------------------
+    def _meta(self) -> dict | None:
+        import json
+        import os
+
+        meta_path = os.path.join(self.path, "meta.json")
+        if not os.path.exists(meta_path):
+            return None
+        with open(meta_path) as fh:
+            return json.load(fh)
+
     def _sig_frame(self, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         sh = shingles(docs, id_col, text_col, self.k)
         return minhash_signatures(sh, id_col, self.n_hashes)
 
-    def _write_meta(self, n_docs: int) -> None:
+    def _check_id_col(self, id_col: str) -> None:
+        meta = self._meta()
+        if meta is not None and meta["id_col"] != id_col:
+            raise ValueError(
+                f"index at {self.path} keys on {meta['id_col']!r}; "
+                f"got id_col={id_col!r}"
+            )
+
+    def _store_batch(self, sigs: DataFrame, id_col: str, batch: int) -> int:
+        import os
+
+        sigs = sigs.localCheckpoint(eager=True)  # one shingle pass, two writes
+        bands = band_rows(sigs, id_col, self.n_hashes, self.n_bands)
+        # mode=overwrite: a replayed batch number clobbers an orphan
+        bands.write.mode("overwrite").partitionBy("band").parquet(
+            os.path.join(self.path, "bands", f"batch={batch}")
+        )
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(self.path, "sigs", f"batch={batch}")
+        )
+        return sigs.count()
+
+    def _commit(self, id_col: str, n_docs: int, n_batches: int) -> None:
         import json
         import os
 
@@ -566,47 +599,53 @@ class MinhashIndex:
                     "k": self.k,
                     "n_hashes": self.n_hashes,
                     "n_bands": self.n_bands,
+                    "id_col": id_col,
                     "n_docs": n_docs,
+                    "n_batches": n_batches,
                 },
                 fh,
             )
 
-    def _store(self, sigs: DataFrame, id_col: str, mode: str) -> int:
-        import os
-
-        sigs = sigs.localCheckpoint(eager=True)  # one shingle pass, two writes
-        bands = band_rows(sigs, id_col, self.n_hashes, self.n_bands)
-        bands.write.mode(mode).partitionBy("band").parquet(
-            os.path.join(self.path, "bands")
-        )
-        sigs.write.mode(mode).parquet(os.path.join(self.path, "sigs"))
-        return sigs.count()
-
     def _read(self, name: str) -> DataFrame:
         import os
 
-        return self.spark.read.parquet(os.path.join(self.path, name))
+        meta = self._meta()
+        if meta is None or meta["n_batches"] == 0:
+            raise ValueError(f"no committed index at {self.path}")
+        paths = [
+            os.path.join(self.path, name, f"batch={b}")
+            for b in range(meta["n_batches"])
+        ]
+        return (
+            self.spark.read.option(
+                "basePath", os.path.join(self.path, name)
+            )
+            .parquet(*paths)
+            .drop("batch")
+        )
 
     # -- public ---------------------------------------------------------------
     def build(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
-        """(Re)build the index from scratch."""
+        """(Re)build the index from scratch (batch 0 + fresh commit)."""
         import os
 
         os.makedirs(self.path, exist_ok=True)
-        n = self._store(self._sig_frame(docs, id_col, text_col), id_col, "overwrite")
-        self._write_meta(n)
+        n = self._store_batch(self._sig_frame(docs, id_col, text_col), id_col, 0)
+        self._commit(id_col, n, 1)
         return self
 
     def append(self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
-        """Add a batch to the index (after the caller has dealt with its
-        query() matches). Blind parquet append — ids must be new."""
-        import json
-        import os
-
-        n = self._store(self._sig_frame(docs, id_col, text_col), id_col, "append")
-        with open(os.path.join(self.path, "meta.json")) as fh:
-            meta = json.load(fh)
-        self._write_meta(meta["n_docs"] + n)
+        """Add a batch (after the caller has dealt with its query()
+        matches). Ids must be new; the batch becomes visible only at the
+        meta.json commit."""
+        self._check_id_col(id_col)
+        meta = self._meta()
+        if meta is None:
+            raise ValueError(f"no committed index at {self.path}; build() first")
+        n = self._store_batch(
+            self._sig_frame(docs, id_col, text_col), id_col, meta["n_batches"]
+        )
+        self._commit(id_col, meta["n_docs"] + n, meta["n_batches"] + 1)
         return self
 
     def estimated_jaccard(
@@ -649,6 +688,7 @@ class MinhashIndex:
         est_jaccard, source) where source is 'index' (match already
         indexed) or 'batch' (within the new batch, id_a < id_b).
         Thresholds on the 6dp-rounded estimate."""
+        self._check_id_col(id_col)
         new_sigs = self._sig_frame(docs, id_col, text_col).localCheckpoint(
             eager=True
         )

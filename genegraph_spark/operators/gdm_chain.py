@@ -551,6 +551,8 @@ def _transform_gdm_corpus(events, query_dir, dictionary, names, seeds, construct
             *[F.col(v).isNull().alias(v) for v in seed_vars]
         ).distinct().collect()
     ]
+    if not sigs:  # empty corpus → empty model, not a reduce() crash
+        return events.limit(0)
     slices = []
     for sig in sorted(sigs):
         cond = reduce(

@@ -1407,26 +1407,38 @@ class _Compiler:
                 ))
                 & set(cur.columns) - set(sub.columns)
             )
-            seed = cur.select(*corr).where(
-                reduce(
-                    lambda a, b: a & b,
-                    [F.col(c).isNotNull() for c in corr],
-                )
-            ).distinct()
+            nn = reduce(
+                lambda a, b: a & b, [F.col(c).isNotNull() for c in corr]
+            )
+            seed = cur.select(*corr).where(nn).distinct()
             sub_c = _Compiler(
                 self.triples, graph_var=self.graph_var, graph_seed=seed
             )
-            sub = sub_c.group(inner)
+            sub_seeded = sub_c.group(inner)
             for e in fs:
                 # with the correlated values in scope, every top-level
                 # filter is an ordinary inner filter
-                sub = sub.where(sub_c.bool_expr(e, sub))
-            fs = []
-            # NOTE on unbound outer values: a row whose correlated var
-            # is NULL joins nothing → EXISTS false / NOT EXISTS true,
-            # matching the error-→-false reading of a filter over an
-            # unbound variable (§17.2) — same convention as the hoisted
-            # top-level path below.
+                sub_seeded = sub_seeded.where(sub_c.bool_expr(e, sub_seeded))
+            bound_part = self._exists_std(
+                cur.where(nn), sub_seeded, [], positive
+            )
+            # Rows whose correlated var is UNBOUND (NULL): §8.1.1 leaves
+            # the variable free, so only the branch whose filter touches
+            # it dies (error → false, §17.2) while sibling UNION/OPTIONAL
+            # branches still match — exactly what the PLAIN compile gives
+            # (the nested reference reads NULL inside its own branch).
+            # Seeding would instead falsify the WHOLE pattern for those
+            # rows (NULL joins nothing) — a review-caught regression.
+            unbound_part = self._exists_std(cur.where(~nn), sub, fs, positive)
+            return bound_part.unionByName(unbound_part)
+        return self._exists_std(cur, sub, fs, positive)
+
+    def _exists_std(
+        self, cur: DataFrame, sub: DataFrame, fs: list, positive: bool
+    ) -> DataFrame:
+        """The (NOT) EXISTS join for one outer slice: self-contained
+        top-level filters apply inside ``sub``; outer-correlated ones
+        hoist into the semi/anti-join condition."""
         hoisted = []
         for e in fs:
             vs = self._expr_vars(e)

@@ -164,24 +164,39 @@ def _write_sorted_ndjson(
             .select("line")
         )
         arranged.write.mode("overwrite").text(tmp)
-        parts = sorted(
-            f for f in os.listdir(tmp) if f.startswith("part-")
-        )
+        parts = [
+            p
+            for p in sorted(
+                f for f in os.listdir(tmp) if f.startswith("part-")
+            )
+            if os.path.getsize(os.path.join(tmp, p)) > 0
+        ]
         n = 0
         with open(path, "wb") as out:
+            if gzip_output and not parts:
+                # a zero-row export must still be a VALID gzip stream
+                # (one empty member), not a 0-byte file downstream
+                # readers reject (review-caught)
+                with gzip.GzipFile(
+                    fileobj=out, mode="wb", mtime=0, compresslevel=6
+                ):
+                    pass
             for p in parts:
+                # stream in bounded chunks — the docstring's "bounded
+                # driver work" means O(chunk) memory, not a whole-shard
+                # bytes object (review-caught)
                 with open(os.path.join(tmp, p), "rb") as fh:
-                    data = fh.read()
-                if not data:
-                    continue
-                n += data.count(b"\n")
-                if gzip_output:
-                    with gzip.GzipFile(
-                        fileobj=out, mode="wb", mtime=0, compresslevel=6
-                    ) as gz:
-                        gz.write(data)
-                else:
-                    out.write(data)
+                    if gzip_output:
+                        with gzip.GzipFile(
+                            fileobj=out, mode="wb", mtime=0, compresslevel=6
+                        ) as gz:
+                            while chunk := fh.read(1 << 20):
+                                n += chunk.count(b"\n")
+                                gz.write(chunk)
+                    else:
+                        while chunk := fh.read(1 << 20):
+                            n += chunk.count(b"\n")
+                            out.write(chunk)
         return n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -413,10 +413,9 @@ def stream_pages_to_store(
     return {"batches": n_batches["n"], "last_commit": store.last_commit()}
 
 
-TRIPLES_SCHEMA = (
-    "graph string, subject string, predicate string, object string, "
-    "object_is_iri boolean, object_datatype string"
-)
+# single-sourced with the store sink (review-caught: a third copy of
+# the 6-column schema string risks silent divergence)
+from ..sinks.named_graph import TRIPLE_SCHEMA as TRIPLES_SCHEMA  # noqa: E402
 
 
 def stream_gdm_to_store(

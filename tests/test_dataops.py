@@ -253,3 +253,27 @@ class TestMinhashIndex:
         dedup.MinhashIndex(spark, str(tmp_path / "mh3")).build(docs)
         with pytest.raises(ValueError, match="built with"):
             dedup.MinhashIndex(spark, str(tmp_path / "mh3"), n_bands=8)
+
+    def test_id_col_mismatch_rejected(self, spark, docs, tmp_path):
+        ix = dedup.MinhashIndex(spark, str(tmp_path / "mh4")).build(docs)
+        with pytest.raises(ValueError, match="keys on"):
+            ix.query(docs.withColumnRenamed("doc_id", "url"), id_col="url")
+
+    def test_uncommitted_batch_is_invisible(self, spark, docs, tmp_path):
+        """Commit protocol: a batch whose parquet landed but whose
+        meta.json commit never happened (kill between the writes) must
+        not eat candidates — readers only see committed batches, and the
+        replayed append clobbers the orphan."""
+        ix = dedup.MinhashIndex(spark, str(tmp_path / "mh5"))
+        ix.build(docs.where("doc_id = 4"))
+        batch = docs.where("doc_id = 1")
+        # simulate the kill: batch dirs written, commit skipped
+        ix._store_batch(ix._sig_frame(batch, "doc_id", "text"), "doc_id", 1)
+        assert ix.query(docs.where("doc_id = 2")).count() == 0  # invisible
+        # replayed append commits and clobbers the orphan
+        ix.append(batch)
+        got = {
+            (r.id_a, r.id_b)
+            for r in ix.query(docs.where("doc_id = 2"), threshold=0.9).collect()
+        }
+        assert got == {(2, 1)}

@@ -172,6 +172,27 @@ class TestSnapshotExport:
         b3 = (tmp_path / "o3" / "snapshots/v7" / "variation-descriptors.ndjson.gz").read_bytes()
         assert _gz.decompress(b3) == _gz.decompress(b1)
 
+    def test_zero_row_export_is_valid_gzip(self, spark, tmp_path):
+        import gzip as _gz
+
+        from genegraph_spark.plans import snapshot_export as SE
+
+        store = self._store(spark, tmp_path)
+        m = SE.write_snapshots(
+            store,
+            [{"output_basename": "variation-descriptors.ndjson",
+              "entity_type": "variation"}],
+            str(tmp_path / "empty"),
+            "snapshots/v9",
+            until="1900-01-01",  # predates every version → zero rows
+        )
+        assert m["counts"]["variation-descriptors.ndjson.gz"] == 0
+        b = (
+            tmp_path / "empty" / "snapshots/v9" /
+            "variation-descriptors.ndjson.gz"
+        ).read_bytes()
+        assert len(b) > 0 and _gz.decompress(b) == b""  # valid empty gzip
+
     def test_publish_and_delimiter_join(self, spark, tmp_path):
         from genegraph_spark.plans import snapshot_export as SE
 

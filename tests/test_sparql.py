@@ -1763,6 +1763,44 @@ class TestCorrelatedExists:
         )
         assert sorted(r.s for r in out.collect()) == ["a", "b", "c"]
 
+    def test_null_correlated_rows_keep_sibling_branches(self, spark):
+        """Review-caught regression guard: an outer row whose correlated
+        var is UNBOUND must still see EXISTS=true through a sibling
+        branch that doesn't touch the var — §8.1.1 leaves the var free,
+        so only the filtered branch dies (error→false), not the whole
+        pattern. A seed that drops NULL rows would falsify EXISTS for
+        them entirely."""
+        XI = "http://www.w3.org/2001/XMLSchema#integer"
+        t = T(
+            spark,
+            [lit(s, ":val", v, XI) for s, v in
+             [("a", "1"), ("b", "5"), ("c", "9")]]
+            + [lit("b", ":opt", "5", XI), lit("urn:x", ":mark", "1")],
+        )
+        out = S.sparql(
+            t,
+            """SELECT ?s WHERE {
+                 ?s :val ?v .
+                 OPTIONAL { ?s :opt ?d }
+                 FILTER EXISTS {
+                   { ?s2 :mark ?m }
+                   UNION
+                   { ?o :val ?w . FILTER(?w > ?d) } }
+               }""",
+        )
+        # ?d unbound for a and c: the :mark branch still satisfies EXISTS
+        assert sorted(r.s for r in out.collect()) == ["a", "b", "c"]
+        # without the sibling branch, unbound-?d rows see error→false
+        out = S.sparql(
+            t,
+            """SELECT ?s WHERE {
+                 ?s :val ?v .
+                 OPTIONAL { ?s :opt ?d }
+                 FILTER EXISTS { { ?o :val ?w . FILTER(?w > ?d) } }
+               }""",
+        )
+        assert sorted(r.s for r in out.collect()) == ["b"]
+
     def test_deep_filter_on_inner_vars_still_fine(self, spark):
         """Nested filters that reference only pattern-bound vars keep
         working — the raise is scoped to OUTER-correlated ones."""
