@@ -82,6 +82,56 @@ def shard_files(n: int) -> list[list[tuple[str, list[str]]]]:
     return [us for _, us in shards if us]
 
 
+def run_shard(i: int, units, per: int, rest: list[str], log: str, out: dict):
+    """Run one shard: its units execute as SEPARATE sequential pytest
+    processes. Combining units into one invocation is unsound — pytest
+    narrows collection when a whole-file arg and a class-path arg name
+    the same module, and one unit's ``--deselect`` flags apply to every
+    other unit's selection (observed: a shard holding both
+    ``test_gdm_chain.py::rest`` and ``::corpus`` silently collected 7 of
+    its ~40 tests and still exited 0). One process per unit also makes
+    the recorded per-unit times real instead of size-apportioned."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(per))
+    passed = failed_n = rc_bad = 0
+    lines = []
+    with open(log, "w") as fh:
+        for name, ua in units:
+            cmd = [
+                sys.executable, "-m", "pytest", "-q",
+                "-p", "no:cacheprovider", *ua, *rest,
+            ]
+            fh.write(f"===== unit {name}: {' '.join(cmd)}\n")
+            fh.flush()
+            t0 = time.time()
+            p = subprocess.run(
+                cmd, cwd=REPO, env=env, stdout=fh, stderr=subprocess.STDOUT,
+            )
+            dt = time.time() - t0
+            tail = [
+                ln for ln in open(log).read().strip().splitlines() if ln
+            ]
+            last = tail[-1] if tail else ""
+            mp = re.search(r"(\d+) passed", last)
+            mf = re.search(r"(\d+) failed", last)
+            ms = re.search(r"(\d+) skipped", last)
+            # rc 5 = nothing collected for this unit — legitimate under
+            # -m/-k filters; the TOTAL completeness check (ran vs
+            # collect-only count) catches silent undercollection.
+            unit_passed = int(mp.group(1)) if mp else 0
+            unit_failed = int(mf.group(1)) if mf else 0
+            if p.returncode not in (0, 5):
+                rc_bad += 1
+                lines.extend(tail[-15:])
+            passed += unit_passed
+            failed_n += unit_failed
+            out["skipped"] = out.get("skipped", 0) + (
+                int(ms.group(1)) if ms else 0
+            )
+            out.setdefault("times", {})[name] = dt
+            lines.append(f"  {name}: rc={p.returncode} {last} ({dt:.1f}s)")
+    out.update(passed=passed, failed=failed_n, bad=rc_bad, lines=lines)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("-n", type=int, default=4, help="shard count")
@@ -90,64 +140,63 @@ def main() -> int:
     shards = shard_files(args.n)
     total_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     per = max(2, total_cpus // max(len(shards), 1))
-    procs = []
     t0 = time.time()
-    for i, units in enumerate(shards):
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(per))
-        log = os.path.join(REPO, f".shard_{i}.log")
-        cmd = [
-            sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
-            *[a for _, ua in units for a in ua], *args.rest,
-        ]
-        fh = open(log, "w")
-        procs.append(
-            (i, units, fh, subprocess.Popen(
-                cmd, cwd=REPO, env=env, stdout=fh, stderr=subprocess.STDOUT,
-            ), log)
-        )
-    failed = 0
-    passed = failed_n = 0
-    for i, units, fh, p, log in procs:
-        rc = p.wait()
-        fh.close()
-        tail = open(log).read().strip().splitlines()
-        last = tail[-1] if tail else ""
-        names = [u[0] for u in units]
-        print(f"shard {i} rc={rc}: {last}   [{', '.join(names)}]")
-        mp = re.search(r"(\d+) passed", last)
-        mf = re.search(r"(\d+) failed", last)
-        passed += int(mp.group(1)) if mp else 0
-        failed_n += int(mf.group(1)) if mf else 0
-        if rc != 0:
-            failed += 1
-            print("\n".join(tail[-15:]))
-        # record per-unit times when pytest printed a duration; else
-        # apportion the shard wall time by file size
-        msec = re.search(r"in (\d+(?:\.\d+)?)s", last)
-        if msec:
-            total = float(msec.group(1))
-            sizes = {
-                name: os.path.getsize(
-                    os.path.join(TESTS, name.split("::")[0])
-                ) / (len(SPLITS.get(name.split("::")[0], [])) or 1)
-                for name, _ in units
-            }
-            z = sum(sizes.values()) or 1
-            try:
-                with open(TIMES_PATH) as fh2:
-                    times = json.load(fh2)
-            except (OSError, ValueError):
-                times = {}
-            for name, s in sizes.items():
-                times[name] = total * s / z
-            with open(TIMES_PATH, "w") as fh2:
-                json.dump(times, fh2, indent=1)
-    wall = time.time() - t0
-    print(
-        f"TOTAL: {passed} passed, {failed_n} failed across "
-        f"{len(procs)} shards in {wall/60:.1f} min (cpus/shard={per})"
+    # Ground truth for the completeness check below: what a serial run
+    # would collect with the same extra args (e.g. -m "not slow").
+    collect = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
+         "--collect-only", "tests", *args.rest],
+        cwd=REPO, capture_output=True, text=True,
     )
-    return 1 if failed else 0
+    m = re.search(
+        r"(\d+)(?:/\d+)? tests? collected", collect.stdout.strip()
+    ) or re.search(r"(\d+) (?:selected|deselected)", collect.stdout)
+    expected = int(m.group(1)) if m else None
+    import threading
+
+    results: list[dict] = [{} for _ in shards]
+    threads = []
+    for i, units in enumerate(shards):
+        log = os.path.join(REPO, f".shard_{i}.log")
+        th = threading.Thread(
+            target=run_shard, args=(i, units, per, args.rest, log, results[i])
+        )
+        th.start()
+        threads.append(th)
+    for th in threads:
+        th.join()
+    passed = failed_n = bad = skipped = 0
+    times = {}
+    for i, (units, out) in enumerate(zip(shards, results)):
+        print(f"shard {i}:")
+        for ln in out.get("lines", []):
+            print(ln)
+        passed += out.get("passed", 0)
+        failed_n += out.get("failed", 0)
+        bad += out.get("bad", 0)
+        skipped += out.get("skipped", 0)
+        times.update(out.get("times", {}))
+    try:
+        with open(TIMES_PATH) as fh:
+            prev = json.load(fh)
+    except (OSError, ValueError):
+        prev = {}
+    prev.update(times)
+    with open(TIMES_PATH, "w") as fh:
+        json.dump(prev, fh, indent=1)
+    wall = time.time() - t0
+    short = ""
+    ran = passed + failed_n + skipped
+    if expected is not None and ran != expected:
+        short = (
+            f"  ** INCOMPLETE: ran {ran} of {expected} collected tests **"
+        )
+    print(
+        f"TOTAL: {passed} passed, {failed_n} failed, {bad} bad-units across "
+        f"{len(shards)} shards in {wall/60:.1f} min (cpus/shard={per})"
+        + short
+    )
+    return 1 if (failed_n or bad or short) else 0
 
 
 if __name__ == "__main__":
