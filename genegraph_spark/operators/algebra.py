@@ -470,7 +470,11 @@ def text_search_ranked(
     per-node length table (one more grouped pass over the index, joined
     co-keyed on node) — at store scale that table is materialized WITH
     the index, exactly like Lucene's norms file. No corpus-wide join,
-    no driver-side collection.
+    no driver-side collection. The final rank window is unpartitioned
+    but runs over the ≤ ``limit`` survivors of the
+    ``TakeOrderedAndProject`` (the :func:`slice` offset pattern) — the
+    WindowExec single-partition warning it logs refers to a
+    ``limit``-row frame, not the corpus.
     """
     import re as _re
 

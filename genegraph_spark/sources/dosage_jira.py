@@ -186,25 +186,14 @@ def _arr(cond: Column, *structs: Column) -> Column:
     return F.when(cond, F.array(*structs)).otherwise(empty)
 
 
-def dosage_jira_triples(
+def dosage_scalars(
     parsed: DataFrame, omim_mondo: dict[str, str] | None = None
 ) -> DataFrame:
-    """Valid parsed issues → the gene-dosage report model as triples
-    (house schema; graph = the curation's base IRI, mirroring the
-    reference's one-named-graph-per-curation storage).
-
-    ``omim_mondo`` is the OMIM-CURIE → MONDO equivalence the reference
-    resolves with a per-row ``skos:has-exact-match`` inverse graph
-    lookup (dosage_jira.clj:205-211); here it is a literal map —
-    dimension-scale by nature (one entry per curated OMIM phenotype).
-
-    Two-stage plan on purpose: every scalar derivation (instants, IRIs,
-    bnodes, regex parses, map lookups) lands in ONE narrow projection
-    first, and the triple array is then packed from plain column
-    references. Packing ~35 triple structs from full expression trees
-    in a single Generate node blows the JVM's 64 KB method limit and
-    drops the whole stage to interpreted mode (measured); the split
-    keeps both stages inside whole-stage codegen."""
+    """Stage 1 of the transform: valid parsed issues → ONE narrow
+    projection holding every scalar derivation (instants, IRIs, bnodes,
+    regex parses, map lookups) the packing stage references. Split out
+    as its own function so each stage can be profiled and plan-audited
+    independently (see :func:`dosage_jira_triples`)."""
     f = F.col("issue.fields")
     key = F.col("issue.key")
 
@@ -296,9 +285,31 @@ def dosage_jira_triples(
             )
             cols[f"fdesc_{dosage}_{i}"] = F.coalesce(f[fdesc_f], F.lit(""))
 
-    core = parsed.where(F.col("jira_valid")).select(
+    return parsed.where(F.col("jira_valid")).select(
         *[c.alias(n) for n, c in cols.items()]
     )
+
+
+def dosage_jira_triples(
+    parsed: DataFrame, omim_mondo: dict[str, str] | None = None
+) -> DataFrame:
+    """Valid parsed issues → the gene-dosage report model as triples
+    (house schema; graph = the curation's base IRI, mirroring the
+    reference's one-named-graph-per-curation storage).
+
+    ``omim_mondo`` is the OMIM-CURIE → MONDO equivalence the reference
+    resolves with a per-row ``skos:has-exact-match`` inverse graph
+    lookup (dosage_jira.clj:205-211); here it is a literal map —
+    dimension-scale by nature (one entry per curated OMIM phenotype).
+
+    Two-stage plan on purpose: every scalar derivation lands in ONE
+    narrow projection first (:func:`dosage_scalars`), and the triple
+    array is then packed from plain column references. Packing ~35
+    triple structs from full expression trees in a single Generate node
+    blows the JVM's 64 KB method limit and drops the whole stage to
+    interpreted mode (measured); the split keeps both stages inside
+    whole-stage codegen."""
+    core = dosage_scalars(parsed, omim_mondo)
 
     C = F.col
     # report + contribution skeleton (dosage_jira.clj:294-315, :166-171)
