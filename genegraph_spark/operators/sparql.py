@@ -116,7 +116,11 @@ _TOKEN_RE = re.compile(
     # always a path separator) and the reference's Jena-keyword CURIEs
     # `:ns/local-name` (empty prefix; '/'-joined segments, where a segment
     # never starts with ':' — so `:a/:b` tokenizes as path `:a / :b`).
-    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*|:[A-Za-z0-9_\-.]+(?:/[A-Za-z0-9_\-.]+)*)
+    # A local part / segment may CONTAIN dots but not END with one
+    # (SPARQL PN_LOCAL) — `ex:Gene.` is the IRI ex:Gene plus the triple
+    # terminator, not an IRI with a trailing dot (review r6). A bare `:`
+    # is the default-prefix PNAME (`PREFIX : <iri>` declarations).
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_\-]*:(?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])?|:(?:(?:[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])(?:/[A-Za-z0-9_\-.]*[A-Za-z0-9_\-])*)?)
     | (?P<NAME>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].;,=<>!^/|?*+\-])
     """,
@@ -499,6 +503,14 @@ class _Parser:
                     else:
                         row.append(self.term())
                 self.eat_op(")")
+                if len(row) != len(vs):
+                    # Jena rejects ragged VALUES tables at parse time; a
+                    # silent zip would treat short rows as UNDEF (over-
+                    # matching) and drop surplus cells (review r6)
+                    raise SparqlSyntaxError(
+                        f"VALUES row has {len(row)} terms for "
+                        f"{len(vs)} variables"
+                    )
                 rows.append(row)
             self.eat_op("}")
         else:
@@ -1215,8 +1227,28 @@ class _Compiler:
         # with A.values (defined-signature joins) once bindings exist.
         deferred_values: list[tuple[list, list]] = []
 
-        def merge(right: DataFrame) -> DataFrame:
-            return right if cur is None else A.join(cur, right)
+        def merge(right: DataFrame, right_maybe: set = frozenset()) -> DataFrame:
+            # SPARQL §18.3 Join: a shared variable a prior OPTIONAL/BIND/
+            # UNDEF-VALUES/asymmetric-UNION may have left unbound (NULL)
+            # on EITHER side is compatible with any binding on the other
+            # — a NULL-rejecting natural join would drop those solutions
+            # (review r6; previously only _optional() consulted `maybe`)
+            if cur is None:
+                return right
+            shared = set(cur.columns) & set(right.columns)
+            left_nn = sorted(shared & maybe)
+            right_nn = sorted(shared & set(right_maybe))
+            if left_nn and right_nn:
+                raise SparqlSyntaxError(
+                    "join of two patterns that may each leave a shared "
+                    f"variable unbound ({sorted(set(left_nn) | set(right_nn))}) "
+                    "is not supported; restructure the query"
+                )
+            if left_nn:
+                return A.compatible_join(cur, right, left_nn)
+            if right_nn:
+                return A.compatible_join(right, cur, right_nn)
+            return A.join(cur, right)
 
         def drain_deferred(df: DataFrame) -> DataFrame:
             while deferred_values:
@@ -1264,15 +1296,16 @@ class _Compiler:
                 u = reduce(A.union, (b[0] for b in branches))
                 cols = [set(b[0].columns) for b in branches]
                 # columns missing from any branch arrive as NULLs
-                maybe |= set().union(*cols) - set.intersection(*cols)
-                maybe |= set().union(*(b[1] for b in branches))
-                cur = merge(u)
+                u_maybe = set().union(*cols) - set.intersection(*cols)
+                u_maybe |= set().union(*(b[1] for b in branches))
+                cur = merge(u, u_maybe)
+                maybe |= u_maybe
             elif kind == "minus":
                 if cur is not None:
                     cur = A.minus(cur, self.group(el[1]))
             elif kind == "group":
                 sub, sub_maybe = self._group(el[1])
-                cur = merge(sub)
+                cur = merge(sub, sub_maybe)
                 maybe |= sub_maybe
             elif kind == "graphpat":
                 # GRAPH scoping: a constant graph filters the scan (a
@@ -1306,7 +1339,7 @@ class _Compiler:
                 else:
                     raise SparqlSyntaxError("GRAPH takes an IRI or a variable")
                 sub, sub_maybe = sub_c._group(inner)
-                cur = merge(sub)
+                cur = merge(sub, sub_maybe)
                 maybe |= sub_maybe
             elif kind == "subselect":
                 # SubSelect (SPARQL 1.1 §12): evaluate the inner SELECT
@@ -1330,12 +1363,13 @@ class _Compiler:
                 sub = _select_project(self, sq, sub_bind, tagged=True)
                 proj = set(sub.columns)
                 aliases = {a for _, a in sq.select_exprs}
-                cur = merge(sub)
                 # projected-but-unbound vars arrive as NULL columns;
                 # computed/aggregate columns can be NULL (empty SUM, BIND)
-                maybe |= ((sub_maybe | aliases) & proj) | (
+                sub_new_maybe = ((sub_maybe | aliases) & proj) | (
                     proj - set(sub_bind.columns)
                 )
+                cur = merge(sub, sub_new_maybe)
+                maybe |= sub_new_maybe
             else:
                 raise ValueError(f"unknown group element {kind!r}")
             if cur is not None and deferred_values:
@@ -1355,10 +1389,16 @@ class _Compiler:
         for e in filters:
             cur = cur.where(self.bool_expr(e, cur))
         for grp, positive in exists_clauses:
-            cur = self._exists_join(cur, grp, positive)
+            cur = self._exists_join(cur, grp, positive, maybe)
         return cur, maybe
 
-    def _exists_join(self, cur: DataFrame, grp: list, positive: bool) -> DataFrame:
+    def _exists_join(
+        self,
+        cur: DataFrame,
+        grp: list,
+        positive: bool,
+        maybe: set = frozenset(),
+    ) -> DataFrame:
         """FILTER (NOT) EXISTS with CORRELATION (SPARQL 1.1 §8.1.1
         substitution semantics): a top-level filter inside the pattern
         may compare variables bound only in the OUTER solution — the
@@ -1420,7 +1460,7 @@ class _Compiler:
                 # filter is an ordinary inner filter
                 sub_seeded = sub_seeded.where(sub_c.bool_expr(e, sub_seeded))
             bound_part = self._exists_std(
-                cur.where(nn), sub_seeded, [], positive
+                cur.where(nn), sub_seeded, [], positive, maybe
             )
             # Rows whose correlated var is UNBOUND (NULL): §8.1.1 leaves
             # the variable free, so only the branch whose filter touches
@@ -1429,16 +1469,28 @@ class _Compiler:
             # (the nested reference reads NULL inside its own branch).
             # Seeding would instead falsify the WHOLE pattern for those
             # rows (NULL joins nothing) — a review-caught regression.
-            unbound_part = self._exists_std(cur.where(~nn), sub, fs, positive)
+            unbound_part = self._exists_std(
+                cur.where(~nn), sub, fs, positive, maybe
+            )
             return bound_part.unionByName(unbound_part)
-        return self._exists_std(cur, sub, fs, positive)
+        return self._exists_std(cur, sub, fs, positive, maybe)
 
     def _exists_std(
-        self, cur: DataFrame, sub: DataFrame, fs: list, positive: bool
+        self,
+        cur: DataFrame,
+        sub: DataFrame,
+        fs: list,
+        positive: bool,
+        maybe: set = frozenset(),
     ) -> DataFrame:
         """The (NOT) EXISTS join for one outer slice: self-contained
         top-level filters apply inside ``sub``; outer-correlated ones
-        hoist into the semi/anti-join condition."""
+        hoist into the semi/anti-join condition. Shared variables a
+        prior OPTIONAL/BIND/VALUES may have left UNBOUND (``maybe``)
+        are only substituted when bound (§8.1.1): the outer splits by
+        null-signature and each slice joins on its definitely-bound
+        shared subset — a NULL-rejecting equi-join would make EXISTS
+        never (NOT EXISTS always) hold for unbound rows (review r6)."""
         hoisted = []
         for e in fs:
             vs = self._expr_vars(e)
@@ -1450,20 +1502,49 @@ class _Compiler:
                 hoisted.append(e)
         shared = sorted(set(cur.columns) & set(sub.columns))
         how = "left_semi" if positive else "left_anti"
+        nullable = [c for c in shared if c in maybe]
+        if not nullable:
+            return self._exists_slice(cur, sub, shared, hoisted, how)
+        if len(nullable) > 4:
+            raise SparqlSyntaxError(
+                f"(NOT) EXISTS shares {len(nullable)} maybe-unbound "
+                f"variables ({nullable}) — 2^k branch explosion; "
+                "restructure the query"
+            )
+        from itertools import combinations
+
+        out = None
+        for k in range(len(nullable) + 1):
+            for mask in combinations(nullable, k):
+                part = cur
+                for c in nullable:
+                    part = part.where(
+                        F.col(c).isNull() if c in mask else F.col(c).isNotNull()
+                    )
+                keys = [c for c in shared if c not in mask]
+                branch = self._exists_slice(part, sub, keys, hoisted, how)
+                out = branch if out is None else out.unionByName(branch)
+        return out
+
+    def _exists_slice(
+        self, cur: DataFrame, sub: DataFrame, keys: list, hoisted: list, how: str
+    ) -> DataFrame:
         if not hoisted:
-            if shared:
-                return cur.join(sub, shared, how)
+            if keys:
+                return cur.join(sub, keys, how)
             # disjoint EXISTS: a constant guard — keep all rows iff the
             # sub-pattern has (no) solutions
             return cur.join(sub.limit(1), F.lit(True), how)
         ren = {c: f"__ex_{c}" for c in sub.columns}
         sub_r = sub.select([F.col(c).alias(ren[c]) for c in sub.columns])
-        conds = [F.col(v) == F.col(ren[v]) for v in shared]
+        conds = [F.col(v) == F.col(ren[v]) for v in keys]
         scope = SimpleNamespace(columns=list(cur.columns) + list(ren.values()))
         outer_cols = set(cur.columns)
         for e in hoisted:
             conds.append(self.bool_expr(_rename_vars(e, ren, outer_cols), scope))
-        return cur.join(sub_r, reduce(lambda a, b: a & b, conds), how)
+        return cur.join(
+            sub_r, reduce(lambda a, b: a & b, conds, F.lit(True)), how
+        )
 
     @classmethod
     def _nested_filter_vars(cls, elements: list) -> set:
@@ -1480,6 +1561,14 @@ class _Compiler:
                 if kind == "filter":
                     if not top:
                         out.update(cls._expr_vars(el[1]))
+                elif kind == "bind":
+                    # a BIND expression referencing an outer var compiles
+                    # it as NULL just like a nested filter would — include
+                    # binds at EVERY depth (top-level binds stay inside
+                    # the pattern; only top-level FILTERs are the
+                    # caller's to hoist) so the seeded decorrelation
+                    # path catches them (review r6)
+                    out.update(cls._expr_vars(el[1]))
                 elif kind == "fexists":
                     walk(el[1], False)
                 elif kind in ("optional", "minus", "group"):
@@ -1489,6 +1578,11 @@ class _Compiler:
                         walk(g, False)
                 elif kind == "graphpat":
                     walk(el[2], False)
+                elif kind == "subselect":
+                    # outer-correlated vars inside a sub-SELECT's pattern
+                    # would also read as NULL; routing them through the
+                    # seeded path either decorrelates or raises loudly
+                    walk(el[1].pattern, False)
 
         walk(elements, True)
         return out
@@ -1619,6 +1713,19 @@ class _Compiler:
             )
         )
 
+    @staticmethod
+    def _term_kind(e, df: DataFrame) -> Column | None:
+        """IRI-ness of a term-form expression AST (True = IRI/bnode,
+        False = literal), read from the raw term tag; None when the AST
+        is not a plain term (calls, arithmetic — value comparison only)."""
+        if e[0] == "var" and e[1] in df.columns:
+            return F.col(e[1]).startswith("I|")
+        if e[0] == "iri":
+            return F.lit(True)
+        if e[0] == "lit":
+            return F.lit(False)
+        return None
+
     def value_expr(self, e, df: DataFrame) -> Column:
         """Value mode: plain Spark value (string/number/boolean)."""
         if e[0] == "in":
@@ -1662,6 +1769,17 @@ class _Compiler:
                 self._numeric_ast(a) or self._numeric_ast(b)
             ):
                 ca, cb = ca.cast("double"), cb.cast("double")
+            elif op in ("=", "!="):
+                # RDFterm-equal: an IRI never equals a literal, even
+                # with the same spelling — the whole-term invariant the
+                # module header promises held for joins but not for
+                # expression '=' (review r6). The kind conjunct compares
+                # the raw term tags; literal-vs-literal comparison stays
+                # value-based (the house convention filters rely on).
+                ka, kb = self._term_kind(a, df), self._term_kind(b, df)
+                if ka is not None and kb is not None:
+                    eq = (ka == kb) & (ca == cb)
+                    return eq if op == "=" else ~eq
             if op in ("+", "-", "*", "/"):
                 ca, cb = ca.cast("double"), cb.cast("double")
             return {
@@ -2144,6 +2262,15 @@ class PreparedQuery:
             # the row's full binding tuple (distinct solutions → distinct
             # bnodes; duplicate solutions merge, which dropDuplicates
             # does anyway — bnode-isomorphic to Jena's _:b0.._bN).
+            if len(templates) > 1:
+                # Every template triple re-embeds the full compiled WHERE
+                # DAG; on the reference's 20-template / 40-OPTIONAL
+                # constructs Catalyst then re-analyzes the pattern once
+                # PER TEMPLATE (the dominant fixed cost of the transform
+                # chain). Truncate the lineage once — each template then
+                # selects from a leaf. Lazy: the solutions job runs when
+                # the first template is consumed (review r6).
+                bindings = bindings.localCheckpoint(eager=False)
             row_suffix = F.md5(
                 F.concat_ws(
                     "\x01", *[F.coalesce(F.col(c), F.lit("\x02")) for c in sorted(bindings.columns)]
@@ -2168,17 +2295,43 @@ class PreparedQuery:
                     if path[0] == "pred"
                     else term_value(F.col(path[1]))
                 )
-                subj = (
-                    term_value(F.col(s[1])) if s[0] == "var" else _tpl_iri(s[1])
-                )
-                if o[0] == "var":
+                def _anon_tpl(t) -> bool:
+                    # an anonymous `[]` in the TEMPLATE (never bound by
+                    # the pattern) is a fresh blank node per solution
+                    # (§16.2.1), same as an explicit `_:label` — it must
+                    # not compile to an unbound NULL var (review r6)
+                    return (
+                        t[0] == "var"
+                        and t[1].startswith("_anon_")
+                        and t[1] not in bindings.columns
+                    )
+
+                if _anon_tpl(s):
+                    subj = _tpl_iri("_:" + s[1])
+                else:
+                    subj = (
+                        term_value(F.col(s[1])) if s[0] == "var" else _tpl_iri(s[1])
+                    )
+                if _anon_tpl(o):
+                    obj, is_iri, dt = (
+                        _tpl_iri("_:" + o[1]),
+                        F.lit(True),
+                        F.lit(None).cast("string"),
+                    )
+                elif o[0] == "var":
                     oc = F.col(o[1]) if o[1] in bindings.columns else F.lit(None).cast("string")
                     obj, is_iri, dt = term_value(oc), term_is_iri(oc), term_datatype(oc)
                 elif o[0] == "iri":
                     obj, is_iri, dt = _tpl_iri(o[1]), F.lit(True), F.lit(None).cast("string")
                 else:
                     obj, is_iri, dt = F.lit(o[1]), F.lit(False), F.lit(o[2]).cast("string")
-                sc = subj if s[0] != "var" or s[1] in bindings.columns else F.lit(None)
+                sc = (
+                    subj
+                    if s[0] != "var"
+                    or s[1] in bindings.columns
+                    or _anon_tpl(s)
+                    else F.lit(None)
+                )
                 src = bindings
                 if s[0] == "var" and s[1] in bindings.columns:
                     # literal-bound subject vars make ill-formed triples;
@@ -2202,15 +2355,26 @@ class PreparedQuery:
                 )
             return reduce(lambda a, b: a.unionByName(b), outs).dropDuplicates()
         if q.form == "describe":
-            if q.describe_terms and q.describe_terms[0][0] == "var" and q.pattern:
-                nodes = bindings.select(
-                    term_value(F.col(q.describe_terms[0][1])).alias("node")
-                ).distinct()
-            else:
-                nodes = triples.sparkSession.createDataFrame(
-                    [(t[1],) for t in q.describe_terms if t[0] == "iri"],
-                    "node string",
+            # DESCRIBE takes the UNION of descriptions over every listed
+            # term — all variables' bindings plus every constant IRI,
+            # not just the first term (review r6)
+            parts = []
+            if q.pattern:
+                for t in q.describe_terms:
+                    if t[0] == "var" and t[1] in bindings.columns:
+                        parts.append(
+                            bindings.select(
+                                term_value(F.col(t[1])).alias("node")
+                            )
+                        )
+            const_iris = [(t[1],) for t in q.describe_terms if t[0] == "iri"]
+            if const_iris or not parts:
+                parts.append(
+                    triples.sparkSession.createDataFrame(
+                        const_iris, "node string"
+                    )
                 )
+            nodes = reduce(lambda a, b: a.unionByName(b), parts).distinct()
             return A.describe(triples, nodes)
 
         # SELECT

@@ -1352,9 +1352,17 @@ class TestGraphPattern:
     def test_path_inside_constant_graph_works(self, spark, multi):
         out = S.sparql(
             multi,
-            'SELECT ?s WHERE { GRAPH <urn:g1> { ?s :q/:p* ?v } FILTER(?v = "urn:b") }',
+            "SELECT ?s WHERE { GRAPH <urn:g1> { ?s :q/:p* ?v } FILTER(?v = <urn:b>) }",
         ).collect()
         assert [r.s for r in out] == ["urn:a"]
+        # RDFterm-equal: the same-spelled plain LITERAL never equals the
+        # IRI binding (review r6 — '=' now honors the whole-term
+        # invariant the module header promises)
+        out = S.sparql(
+            multi,
+            'SELECT ?s WHERE { GRAPH <urn:g1> { ?s :q/:p* ?v } FILTER(?v = "urn:b") }',
+        ).collect()
+        assert out == []
 
     def test_nested_graph_forms_raise(self, spark, multi):
         # ADVICE r5: a constant GRAPH nested inside GRAPH ?g silently
@@ -1907,3 +1915,149 @@ class TestPerGraphSelectAsk:
             r.graph: r.affiliation for r in find_affiliations(t).collect()
         }
         assert via_frame == got
+
+
+class TestReviewR6Fixes:
+    """Regression pins for the round-6 review findings: conformance
+    gaps in paths no reference query exercises (each silently returned
+    wrong/empty results before)."""
+
+    def test_pname_trailing_dot_is_triple_terminator(self, spark):
+        # `ex:Gene.` = IRI ex:Gene + '.', not an IRI with a trailing dot
+        t = T(spark, [
+            iri("urn:s", "http://ex/type", "http://ex/Gene"),
+            lit("urn:s", "http://ex/label", "BRCA1"),
+        ])
+        out = S.sparql(
+            t,
+            "PREFIX ex: <http://ex/> "
+            "SELECT ?l WHERE { ?s ex:type ex:Gene. ?s ex:label ?l }",
+        ).collect()
+        assert [r.l for r in out] == ["BRCA1"]
+
+    def test_default_prefix_declaration(self, spark):
+        t = T(spark, [iri("urn:s", "http://ex/p", "urn:o")])
+        out = S.sparql(
+            t,
+            "PREFIX : <http://ex/> SELECT ?s WHERE { ?s :p <urn:o> }",
+        ).collect()
+        assert [r.s for r in out] == ["urn:s"]
+
+    def test_values_arity_mismatch_raises(self, spark):
+        for q in [
+            'SELECT ?a WHERE { VALUES (?a ?b) { ("x") } ?s ?p ?a }',
+            'SELECT ?a WHERE { VALUES (?a ?b) { ("p" "q" "r") } ?s ?p ?a }',
+        ]:
+            with pytest.raises(S.SparqlSyntaxError, match="VALUES row"):
+                S.PreparedQuery(q)
+
+    def test_anon_bnode_in_construct_template(self, spark):
+        # `[]` in the template mints a fresh bnode per solution
+        t = T(spark, [
+            lit("urn:a", "http://ex/q", "1"),
+            lit("urn:b", "http://ex/q", "2"),
+        ])
+        out = S.sparql(
+            t,
+            "PREFIX ex: <http://ex/> "
+            "CONSTRUCT { ?s ex:p [] } WHERE { ?s ex:q ?o }",
+        ).collect()
+        assert len(out) == 2
+        bnodes = {r.object for r in out}
+        assert len(bnodes) == 2  # fresh per solution
+        assert all(b.startswith("_:") for b in bnodes)
+        assert all(r.object_is_iri for r in out)
+
+    def test_describe_multiple_terms(self, spark):
+        t = T(spark, [
+            lit("urn:a", "http://ex/l", "A"),
+            lit("urn:b", "http://ex/l", "B"),
+            lit("urn:c", "http://ex/l", "C"),
+            iri("urn:a", "http://ex/knows", "urn:b"),
+        ])
+        out = S.sparql(
+            t,
+            "PREFIX ex: <http://ex/> "
+            "DESCRIBE ?x ?y <urn:c> WHERE { ?x ex:knows ?y }",
+        ).collect()
+        # union of descriptions: urn:a (2 triples incl. the link),
+        # urn:b (1), urn:c (1)
+        subjects = {r.subject for r in out}
+        assert subjects == {"urn:a", "urn:b", "urn:c"}
+        assert len(out) == 4
+
+    def test_bgp_after_optional_uses_compatibility(self, spark):
+        # SPARQL §18.3: an OPTIONAL-unbound ?x is compatible with any
+        # later BGP binding of ?x; a NULL-rejecting join dropped the row
+        t = T(spark, [
+            iri("urn:s1", "http://ex/p", "urn:x1"),
+            # s2 has no ex:p — OPTIONAL leaves ?x unbound
+            lit("urn:s1", "http://ex/t", "S1"),
+            lit("urn:s2", "http://ex/t", "S2"),
+            lit("urn:x1", "http://ex/q", "Q1"),
+            lit("urn:x2", "http://ex/q", "Q2"),
+        ])
+        out = S.sparql(
+            t,
+            "PREFIX ex: <http://ex/> SELECT ?s ?x ?y WHERE { "
+            "?s ex:t ?l OPTIONAL { ?s ex:p ?x } ?x ex:q ?y } ORDER BY ?s ?x",
+        ).collect()
+        got = [(r.s, r.x, r.y) for r in out]
+        # s1: ?x bound to x1 → joins x1 only; s2: ?x unbound → extends
+        # with EVERY ex:q binding (x1 and x2)
+        assert got == [
+            ("urn:s1", "urn:x1", "Q1"),
+            ("urn:s2", "urn:x1", "Q1"),
+            ("urn:s2", "urn:x2", "Q2"),
+        ]
+
+    def test_exists_with_maybe_unbound_shared_var(self, spark):
+        t = T(spark, [
+            iri("urn:s1", "http://ex/p", "urn:x1"),
+            lit("urn:s1", "http://ex/t", "S1"),
+            lit("urn:s2", "http://ex/t", "S2"),  # ?x unbound for s2
+            lit("urn:x1", "http://ex/q", "Q1"),
+        ])
+        q = (
+            "PREFIX ex: <http://ex/> SELECT ?s WHERE { ?s ex:t ?l "
+            "OPTIONAL { ?s ex:p ?x } FILTER %s { ?x ex:q ?v } } ORDER BY ?s"
+        )
+        # EXISTS: s1's ?x=x1 has a ex:q solution; s2's ?x is UNBOUND →
+        # §8.1.1 leaves ?x free, the pattern has solutions → EXISTS true
+        got = [r.s for r in S.sparql(t, q % "EXISTS").collect()]
+        assert got == ["urn:s1", "urn:s2"]
+        # NOT EXISTS: both rows must drop (dual of the above)
+        got = [r.s for r in S.sparql(t, q % "NOT EXISTS").collect()]
+        assert got == []
+
+    def test_bind_inside_exists_decorrelates(self, spark):
+        # outer-correlated BIND inside EXISTS now routes through the
+        # seeded decorrelation path instead of reading ?tag as NULL
+        t = T(spark, [
+            lit("urn:s1", "http://ex/tag", "a"),
+            lit("urn:s2", "http://ex/tag", "b"),
+            lit("urn:k", "http://ex/id", "a-x"),
+        ])
+        out = S.sparql(
+            t,
+            "PREFIX ex: <http://ex/> SELECT ?s WHERE { ?s ex:tag ?tag "
+            'FILTER EXISTS { BIND(CONCAT(?tag, "-x") AS ?k) ?n ex:id ?k } }',
+        ).collect()
+        assert [r.s for r in out] == ["urn:s1"]
+
+    def test_iri_never_equals_literal(self, spark):
+        # RDFterm-equal via '=': kind mismatch → false; '!=' → true
+        t = T(spark, [
+            iri("urn:s1", "http://ex/p", "urn:val"),   # IRI object
+            lit("urn:s2", "http://ex/p", "urn:val"),   # same-spelled literal
+        ])
+        q = "PREFIX ex: <http://ex/> SELECT ?s WHERE { ?s ex:p ?v FILTER(%s) } ORDER BY ?s"
+        assert [r.s for r in S.sparql(t, q % '?v = "urn:val"').collect()] == ["urn:s2"]
+        assert [r.s for r in S.sparql(t, q % "?v = <urn:val>").collect()] == ["urn:s1"]
+        assert [r.s for r in S.sparql(t, q % '?v != "urn:val"').collect()] == ["urn:s1"]
+        # var-var: IRI vs literal with equal lexical forms stays unequal
+        q2 = (
+            "PREFIX ex: <http://ex/> SELECT ?a ?b WHERE { "
+            "?a ex:p ?v1 . ?b ex:p ?v2 . FILTER(?v1 = ?v2 && ?a != ?b) }"
+        )
+        assert S.sparql(t, q2).collect() == []
