@@ -33,6 +33,7 @@ from genegraph_spark.functions.text import extract_text  # noqa: E402
 from genegraph_spark.operators import algebra as A  # noqa: E402
 from genegraph_spark.operators import dedup as D  # noqa: E402
 from genegraph_spark.operators import mentions as M  # noqa: E402
+from genegraph_spark.operators import ranking as RK  # noqa: E402
 from genegraph_spark.operators import similarity as SIM  # noqa: E402
 from genegraph_spark.operators import versioned as V  # noqa: E402
 from genegraph_spark.plans import pipeline as P  # noqa: E402
@@ -458,16 +459,25 @@ def q_agg_pivot_wide(spark, sf_dir):
 
 def q_win_ntile(spark, sf_dir):
     # decile assignment + percent_rank over customer balances — the
-    # remaining ranking-window family members. A GLOBAL rank is
-    # single-partition by construction; right for dimension-scale tables
-    # (customers). For corpus-scale ranking use the salted two-pass
-    # top-k in operators/skew.py instead.
+    # ranking-window family, run SCALE-SAFE: a two-stage range-
+    # partitioned global row number (operators/ranking.py, the
+    # machinery vocabulary's r6 fix extracted) replaces the
+    # single-partition Window.orderBy, and ntile/percent_rank become
+    # closed-form row-local functions of (rank, total) — no global
+    # sort anywhere in the plan. (c_acctbal DESC, c_custkey ASC) is a
+    # total order, which is what licenses the closed forms.
     c = _read(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return c.select(
+    ranked, total = RK.global_row_number(
+        c.select("c_custkey", "c_acctbal"),
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        rank_col="_rk",
+    )
+    return ranked.select(
         "c_custkey",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        RK.ntile_from_rank(F.col("_rk"), total, 10).alias("decile"),
+        F.round(
+            RK.percent_rank_from_rank(F.col("_rk"), total), 6
+        ).alias("pct_rank"),
     )
 
 
@@ -1542,8 +1552,9 @@ def q_text_stratified_sample(spark, sf_dir):
 def q_text_vocabulary(spark, sf_dir):
     # frequency-ranked vocabulary over the corpus: whitespace tokens ->
     # (token, count, rank); corpus-scale work is one explode + one
-    # map-side-combined groupBy, the ranking window runs over the
-    # aggregated DIMENSION-scale vocab (win_ntile trade, documented)
+    # map-side-combined groupBy, the global rank is the two-stage
+    # range-partitioned row number (operators/ranking.py) — no
+    # single-partition window anywhere in the plan
     from genegraph_spark.functions import textstats as TS
 
     return TS.vocabulary(
@@ -6323,7 +6334,7 @@ SELECT 'urn:region:' || CAST(p_partkey % 40 AS VARCHAR) AS feature,
 FROM part""",
         "text_vocabulary": """
 WITH t AS (
-  SELECT UNNEST(string_split_regex(lower(text), '\s+')) AS token
+  SELECT UNNEST(string_split_regex(lower(text), '\\s+')) AS token
   FROM documents),
 c AS (
   SELECT token, count(*) AS count FROM t

@@ -607,17 +607,13 @@ def vocabulary(
 
     Scale shape: one explode + one (token) groupBy with map-side
     partial aggregation does the corpus-scale work. The global rank is
-    a TWO-STAGE rank, not a single-partition window (at web scale the
-    distinct-token table is 10⁸–10⁹ rows even after ``min_count``):
-    ``repartitionByRange`` on the sort key spreads the vocabulary over
-    range partitions, ``row_number`` runs PER PARTITION, and the global
-    rank adds each partition's cumulative predecessor count — a
-    bounded driver-side collect of one row per partition (the
-    pagerank/BPE cost model). (token) is unique after the groupBy, so
-    ``(count DESC, token ASC)`` totally orders the vocabulary and the
-    final ranks are deterministic regardless of where the sampled
-    range boundaries fall."""
-    from pyspark.sql import Window
+    ``ranking.global_row_number`` — a TWO-STAGE range-partitioned rank,
+    not a single-partition window (at web scale the distinct-token
+    table is 10⁸–10⁹ rows even after ``min_count``). (token) is unique
+    after the groupBy, so ``(count DESC, token ASC)`` totally orders
+    the vocabulary and the final ranks are deterministic regardless of
+    where the sampled range boundaries fall."""
+    from ..operators.ranking import global_row_number
 
     txt = F.col(text_col)
     if lowercase:
@@ -628,37 +624,10 @@ def vocabulary(
     counts = tokens.groupBy("token").agg(F.count("*").alias("count")).where(
         F.col("count") >= min_count
     )
-    # Stage 1: range-partition by the TOTAL sort order, pin partition
-    # ids + contents (the sizes pass and the rank pass must see the
-    # same layout), rank locally within each range partition. Eager
-    # localCheckpoint (the house convention) pins the layout WITHOUT
-    # leaving a session-lifetime cache entry behind (review-caught:
-    # persist() here had no unpersist path).
-    parts = counts.repartitionByRange(
-        F.desc("count"), F.asc("token")
-    ).withColumn("_pid", F.spark_partition_id()).localCheckpoint(eager=True)
-    # Stage 2: one row per partition → cumulative offsets on the driver
-    # (bounded by spark.sql.shuffle.partitions, NOT by vocabulary size).
-    sizes = sorted(
-        (r["_pid"], r["_n"])
-        for r in parts.groupBy("_pid").agg(F.count("*").alias("_n")).collect()
+    ranked, _total = global_row_number(
+        counts, [F.desc("count"), F.asc("token")], rank_col="rank"
     )
-    offsets, cum = {}, 0
-    for pid, n in sizes:
-        offsets[pid] = cum
-        cum += n
-    if not offsets:
-        return counts.withColumn("rank", F.lit(1).cast("int"))
-    w = Window.partitionBy("_pid").orderBy(F.desc("count"), F.asc("token"))
-    off = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("_pid"),
-    )
-    return (
-        parts.withColumn("_lrk", F.row_number().over(w))
-        .withColumn("rank", (off + F.col("_lrk")).cast("int"))
-        .drop("_pid", "_lrk")
-    )
+    return ranked.withColumn("rank", F.col("rank").cast("int"))
 
 
 def chunk_windows(

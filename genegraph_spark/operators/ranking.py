@@ -1,0 +1,111 @@
+"""Distributed global ranking: a two-stage range-partitioned row number
+and the closed-form ranking-window family (ntile / percent_rank)
+derived from it.
+
+Net-new relative to the reference (single-node Jena, no shuffle —
+SURVEY §4). A global ORDER BY rank in Spark is a single-partition
+Window by construction (``Window.orderBy`` with no partitionBy funnels
+every row through one task) — fine for dimension tables, fatal at
+corpus scale. VERDICT r5 flagged exactly one such plan
+(``textstats.vocabulary``); this module is that fix extracted into a
+reusable operator so every global-rank consumer shares one
+implementation:
+
+  Stage 1  ``repartitionByRange`` on the TOTAL sort order spreads the
+           rows over range partitions; ``row_number`` runs PER
+           PARTITION (each partition sorts independently).
+  Stage 2  one count per partition → cumulative predecessor offsets on
+           the driver (bounded by shuffle partitions, never by row
+           count — the pagerank/BPE 1-row-per-partition cost model);
+           global rank = offset + local row number.
+
+The order MUST be total (include a unique tiebreak column): range
+boundaries are sampled, so equal sort keys may straddle a boundary and
+per-partition numbering would then depend on the layout. With a total
+order the global rank is deterministic regardless of where the sampled
+boundaries fall. Because the order is total, row_number ≡ rank ≡
+dense_rank, which is what licenses the closed forms below.
+
+ntile / percent_rank are row-local functions of (rank, total): SQL
+defines ntile's bucket sizes as ``n % k`` buckets of ``ceil(n/k)``
+followed by the rest at ``floor(n/k)``, and percent_rank as
+``(rank-1)/(n-1)`` — so once the global rank exists, the whole
+ranking-window family runs without any single-partition exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    rank_col: str = "rank",
+) -> tuple[DataFrame, int]:
+    """Add a 1-based global row number under ``order`` (which must be a
+    TOTAL order — see module docstring) without a single-partition
+    window. Returns ``(df_with_rank, total_rows)``; the rank column is
+    a long.
+
+    Cost model: one range shuffle + one bounded driver collect (one row
+    per partition). The ``localCheckpoint(eager=True)`` pins partition
+    ids + contents so the sizes pass and the rank pass see the same
+    layout, without leaving a session-lifetime cache entry behind.
+    """
+    parts = (
+        df.repartitionByRange(*order)
+        .withColumn("_gr_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    sizes = sorted(
+        (r["_gr_pid"], r["_n"])
+        for r in parts.groupBy("_gr_pid").agg(F.count("*").alias("_n")).collect()
+    )
+    offsets, cum = {}, 0
+    for pid, n in sizes:
+        offsets[pid] = cum
+        cum += n
+    if not offsets:
+        return df.withColumn(rank_col, F.lit(1).cast("long")), 0
+    w = Window.partitionBy("_gr_pid").orderBy(*order)
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("_gr_pid"),
+    )
+    out = (
+        parts.withColumn("_gr_lrk", F.row_number().over(w))
+        .withColumn(rank_col, (off + F.col("_gr_lrk")).cast("long"))
+        .drop("_gr_pid", "_gr_lrk")
+    )
+    return out, cum
+
+
+def ntile_from_rank(rank: Column, total: int, buckets: int) -> Column:
+    """SQL ``ntile(buckets)`` as a row-local expression over a global
+    1-based row number: the first ``total % buckets`` buckets hold
+    ``total // buckets + 1`` rows, the rest hold ``total // buckets``.
+    Matches Spark's / DuckDB's ntile exactly when the ranking order is
+    total (no ties). Returns an int column, SQL ntile's type."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    q, r = divmod(total, buckets)
+    big = q + 1
+    first = r * big  # rows living in the (q+1)-sized buckets
+    in_big = F.floor((rank - 1) / F.lit(big)) + 1
+    # max(q, 1): when q == 0 every row is in a big bucket, so the
+    # otherwise-branch is never taken — the guard only keeps the
+    # expression well-formed (no /0) for Spark's analyzer.
+    in_small = F.lit(r) + F.floor((rank - 1 - first) / F.lit(max(q, 1))) + 1
+    return F.when(rank <= first, in_big).otherwise(in_small).cast("int")
+
+
+def percent_rank_from_rank(rank: Column, total: int) -> Column:
+    """SQL ``percent_rank()`` as a row-local expression over a global
+    1-based row number: ``(rank - 1) / (total - 1)``, 0.0 for a
+    single-row (or empty) frame. Valid when the ranking order is total
+    (rank ≡ row_number)."""
+    if total <= 1:
+        return F.lit(0.0)
+    return ((rank - F.lit(1)) / F.lit(float(total - 1))).cast("double")

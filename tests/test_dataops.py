@@ -279,6 +279,81 @@ class TestMinhashIndex:
         assert got == {(2, 1)}
 
 
+class TestGlobalRowNumber:
+    """operators/ranking.py — the reusable two-stage global rank plus
+    the closed-form ntile/percent_rank family derived from it (the
+    vocabulary r6 fix, extracted so win_ntile and future global-rank
+    consumers share one scale-safe implementation)."""
+
+    def test_rank_matches_single_partition_reference(self, spark):
+        from pyspark.sql import Window
+
+        from genegraph_spark.operators import ranking as RK
+
+        # ties in the sort key + unique tiebreak, spread over many
+        # input partitions so the rank crosses range boundaries
+        rows = [(i, float(i % 37)) for i in range(500)]
+        df = spark.createDataFrame(rows, "id long, val double").repartition(16)
+        order = [F.desc("val"), F.asc("id")]
+        got, total = RK.global_row_number(df, order, rank_col="rk")
+        assert total == 500
+        ref = df.withColumn("rk", F.row_number().over(Window.orderBy(*order)))
+        assert sorted((r.id, r.rk) for r in got.collect()) == sorted(
+            (r.id, r.rk) for r in ref.collect()
+        )
+
+    def test_empty_input(self, spark):
+        from genegraph_spark.operators import ranking as RK
+
+        df = spark.createDataFrame([], "id long, val double")
+        got, total = RK.global_row_number(df, [F.asc("id")])
+        assert total == 0 and got.count() == 0
+        assert "rank" in got.columns
+
+    def test_no_single_partition_exchange(self, spark):
+        from genegraph_spark.operators import ranking as RK
+
+        df = spark.createDataFrame([(i,) for i in range(20)], "id long")
+        got, _ = RK.global_row_number(df, [F.asc("id")])
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
+
+    @pytest.mark.parametrize(
+        "n,k", [(23, 10), (100, 10), (7, 10), (10, 10), (1, 4), (9, 4)]
+    )
+    def test_ntile_and_percent_rank_closed_forms(self, spark, n, k):
+        # the closed forms must equal SQL's window functions exactly —
+        # including n < k (every bucket size 1) and n % k != 0 (mixed
+        # big/small buckets)
+        from pyspark.sql import Window
+
+        from genegraph_spark.operators import ranking as RK
+
+        df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        w = Window.orderBy("id")
+        ref = df.select(
+            "id",
+            F.ntile(k).over(w).alias("nt"),
+            F.percent_rank().over(w).alias("pr"),
+        )
+        got = df.withColumn(
+            "rk", F.row_number().over(w)
+        ).select(
+            "id",
+            RK.ntile_from_rank(F.col("rk"), n, k).alias("nt"),
+            RK.percent_rank_from_rank(F.col("rk"), n).alias("pr"),
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, ref.collect())
+        )
+
+    def test_ntile_bad_buckets_rejected(self, spark):
+        from genegraph_spark.operators import ranking as RK
+
+        with pytest.raises(ValueError):
+            RK.ntile_from_rank(F.lit(1), 10, 0)
+
+
 class TestPlanLintGlobalWindows:
     """Scale lint: no corpus-scale operator may plan an UNPARTITIONED
     window (VERDICT r5 found exactly one — ``vocabulary``'s global
@@ -331,9 +406,9 @@ class TestPlanLintGlobalWindows:
             n
             for n in qs
             if n.split("_")[0] in ("dedup", "text", "sim", "graph")
-            or n == "join_salted_topk"
+            or n in ("join_salted_topk", "win_ntile")
         )
-        assert len(tier) >= 36  # board can grow, never shrink
+        assert len(tier) >= 37  # board can grow, never shrink
         offenders = {}
         for name in tier:
             w = self._unpartitioned_windows(qs[name](spark, sf_dir))
