@@ -70,14 +70,21 @@ def global_row_number(
     if not offsets:
         return df.withColumn(rank_col, F.lit(1).cast("long")), 0
     w = Window.partitionBy("_gr_pid").orderBy(*order)
-    off = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("_gr_pid"),
+    # offsets attach via a BROADCAST HASH JOIN, not a literal-map
+    # element_at: a literal map is a linear scan per row in the number
+    # of partitions (O(rows × partitions) — at a 10k-shuffle-partition
+    # deployment that dwarfs the ranking itself), while the broadcast
+    # hash probe is O(1) per row. Every _gr_pid has an offsets row by
+    # construction (they come from the same grouped pass), so the
+    # inner join drops nothing.
+    off_df = parts.sparkSession.createDataFrame(
+        sorted(offsets.items()), "_gr_pid int, _gr_off long"
     )
     out = (
         parts.withColumn("_gr_lrk", F.row_number().over(w))
-        .withColumn(rank_col, (off + F.col("_gr_lrk")).cast("long"))
-        .drop("_gr_pid", "_gr_lrk")
+        .join(F.broadcast(off_df), "_gr_pid")
+        .withColumn(rank_col, (F.col("_gr_off") + F.col("_gr_lrk")).cast("long"))
+        .drop("_gr_pid", "_gr_lrk", "_gr_off")
     )
     return out, cum
 
