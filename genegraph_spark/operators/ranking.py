@@ -12,12 +12,14 @@ reusable operator so every global-rank consumer shares one
 implementation:
 
   Stage 1  ``repartitionByRange`` on the TOTAL sort order spreads the
-           rows over range partitions; ``row_number`` runs PER
-           PARTITION (each partition sorts independently).
-  Stage 2  one count per partition → cumulative predecessor offsets on
-           the driver (bounded by shuffle partitions, never by row
-           count — the pagerank/BPE 1-row-per-partition cost model);
-           global rank = offset + local row number.
+           rows over range partitions; each partition sorts
+           independently and the local ordinal is read off
+           ``monotonically_increasing_id`` (contiguity-checked).
+  Stage 2  one stats row per partition → cumulative predecessor
+           offsets on the driver (bounded by shuffle partitions, never
+           by row count — the pagerank/BPE 1-row-per-partition cost
+           model); global rank = offset + local ordinal, attached by a
+           broadcast hash join.
 
 The order MUST be total (include a unique tiebreak column): range
 boundaries are sampled, so equal sort keys may straddle a boundary and
@@ -35,7 +37,7 @@ ranking-window family runs without any single-partition exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -49,27 +51,53 @@ def global_row_number(
     window. Returns ``(df_with_rank, total_rows)``; the rank column is
     a long.
 
-    Cost model: one range shuffle + one bounded driver collect (one row
-    per partition). The ``localCheckpoint(eager=True)`` pins partition
-    ids + contents so the sizes pass and the rank pass see the same
-    layout, without leaving a session-lifetime cache entry behind.
+    Cost model: ONE range shuffle + one local sort + one bounded driver
+    collect (one row per partition) — the ranked table is never
+    shuffled or sorted a second time. The local ordinal comes from
+    ``monotonically_increasing_id`` evaluated AFTER
+    ``sortWithinPartitions`` (both it and ``spark_partition_id`` are
+    non-deterministic expressions, which is exactly what stops Catalyst
+    reordering them below the sort); a per-pid window would instead
+    force a second full-table hash exchange + sort that the range
+    shuffle already paid for. The id's within-partition contiguity —
+    the one implementation property the ordinal arithmetic leans on —
+    is CHECKED from the same bounded collect and raises if a future
+    engine changes it, rather than mis-ranking silently. The
+    ``localCheckpoint(eager=True)`` pins partition contents and the
+    evaluated ids so the stats pass and the rank pass see identical
+    values, without leaving a session-lifetime cache entry behind.
     """
     parts = (
         df.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
         .withColumn("_gr_pid", F.spark_partition_id())
+        .withColumn("_gr_mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)
     )
-    sizes = sorted(
-        (r["_gr_pid"], r["_n"])
-        for r in parts.groupBy("_gr_pid").agg(F.count("*").alias("_n")).collect()
+    stats = sorted(
+        (r["_gr_pid"], r["_n"], r["_lo"], r["_hi"])
+        for r in parts.groupBy("_gr_pid")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min("_gr_mid").alias("_lo"),
+            F.max("_gr_mid").alias("_hi"),
+        )
+        .collect()
     )
-    offsets, cum = {}, 0
-    for pid, n in sizes:
-        offsets[pid] = cum
-        cum += n
-    if not offsets:
+    if not stats:
         return df.withColumn(rank_col, F.lit(1).cast("long")), 0
-    w = Window.partitionBy("_gr_pid").orderBy(*order)
+    offsets, cum = [], 0
+    for pid, n, lo, hi in stats:
+        if hi - lo + 1 != n:
+            raise RuntimeError(
+                "monotonically_increasing_id is not contiguous within "
+                f"partition {pid} ({n} rows span ids {lo}..{hi}); the "
+                "ordinal arithmetic in global_row_number is unsafe on "
+                "this engine"
+            )
+        # rank of a row = (mid - lo) + 1 + rows_in_earlier_partitions
+        offsets.append((pid, cum - lo + 1))
+        cum += n
     # offsets attach via a BROADCAST HASH JOIN, not a literal-map
     # element_at: a literal map is a linear scan per row in the number
     # of partitions (O(rows × partitions) — at a 10k-shuffle-partition
@@ -78,13 +106,12 @@ def global_row_number(
     # construction (they come from the same grouped pass), so the
     # inner join drops nothing.
     off_df = parts.sparkSession.createDataFrame(
-        sorted(offsets.items()), "_gr_pid int, _gr_off long"
+        offsets, "_gr_pid int, _gr_off long"
     )
     out = (
-        parts.withColumn("_gr_lrk", F.row_number().over(w))
-        .join(F.broadcast(off_df), "_gr_pid")
-        .withColumn(rank_col, (F.col("_gr_off") + F.col("_gr_lrk")).cast("long"))
-        .drop("_gr_pid", "_gr_lrk", "_gr_off")
+        parts.join(F.broadcast(off_df), "_gr_pid")
+        .withColumn(rank_col, (F.col("_gr_mid") + F.col("_gr_off")).cast("long"))
+        .drop("_gr_pid", "_gr_mid", "_gr_off")
     )
     return out, cum
 

@@ -32,7 +32,7 @@ DEFAULT = [
     "kg_cv_class_context",
     # round 6
     "dedup_incremental", "snap_export", "alg_text_search_bm25",
-    "text_vocabulary",
+    "text_vocabulary", "win_ntile",
 ]
 
 MARKERS = [
