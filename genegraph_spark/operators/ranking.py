@@ -62,7 +62,12 @@ def global_row_number(
     shuffle already paid for. The id's within-partition contiguity —
     the one implementation property the ordinal arithmetic leans on —
     is CHECKED from the same bounded collect and raises if a future
-    engine changes it, rather than mis-ranking silently. The
+    engine changes it, rather than mis-ranking silently. (The other
+    property — ids assigned in SORTED row order — is a Catalyst
+    invariant: projections containing non-deterministic expressions
+    are never reordered below a Sort; it is pinned empirically by the
+    16-partition bijection test against a single-partition window
+    reference and the cross-engine rank oracles.) The
     ``localCheckpoint(eager=True)`` pins partition contents and the
     evaluated ids so the stats pass and the rank pass see identical
     values, without leaving a session-lifetime cache entry behind.
