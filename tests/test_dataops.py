@@ -353,6 +353,44 @@ class TestGlobalRowNumber:
         with pytest.raises(ValueError):
             RK.ntile_from_rank(F.lit(1), 10, 0)
 
+    def test_rank_property_vs_python_reference(self, spark):
+        """Property: for an adversarial value multiset (heavy ties,
+        negatives, ±0.0, NULLs), the distributed rank under
+        (val DESC, id ASC) equals a plain Python sort with Spark's
+        DESC-NULLS-LAST semantics. Batch style: hypothesis assembles
+        the multiset, ONE Spark round checks it (running Spark inside
+        @given would re-plan per example)."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from genegraph_spark.operators import ranking as RK
+
+        vals = []
+        value = st.one_of(
+            st.none(),
+            st.sampled_from([0.0, -0.0, 1.0, -1.0, 5.0]),  # force ties
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        )
+
+        @settings(max_examples=80, deadline=None)
+        @given(v=value)
+        def collect(v):
+            vals.append(v)
+
+        collect()
+
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "id long, val double").repartition(8)
+        got, total = RK.global_row_number(
+            df, [F.desc("val"), F.asc("id")], rank_col="rk"
+        )
+        assert total == len(rows)
+        expect = sorted(
+            rows, key=lambda r: (r[1] is None, -r[1] if r[1] is not None else 0.0, r[0])
+        )
+        want = {rid: rk for rk, (rid, _) in enumerate(expect, start=1)}
+        assert {r.id: r.rk for r in got.collect()} == want
+
 
 class TestPlanLintGlobalWindows:
     """Scale lint: no corpus-scale operator may plan an UNPARTITIONED
