@@ -467,6 +467,9 @@ def q_win_ntile(spark, sf_dir):
     # sort anywhere in the plan. (c_acctbal DESC, c_custkey ASC) is a
     # total order, which is what licenses the closed forms.
     c = _read(spark, sf_dir, "customer")
+    # NOTE global_row_number is eager (checkpoint + bounded stats
+    # collect run here, not at first action) — same contract as
+    # text_vocabulary / the BPE builders.
     ranked, total = RK.global_row_number(
         c.select("c_custkey", "c_acctbal"),
         [F.desc("c_acctbal"), F.asc("c_custkey")],

@@ -624,10 +624,13 @@ def vocabulary(
     counts = tokens.groupBy("token").agg(F.count("*").alias("count")).where(
         F.col("count") >= min_count
     )
+    # rank stays LONG end-to-end (review-caught: an int cast silently
+    # overflows past 2^31-1 tokens — the very scale this operator is
+    # designed for; DuckDB's row_number is BIGINT too)
     ranked, _total = global_row_number(
         counts, [F.desc("count"), F.asc("token")], rank_col="rank"
     )
-    return ranked.withColumn("rank", F.col("rank").cast("int"))
+    return ranked
 
 
 def chunk_windows(

@@ -62,16 +62,25 @@ def global_row_number(
     shuffle already paid for. The id's within-partition contiguity —
     the one implementation property the ordinal arithmetic leans on —
     is CHECKED from the same bounded collect and raises if a future
-    engine changes it, rather than mis-ranking silently. (The other
-    property — ids assigned in SORTED row order — is a Catalyst
-    invariant: projections containing non-deterministic expressions
-    are never reordered below a Sort; it is pinned empirically by the
-    16-partition bijection test against a single-partition window
-    reference and the cross-engine rank oracles.) The
+    engine changes it. The OTHER property — ids assigned in SORTED row
+    order — is not runtime-checkable without re-sorting and rests on a
+    Catalyst invariant (projections containing non-deterministic
+    expressions are never reordered below a Sort) on this pinned
+    engine; it is pinned empirically by the 16-partition bijection test
+    against a single-partition window reference, and any silent
+    permutation would hash-mismatch the cross-engine rank oracles the
+    driver re-runs every rotation. Note the operator is EAGER: the
+    checkpoint + stats collect run at call time, not first action. The
     ``localCheckpoint(eager=True)`` pins partition contents and the
     evaluated ids so the stats pass and the rank pass see identical
     values, without leaving a session-lifetime cache entry behind.
     """
+    taken = {"_gr_pid", "_gr_mid"} & set(df.columns)
+    if taken:
+        raise ValueError(
+            f"input columns {sorted(taken)} collide with "
+            "global_row_number's working columns; rename them first"
+        )
     parts = (
         df.repartitionByRange(*order)
         .sortWithinPartitions(*order)

@@ -353,6 +353,13 @@ class TestGlobalRowNumber:
         with pytest.raises(ValueError):
             RK.ntile_from_rank(F.lit(1), 10, 0)
 
+    def test_working_column_collision_rejected(self, spark):
+        from genegraph_spark.operators import ranking as RK
+
+        df = spark.createDataFrame([(1, 2)], "id long, _gr_mid long")
+        with pytest.raises(ValueError, match="_gr_mid"):
+            RK.global_row_number(df, [F.asc("id")])
+
     def test_rank_property_vs_python_reference(self, spark):
         """Property: for an adversarial value multiset (heavy ties,
         negatives, ±0.0, NULLs), the distributed rank under
