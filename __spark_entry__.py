@@ -33,6 +33,7 @@ from genegraph_spark.functions.text import extract_text  # noqa: E402
 from genegraph_spark.operators import algebra as A  # noqa: E402
 from genegraph_spark.operators import dedup as D  # noqa: E402
 from genegraph_spark.operators import mentions as M  # noqa: E402
+from genegraph_spark.operators.partitioning import fan_out  # noqa: E402
 from genegraph_spark.operators import ranking as RK  # noqa: E402
 from genegraph_spark.operators import similarity as SIM  # noqa: E402
 from genegraph_spark.operators import versioned as V  # noqa: E402
@@ -644,10 +645,14 @@ def q_dedup_minhash_sigs(spark, sf_dir):
 
 def _versioned_docs(spark, sf_dir):
     """Non-tombstone page versions as docs: id = doc_id*10 + version —
-    v1/v2 of the same url are guaranteed near-dups."""
+    v1/v2 of the same url are guaranteed near-dups. Fanned out: every
+    consumer (MinHash shingles, n-gram Jaccard) explodes k-grams — heavy
+    map work that a single-row-group scan would serialize (measured
+    3.07s → 1.77s on dedup_minhash_pairs; operators.partitioning)."""
     pages = fixtures.pages_df(spark, sf_dir, with_html=False).where(~F.col("tombstone"))
-    return pages.select(
-        (F.col("doc_id") * 10 + F.col("version")).alias("doc_id"), "text"
+    return fan_out(
+        pages.select((F.col("doc_id") * 10 + F.col("version")).alias("doc_id"), "text"),
+        "doc_id",
     )
 
 
@@ -679,7 +684,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    return D.simhash(_read(spark, sf_dir, "documents"), bits=32)
+    # fan out: 32 per-token bit aggregates over a token explode (0.93s -> 0.74s)
+    return D.simhash(fan_out(_read(spark, sf_dir, "documents"), "doc_id"), bits=32)
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -692,7 +698,7 @@ def _lsh_embeddings(spark, sf_dir):
     """Embeddings ∪ perturbed copies (id+100000; one element scaled 1.2 at
     position id % 64) — guarantees true near-dup pairs so the keyless LSH
     path has a discriminating, non-degenerate result."""
-    emb = _read(spark, sf_dir, "embeddings")
+    emb = fan_out(_read(spark, sf_dir, "embeddings"), "vec_id")  # 12x64 int dots per row
     base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
     # pos is computed BEFORE the id is re-aliased: with `(vec_id+100000) AS
     # vec_id` in the same select, lateral column-alias resolution (in BOTH
@@ -782,7 +788,8 @@ def q_dedup_cluster_reps(spark, sf_dir):
 
 
 def q_text_stats(spark, sf_dir):
-    docs = _read(spark, sf_dir, "documents")
+    # fan out: bpe/stopword/distinct counters are token-explode-heavy (0.60s -> 0.23s)
+    docs = fan_out(_read(spark, sf_dir, "documents"), "doc_id")
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -829,14 +836,16 @@ def q_dedup_spans(spark, sf_dir):
     # runs whose 10-gram occurs >1x corpus-wide
     from genegraph_spark.operators.dedup import duplicate_spans
 
-    return duplicate_spans(_read(spark, sf_dir, "documents"), k=10)
+    # fan out: the positional 10-gram explode is the heaviest map stage
+    # in the bench (measured 3.75s -> 0.91s; single-row-group scan)
+    return duplicate_spans(fan_out(_read(spark, sf_dir, "documents"), "doc_id"), k=10)
 
 
 def q_text_decontaminate(spark, sf_dir):
     # benchmark decontamination: docs sharing any 8-token n-gram with the
     # held-out set (doc_id % 97 == 0) are flagged; benchmark side
     # broadcasts, corpus side is one explode+join pass
-    docs = _read(spark, sf_dir, "documents")
+    docs = fan_out(_read(spark, sf_dir, "documents"), "doc_id")  # n-gram explode (1.87s -> 0.53s)
     bench = docs.where("doc_id % 97 = 0")
     return TS.decontaminate(docs.where("doc_id % 97 <> 0"), bench, n=8)
 

@@ -245,6 +245,11 @@ def pages_df(spark: SparkSession, sf_dir: str, with_html: bool = True) -> DataFr
     reproduce byte-for-byte (BASELINE input_hint).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text", "lang")
+    # NOT fanned out here: most consumers do light per-row work and lose
+    # more to extra-task fixed costs than they gain (measured: kg_triples
+    # golden path 2.8s → 3.5s with a blanket fan-out). Map-HEAVY consumers
+    # (real html extraction, shingle explodes) fan out at their own stage
+    # — see plans.pipeline.construct_kg and operators.partitioning.
     return pages_from_docs(docs, with_html=with_html)
 
 
@@ -364,6 +369,16 @@ DOSAGE_TRIPLO_VALUES: list[str | None] = [
 ]
 
 
+def _fan_events(events: DataFrame) -> DataFrame:
+    """Payload generators do heavy per-row JSON synthesis straight off
+    the events scan; the driver's events parquet is one unsplittable row
+    group, so fan the scan out first (no-op at lake-scale split counts
+    — see operators.partitioning)."""
+    from genegraph_spark.operators.partitioning import fan_out
+
+    return fan_out(events, "event_id")
+
+
 def dosage_jira_payloads(events: DataFrame) -> DataFrame:
     """events → one JIRA issue JSON string per row (column ``value``)."""
     e, u = F.col("event_id"), F.col("user_id")
@@ -455,7 +470,7 @@ def dosage_jira_payloads(events: DataFrame) -> DataFrame:
         ),
     )
     issue = F.struct(F.concat(F.lit("ISCA-"), estr).alias("key"), fields.alias("fields"))
-    return events.select(F.to_json(issue).alias("value"))
+    return _fan_events(events).select(F.to_json(issue).alias("value"))
 
 
 # ── actionability curation-document fixture ───────────────────────────
@@ -610,7 +625,7 @@ def actionability_payloads(events: DataFrame) -> DataFrame:
         ).alias("assertions"),
         scores.alias("scores"),
     )
-    return events.select(F.to_json(doc).alias("value"))
+    return _fan_events(events).select(F.to_json(doc).alias("value"))
 
 
 # ── ClinVar clinical-assertion stream fixture ─────────────────────────
@@ -652,7 +667,7 @@ def clinvar_trait_set_payloads(events: DataFrame) -> DataFrame:
             ).alias("trait_ids"),
         ).alias("content"),
     )
-    return events.where(e % 3 == 0).select(F.to_json(doc).alias("value"))
+    return _fan_events(events).where(e % 3 == 0).select(F.to_json(doc).alias("value"))
 
 
 def clinvar_assertion_payloads(events: DataFrame) -> DataFrame:
@@ -690,7 +705,7 @@ def clinvar_assertion_payloads(events: DataFrame) -> DataFrame:
             comments.alias("interpretation_comments"),
         ).alias("content"),
     )
-    return events.select(F.to_json(doc).alias("value"))
+    return _fan_events(events).select(F.to_json(doc).alias("value"))
 
 
 # ── legacy GCI report fixture ─────────────────────────────────────────
@@ -750,7 +765,7 @@ def gci_legacy_payloads(events: DataFrame) -> DataFrame:
         F.lit('"FinalClassificationDate":"2020-03-0'), (e % 9 + 1).cast("string"),
         F.lit('T10:20:30Z"'), contribs, F.lit("}}}"),
     )
-    return events.select(
+    return _fan_events(events).select(
         F.when(e % 23 == 0, F.lit('{"title":"no iri"}')).otherwise(payload).alias(
             "value"
         )
@@ -802,7 +817,7 @@ def gci_express_payloads(events: DataFrame) -> DataFrame:
         (u % 100 + 10000).cast("string"), F.lit('"}},'),
         F.lit('"scores":{"s1":{"label":"'), label, F.lit('"}}}'),
     )
-    return events.select(
+    return _fan_events(events).select(
         F.concat(F.lit("exp-"), estr).alias("report_id"),
         payload.alias("value"),
     )
@@ -851,7 +866,7 @@ def clinvar_vcv_payloads(events: DataFrame) -> DataFrame:
             F.lit("Homo sapiens").alias("species"),
         ).alias("content"),
     )
-    return events.select(F.to_json(doc).alias("value"))
+    return _fan_events(events).select(F.to_json(doc).alias("value"))
 
 
 # ── ClinVar JSON-LD tier fixtures ────────────────────────────────────

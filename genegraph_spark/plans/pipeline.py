@@ -108,6 +108,17 @@ def construct_kg(
     #    slim rows (url, ids, flags, int arrays). The page text never
     #    enters a shuffle.
     mapper = mentions.make_page_mapper(by_label, e_to_c, use_golden_text, keep_text=keep_text)
+    if not use_golden_text:
+        # real html extraction is the expensive per-row stage; a single-
+        # row-group fixture scan would run it in ONE Python worker. Fan
+        # out first (scale-adaptive no-op for lake inputs that already
+        # arrive in >= parallelism splits, e.g. the bench's materialized
+        # 128-file pages table). The golden-text path skips this: its
+        # per-row work is light and the extra tasks cost more than they
+        # save (measured 2.8s -> 3.5s on kg_triples).
+        from ..operators.partitioning import fan_out
+
+        pages = fan_out(pages, "url")
     mapped = pages.mapInPandas(
         mapper, mentions.MAP_SCHEMA_TEXT if keep_text else mentions.MAP_SCHEMA
     )

@@ -206,6 +206,7 @@ def dosage_scalars(
     region_iri = F.concat(F.lit(CG_PREFIX + "region-"), key)
 
     cols: dict[str, Column] = {
+        "valid": F.col("jira_valid"),
         "base": base_iri,
         "report": F.concat(base_iri, F.lit("-"), updated_i),
         "contrib": F.concat(
@@ -285,9 +286,15 @@ def dosage_scalars(
             )
             cols[f"fdesc_{dosage}_{i}"] = F.coalesce(f[fdesc_f], F.lit(""))
 
-    return parsed.where(F.col("jira_valid")).select(
-        *[c.alias(n) for n, c in cols.items()]
-    )
+    # NO pre-filter on jira_valid here: a ``.where`` above this projection
+    # gets pushed below it by Catalyst, which re-expands the predicate to
+    # the full ``from_json`` chain — every row then pays the (interpreted,
+    # CodegenFallback) JSON parse TWICE, once in the Filter and once in
+    # the Project (measured 2.8s vs 0.9s at sf0.1). The validity gate is
+    # instead carried as the ``valid`` column and folded into every packed
+    # triple block by :func:`dosage_jira_triples`, so invalid rows emit an
+    # empty array and vanish at the explode — same rows out, ONE parse.
+    return parsed.select(*[c.alias(n) for n, c in cols.items()])
 
 
 def dosage_jira_triples(
@@ -312,10 +319,14 @@ def dosage_jira_triples(
     core = dosage_scalars(parsed, omim_mondo)
 
     C = F.col
+    # spec gate: every block is conditioned on the row's validity (see
+    # dosage_scalars — this replaces the former pre-filter without
+    # duplicating the JSON parse into a pushed-down Filter)
+    valid = F.coalesce(C("valid"), F.lit(False))
     # report + contribution skeleton (dosage_jira.clj:294-315, :166-171)
     blocks = [
         _arr(
-            F.lit(True),
+            valid,
             _t(C("report"), I.RDF_TYPE, ":sepio/GeneDosageReport", True),
             _t(C("report"), ":dc/is-version-of", C("base"), True),
             _t(C("report"), ":sepio/qualified-contribution", C("contrib"), True),
@@ -326,10 +337,10 @@ def dosage_jira_triples(
         ),
         # topic (:160-164): gene curation → is-about gene; region
         # curation → is-about region + the region feature + locations
-        _arr(C("gene").isNotNull(),
+        _arr(valid & C("gene").isNotNull(),
              _t(C("report"), ":iao/is-about", C("gene"), True)),
         _arr(
-            C("gene").isNull(),
+            valid & C("gene").isNull(),
             _t(C("report"), ":iao/is-about", C("region"), True),
             _t(C("region"), ":rdfs/label", C("region_label"), False,
                I.XSD_STRING),
@@ -339,7 +350,7 @@ def dosage_jira_triples(
     for build in BUILD_FIELD:
         blocks.append(
             _arr(
-                C(f"loc_on_{build}"),
+                valid & C(f"loc_on_{build}"),
                 _t(C("region"), ":geno/has-location", C(f"loc_b_{build}"), True),
                 _t(C(f"loc_b_{build}"), I.RDF_TYPE,
                    ":geno/SequenceFeatureLocation", True),
@@ -358,7 +369,7 @@ def dosage_jira_triples(
 
     # per-dosage assertion trees (:236-292)
     for dosage in (1, 3):
-        present = C(f"present_{dosage}")
+        present = valid & C(f"present_{dosage}")
         a_iri, p_iri = C(f"a_{dosage}"), C(f"p_{dosage}")
         variant_b = C(f"variant_b_{dosage}")
         obj, pred = C(f"obj_{dosage}"), C(f"pred_{dosage}")
