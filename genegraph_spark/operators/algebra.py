@@ -373,7 +373,12 @@ def ld_path(triples: DataFrame, start: DataFrame, steps: list[tuple]) -> DataFra
     return cur
 
 
-def transitive_closure(triples: DataFrame, pred: str, max_iter: int = 20) -> DataFrame:
+def transitive_closure(
+    triples: DataFrame,
+    pred: str,
+    max_iter: int = 20,
+    local_threshold: int = 50_000,
+) -> DataFrame:
     """``pred+`` reachability pairs (src, dst): one-or-more hops — the
     reference's recursive-traversal analog (curation.clj:303-314).
     SPARQL's ``pred*`` (zero-or-more) additionally includes the
@@ -390,7 +395,46 @@ def transitive_closure(triples: DataFrame, pred: str, max_iter: int = 20) -> Dat
         .select(F.col("subject").alias("src"), F.col("object").alias("dst"))
         .distinct()
     )
-    closure = edges.localCheckpoint(eager=True)
+    # Adaptive execution, same pattern (and threshold discipline) as
+    # canonicalize.connected_components: a driver-side fixpoint costs a
+    # full job + Catalyst pass per round regardless of data size, so an
+    # edge set below ``local_threshold`` is collected and closed on the
+    # driver in one pass (ontology/:next chains are dimension-scale by
+    # nature); bigger graphs take the distributed doubling loop below.
+    # Same result either way. The threshold is half of CC's 200k: CC's
+    # output is bounded by the node count, while a closure can be
+    # superlinear in its input, so the driver-side set budget is kept
+    # smaller.
+    probe = edges.limit(local_threshold + 1).collect()
+    if len(probe) <= local_threshold:
+        # monotone set saturation — cycle-safe (a DAG assumption would be
+        # wrong for general ``pred+``), terminates because reach sets only
+        # grow and are bounded by the node set; cost is proportional to
+        # the closure being emitted, which any engine must materialize
+        reach: dict[str, set[str]] = {}
+        for r in probe:
+            reach.setdefault(r[0], set()).add(r[1])
+        changed = True
+        while changed:
+            changed = False
+            for u, s in reach.items():
+                add: set[str] = set()
+                for v in s:
+                    nxt = reach.get(v)
+                    if nxt is not None and not nxt <= s:
+                        add |= nxt
+                if add - s:
+                    s |= add
+                    changed = True
+        pairs = sorted((u, v) for u, s in reach.items() for v in s)
+        return edges.sparkSession.createDataFrame(pairs, "src string, dst string")
+
+    # lazy checkpoint + count: ONE job materializes the checkpoint and
+    # returns the size (an eager checkpoint followed by count ran two
+    # jobs per round — pure driver-side scheduling overhead, which
+    # dominates the fixpoint at interactive scales and is still one
+    # round-trip saved per round on a cluster)
+    closure = edges.localCheckpoint(eager=False)
     prev_count = closure.count()
     for _ in range(max_iter):
         doubled = (
@@ -398,7 +442,7 @@ def transitive_closure(triples: DataFrame, pred: str, max_iter: int = 20) -> Dat
             .join(closure.alias("r"), F.col("l.dst") == F.col("r.src"))
             .select(F.col("l.src").alias("src"), F.col("r.dst").alias("dst"))
         )
-        closure = closure.union(doubled).distinct().localCheckpoint(eager=True)
+        closure = closure.union(doubled).distinct().localCheckpoint(eager=False)
         n = closure.count()
         if n == prev_count:
             break

@@ -81,11 +81,16 @@ def connected_components(
     # as (u, v) with u > v; at the fixpoint every component is a single
     # star centered at its min node, so `e` IS the (node, component) map
     # for non-root nodes (Kiveris et al. SOCC'14, Theorem 1).
+    # lazy checkpoints + one count: a single job materializes both
+    # all_nodes and e (two eager checkpoints each re-ran the edge plan
+    # as separate jobs; one scheduling round-trip per fixpoint step is
+    # the dominant cost at dictionary scales and free savings at lake
+    # scale)
     all_nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -95,7 +100,7 @@ def connected_components(
     e = (
         sym.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_cnt = e.count()
     converged = False
@@ -123,8 +128,8 @@ def connected_components(
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        small = small.localCheckpoint(eager=True)
-        cnt = small.count()
+        small = small.localCheckpoint(eager=False)
+        cnt = small.count()  # one job: materializes the checkpoint too
         # fixpoint ⟺ same edge SET: equal size + empty one-way difference
         if cnt == prev_cnt and small.exceptAll(e).limit(1).count() == 0:
             e = small

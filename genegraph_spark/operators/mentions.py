@@ -74,6 +74,15 @@ def link_entities(
     """
     out_cols = [id_col, "pos", "token", "iri", "entity_type", "label_kind"]
     if alias is not None:
+        # candidates is consumed THREE times below (ambiguous slice,
+        # unambiguous slice, support input); without a cut the whole
+        # upstream — page synthesis, version window, token explode,
+        # gazetteer join — executes three times (plan-audited: the
+        # tokenize→window→explode subtree appeared 3x). One lazy
+        # localCheckpoint makes the three consumers share a single
+        # evaluation; at lake scale this is the persisted slim
+        # candidate-mention intermediate.
+        candidates = candidates.localCheckpoint(eager=False)
         amb_labels = (
             alias.groupBy("label")
             .agg(F.countDistinct("iri").alias("_n"))
