@@ -108,20 +108,32 @@ def construct_kg(
     #    slim rows (url, ids, flags, int arrays). The page text never
     #    enters a shuffle.
     mapper = mentions.make_page_mapper(by_label, e_to_c, use_golden_text, keep_text=keep_text)
-    if not use_golden_text:
+    # ONE partition probe decides the low-split (fixture/single-file)
+    # regime for the whole pipeline — lake inputs arrive in >= parallelism
+    # splits and skip both branches below. (Probing is a physical-planning
+    # pass; do it on the scan-side frame once, never on post-shuffle
+    # frames — see operators.partitioning.)
+    dp = spark.sparkContext.defaultParallelism
+    low_split = pages.rdd.getNumPartitions() < dp
+    if low_split and not use_golden_text:
         # real html extraction is the expensive per-row stage; a single-
-        # row-group fixture scan would run it in ONE Python worker. Fan
-        # out first (scale-adaptive no-op for lake inputs that already
-        # arrive in >= parallelism splits, e.g. the bench's materialized
-        # 128-file pages table). The golden-text path skips this: its
-        # per-row work is light and the extra tasks cost more than they
-        # save (measured 2.8s -> 3.5s on kg_triples).
-        from ..operators.partitioning import fan_out
-
-        pages = fan_out(pages, "url")
+        # row-group fixture scan would run it in ONE Python worker. The
+        # golden-text path skips this: its per-row work is light and the
+        # extra tasks cost more than they save (measured 2.8s -> 3.5s on
+        # kg_triples).
+        pages = pages.repartition(dp, "url")
     mapped = pages.mapInPandas(
         mapper, mentions.MAP_SCHEMA_TEXT if keep_text else mentions.MAP_SCHEMA
     )
+    if low_split:
+        # Pre-shuffle the slim mapper output by url to EXACTLY dp
+        # partitions: the version-compaction window below is keyed on
+        # url, so it reuses this exchange (no extra shuffle), and an
+        # explicit user repartition is not AQE-byte-coalesced — without
+        # it the window output collapses to ONE post-shuffle partition
+        # at fixture scale and its ~60x triple/mention explode consumers
+        # run single-threaded (measured 1.25s of kg_triples' 2.1s).
+        mapped = mapped.repartition(dp, "url")
 
     # 2. root-type dispatch + declarative shape validation + version
     #    compaction over slim rows (formats.edn/shapes.edn registry,

@@ -186,14 +186,18 @@ def _arr(cond: Column, *structs: Column) -> Column:
     return F.when(cond, F.array(*structs)).otherwise(empty)
 
 
-def dosage_scalars(
-    parsed: DataFrame, omim_mondo: dict[str, str] | None = None
-) -> DataFrame:
-    """Stage 1 of the transform: valid parsed issues → ONE narrow
-    projection holding every scalar derivation (instants, IRIs, bnodes,
-    regex parses, map lookups) the packing stage references. Split out
-    as its own function so each stage can be profiled and plan-audited
-    independently (see :func:`dosage_jira_triples`)."""
+# Precompiled expression templates. Column objects are immutable
+# expression trees bound to the JVM gateway (process-wide), not to a
+# session or a DataFrame, so the ~90-column scalar projection and the
+# ~35-struct pack array are built ONCE per process instead of re-issuing
+# thousands of py4j calls on every query construction (measured ~1.1s of
+# driver time per call). No data or results are cached — only the
+# equivalent of writing the expressions out at module import time.
+_SCALARS_CACHE: dict[tuple, list[Column]] = {}
+_PACK_CACHE: dict[str, Column] = {}
+
+
+def _scalar_columns(omim_mondo: dict[str, str] | None) -> list[Column]:
     f = F.col("issue.fields")
     key = F.col("issue.key")
 
@@ -286,15 +290,31 @@ def dosage_scalars(
             )
             cols[f"fdesc_{dosage}_{i}"] = F.coalesce(f[fdesc_f], F.lit(""))
 
-    # NO pre-filter on jira_valid here: a ``.where`` above this projection
-    # gets pushed below it by Catalyst, which re-expands the predicate to
-    # the full ``from_json`` chain — every row then pays the (interpreted,
-    # CodegenFallback) JSON parse TWICE, once in the Filter and once in
-    # the Project (measured 2.8s vs 0.9s at sf0.1). The validity gate is
-    # instead carried as the ``valid`` column and folded into every packed
-    # triple block by :func:`dosage_jira_triples`, so invalid rows emit an
-    # empty array and vanish at the explode — same rows out, ONE parse.
-    return parsed.select(*[c.alias(n) for n, c in cols.items()])
+    return [c.alias(n) for n, c in cols.items()]
+
+
+def dosage_scalars(
+    parsed: DataFrame, omim_mondo: dict[str, str] | None = None
+) -> DataFrame:
+    """Stage 1 of the transform: parsed issues → ONE narrow projection
+    holding every scalar derivation (instants, IRIs, bnodes, regex
+    parses, map lookups) plus the ``valid`` spec-gate flag the packing
+    stage folds in. Split out as its own function so each stage can be
+    profiled and plan-audited independently (see
+    :func:`dosage_jira_triples`).
+
+    NO pre-filter on jira_valid here: a ``.where`` above this projection
+    gets pushed below it by Catalyst, which re-expands the predicate to
+    the full ``from_json`` chain — every row then pays the (interpreted,
+    CodegenFallback) JSON parse TWICE, once in the Filter and once in
+    the Project (measured 2.8s vs 0.9s at sf0.1). The validity gate is
+    instead carried as the ``valid`` column and folded into every packed
+    triple block by :func:`dosage_jira_triples`, so invalid rows emit an
+    empty array and vanish at the explode — same rows out, ONE parse."""
+    key = tuple(sorted((omim_mondo or {}).items()))
+    if key not in _SCALARS_CACHE:
+        _SCALARS_CACHE[key] = _scalar_columns(omim_mondo)
+    return parsed.select(*_SCALARS_CACHE[key])
 
 
 def dosage_jira_triples(
@@ -317,6 +337,10 @@ def dosage_jira_triples(
     interpreted mode (measured); the split keeps both stages inside
     whole-stage codegen."""
     core = dosage_scalars(parsed, omim_mondo)
+    if "pack" in _PACK_CACHE:
+        return core.select(
+            F.col("base").alias("graph"), _PACK_CACHE["pack"]
+        ).select("graph", "t.*")
 
     C = F.col
     # spec gate: every block is conditioned on the row's validity (see
@@ -438,6 +462,7 @@ def dosage_jira_triples(
             )
 
     arr = F.concat(*blocks)
+    _PACK_CACHE["pack"] = F.explode(arr).alias("t")
     return core.select(
-        C("base").alias("graph"), F.explode(arr).alias("t")
+        C("base").alias("graph"), _PACK_CACHE["pack"]
     ).select("graph", "t.*")
