@@ -58,7 +58,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # -- KG pipeline -------------------------------------------------------------
 def _live_pages(spark, sf_dir):
-    pages = fixtures.pages_df(spark, sf_dir, with_html=False)
+    # fan out BEFORE the version window: the window is keyed on url, so
+    # it reuses this exchange (no extra shuffle) and its output keeps
+    # explicit-N partitioning instead of AQE byte-coalescing ~6MB of
+    # text rows into ONE partition — which serialized every downstream
+    # token explode (the kg_linked_mentions chain; same fix as
+    # construct_kg's low-split branch)
+    pages = fan_out(fixtures.pages_df(spark, sf_dir, with_html=False), "url")
     heads = V.latest_version(pages, key="url", version="version")
     return heads.where(~F.col("tombstone"))
 
@@ -475,6 +481,7 @@ def q_win_ntile(spark, sf_dir):
         c.select("c_custkey", "c_acctbal"),
         [F.desc("c_acctbal"), F.asc("c_custkey")],
         rank_col="_rk",
+        order_keys=[("c_acctbal", True), ("c_custkey", False)],
     )
     return ranked.select(
         "c_custkey",

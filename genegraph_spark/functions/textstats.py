@@ -628,7 +628,10 @@ def vocabulary(
     # overflows past 2^31-1 tokens — the very scale this operator is
     # designed for; DuckDB's row_number is BIGINT too)
     ranked, _total = global_row_number(
-        counts, [F.desc("count"), F.asc("token")], rank_col="rank"
+        counts,
+        [F.desc("count"), F.asc("token")],
+        rank_col="rank",
+        order_keys=[("count", True), ("token", False)],
     )
     return ranked
 

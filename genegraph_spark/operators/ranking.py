@@ -41,10 +41,57 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_order_alignment(
+    stats: list[tuple], order_keys: list[tuple[str, bool]]
+) -> None:
+    """Spot-check that per-partition id-extreme rows are sort-extreme:
+    within each partition the min-id row's key must not exceed the
+    max-id row's, and partition p's max-id key must not exceed partition
+    p+1's min-id key. ``order_keys`` is [(column_name, descending)].
+    Nulls follow Spark defaults (asc → nulls first, desc → nulls last).
+    Catches an engine that assigns monotonically_increasing_id before
+    the in-partition sort (contiguity alone cannot — see docstring)."""
+
+    def cmp_key(a, b) -> int:
+        """-1/0/1 of a vs b in SORT order."""
+        for name, desc in order_keys:
+            va, vb = a[name], b[name]
+            na, nb = int(va is not None), int(vb is not None)
+            if na != nb:  # exactly one side null
+                null_first = not desc
+                lt = (na == 0) if null_first else (nb == 0)
+                return -1 if lt else 1
+            if na == 0:  # both null
+                continue
+            if va == vb:
+                continue
+            lt = (va < vb) if not desc else (va > vb)
+            return -1 if lt else 1
+        return 0
+
+    prev_hi = None
+    for pid, _n, _lo, _hi, rlo, rhi in stats:
+        if cmp_key(rlo, rhi) > 0:
+            raise RuntimeError(
+                "global_row_number order-alignment check failed in "
+                f"partition {pid}: the min-id row sorts after the "
+                "max-id row — monotonically_increasing_id was not "
+                "assigned in sorted row order on this engine"
+            )
+        if prev_hi is not None and cmp_key(prev_hi, rlo) > 0:
+            raise RuntimeError(
+                "global_row_number order-alignment check failed at the "
+                f"boundary into partition {pid}: range partitions "
+                "interleave under the requested order"
+            )
+        prev_hi = rhi
+
+
 def global_row_number(
     df: DataFrame,
     order: list[Column],
     rank_col: str = "rank",
+    order_keys: list[tuple[str, bool]] | None = None,
 ) -> tuple[DataFrame, int]:
     """Add a 1-based global row number under ``order`` (which must be a
     TOTAL order — see module docstring) without a single-partition
@@ -75,11 +122,16 @@ def global_row_number(
     evaluated ids so the stats pass and the rank pass see identical
     values, without leaving a session-lifetime cache entry behind.
     """
-    taken = {"_gr_pid", "_gr_mid"} & set(df.columns)
+    taken = {"_gr_pid", "_gr_mid", "_gr_off"} & set(df.columns)
     if taken:
         raise ValueError(
             f"input columns {sorted(taken)} collide with "
             "global_row_number's working columns; rename them first"
+        )
+    if rank_col in df.columns:
+        raise ValueError(
+            f"rank_col {rank_col!r} already exists on the input; "
+            "withColumn would silently overwrite it — rename one side"
         )
     parts = (
         df.repartitionByRange(*order)
@@ -88,20 +140,32 @@ def global_row_number(
         .withColumn("_gr_mid", F.monotonically_increasing_id())
         .localCheckpoint(eager=True)
     )
+    # Order-alignment spot check (same bounded collect): alongside each
+    # partition's id stats, capture the FULL ROW carried by the min and
+    # max id (min_by/max_by on the row struct). order_keys — the plain
+    # (column_name, descending) rendering of ``order`` that callers may
+    # supply — then lets the driver verify that id-extreme rows hold
+    # key-extreme values and that partitions don't interleave: ids
+    # contiguous-but-assigned-before-the-sort would otherwise mis-rank
+    # silently (the contiguity check alone cannot see it).
     stats = sorted(
-        (r["_gr_pid"], r["_n"], r["_lo"], r["_hi"])
+        (r["_gr_pid"], r["_n"], r["_lo"], r["_hi"], r["_rlo"], r["_rhi"])
         for r in parts.groupBy("_gr_pid")
         .agg(
             F.count("*").alias("_n"),
             F.min("_gr_mid").alias("_lo"),
             F.max("_gr_mid").alias("_hi"),
+            F.min_by(F.struct(*df.columns), "_gr_mid").alias("_rlo"),
+            F.max_by(F.struct(*df.columns), "_gr_mid").alias("_rhi"),
         )
         .collect()
     )
     if not stats:
         return df.withColumn(rank_col, F.lit(1).cast("long")), 0
+    if order_keys:
+        _check_order_alignment(stats, order_keys)
     offsets, cum = [], 0
-    for pid, n, lo, hi in stats:
+    for pid, n, lo, hi, _rlo, _rhi in stats:
         if hi - lo + 1 != n:
             raise RuntimeError(
                 "monotonically_increasing_id is not contiguous within "
@@ -140,12 +204,25 @@ def ntile_from_rank(rank: Column, total: int, buckets: int) -> Column:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
     q, r = divmod(total, buckets)
     big = q + 1
+
+    def idiv(num: Column, d: int) -> Column:
+        # exact integer division: double `/` + floor misassigns boundary
+        # rows once the numerator passes 2^53 (long→double rounding),
+        # and this module explicitly targets >2^31-row inputs. Subtract
+        # the remainder first so the double division is of an exact
+        # multiple, then divide the MULTIPLE COUNT, which is numerator/d
+        # — computed as pmod-free long arithmetic via two exact ops.
+        num = num.cast("long")
+        return ((num - F.pmod(num, F.lit(d))).cast("decimal(20,0)") / F.lit(d)).cast(
+            "long"
+        )
+
     first = r * big  # rows living in the (q+1)-sized buckets
-    in_big = F.floor((rank - 1) / F.lit(big)) + 1
+    in_big = idiv(rank - 1, big) + 1
     # max(q, 1): when q == 0 every row is in a big bucket, so the
     # otherwise-branch is never taken — the guard only keeps the
     # expression well-formed (no /0) for Spark's analyzer.
-    in_small = F.lit(r) + F.floor((rank - 1 - first) / F.lit(max(q, 1))) + 1
+    in_small = F.lit(r) + idiv(rank - 1 - first, max(q, 1)) + 1
     return F.when(rank <= first, in_big).otherwise(in_small).cast("int")
 
 
