@@ -146,15 +146,75 @@ def write_snapshots(
     return manifest
 
 
+def _make_shard_compressor(gzip_output: bool):
+    """Executor-side shard writer for ``mapInArrow``: consumes a
+    partition's (sorted) ``line`` batches and yields (chunk, n) rows —
+    the shard's single gzip member (mtime=0, level 6, Python gzip, so
+    the member bytes are identical to the former driver-side
+    compressor's) cut into bounded binary chunks, with ``n`` = lines
+    consumed since the previous chunk. Empty partitions yield nothing
+    (matching the former writer's skip of empty shard files)."""
+
+    def compress(batches):
+        import io
+
+        import pyarrow as pa
+
+        buf = io.BytesIO()
+        gz = (
+            gzip.GzipFile(fileobj=buf, mode="wb", mtime=0, compresslevel=6)
+            if gzip_output
+            else buf
+        )
+        pending = 0
+
+        def cut():
+            nonlocal pending
+            data = buf.getvalue()
+            buf.seek(0)
+            buf.truncate(0)
+            batch = pa.record_batch(
+                [pa.array([data], pa.binary()), pa.array([pending], pa.int64())],
+                names=["chunk", "n"],
+            )
+            pending = 0
+            return batch
+
+        any_rows = False
+        for batch in batches:
+            col = batch.column(0)
+            if len(col) == 0:
+                continue
+            any_rows = True
+            gz.write(("\n".join(col.to_pylist()) + "\n").encode("utf-8"))
+            pending += len(col)
+            if buf.tell() >= (8 << 20):
+                yield cut()
+        if any_rows:
+            if gzip_output:
+                gz.close()
+            yield cut()
+
+    return compress
+
+
 def _write_sorted_ndjson(
     lines: DataFrame, path: str, gzip_output: bool, shards: int
 ) -> int:
     """Deterministic artifact writer: range-partition on the sort key,
-    sort within each shard, emit one gzip member per shard (mtime=0) and
-    concatenate in shard order — RFC 1952 multi-member output that any
-    gzip reader treats as one stream. The per-shard work is distributed;
-    only the bounded shard-file concatenation runs on the driver."""
+    sort within each shard, compress one gzip member per shard IN
+    EXECUTORS (mtime=0) and concatenate in shard order — RFC 1952
+    multi-member output that any gzip reader treats as one stream. The
+    driver never compresses a byte of a non-empty export: the shard
+    members land as pre-compressed chunk rows in a temp parquet
+    (written under Spark's commit protocol, so task retries are safe),
+    and the driver streams those files in shard order into the artifact
+    — I/O only, O(chunk) memory. (The former writer gzipped every
+    shard serially ON the driver: correct, but O(corpus bytes) of
+    single-threaded CPU — hours at a 100 GB export.)"""
     import tempfile
+
+    import pyarrow.parquet as pq
 
     tmp = tempfile.mkdtemp(prefix="gg_snap_export_")
     try:
@@ -163,17 +223,30 @@ def _write_sorted_ndjson(
             .sortWithinPartitions("_k", "line")
             .select("line")
         )
-        arranged.write.mode("overwrite").text(tmp)
-        parts = [
-            p
-            for p in sorted(
-                f for f in os.listdir(tmp) if f.startswith("part-")
-            )
-            if os.path.getsize(os.path.join(tmp, p)) > 0
-        ]
+        members = arranged.mapInArrow(
+            _make_shard_compressor(gzip_output), "chunk binary, n long"
+        )
+        # parquet keeps row order per task and one file per shard, named
+        # in partition order; compression off — the payload is already
+        # gzip (or raw text destined for a plain artifact)
+        members.write.mode("overwrite").option("compression", "none").parquet(tmp)
+        parts = sorted(
+            f for f in os.listdir(tmp) if f.startswith("part-") and f.endswith(".parquet")
+        )
         n = 0
+        wrote_any = False
         with open(path, "wb") as out:
-            if gzip_output and not parts:
+            for p in parts:
+                pf = pq.ParquetFile(os.path.join(tmp, p))
+                # stream row-by-row batches: O(chunk) driver memory even
+                # when a shard produced many chunks
+                for rb in pf.iter_batches(batch_size=1):
+                    chunk = rb.column(0)[0].as_py()
+                    if chunk:
+                        wrote_any = True
+                        out.write(chunk)
+                    n += rb.column(1)[0].as_py()
+            if gzip_output and not wrote_any:
                 # a zero-row export must still be a VALID gzip stream
                 # (one empty member), not a 0-byte file downstream
                 # readers reject (review-caught)
@@ -181,22 +254,6 @@ def _write_sorted_ndjson(
                     fileobj=out, mode="wb", mtime=0, compresslevel=6
                 ):
                     pass
-            for p in parts:
-                # stream in bounded chunks — the docstring's "bounded
-                # driver work" means O(chunk) memory, not a whole-shard
-                # bytes object (review-caught)
-                with open(os.path.join(tmp, p), "rb") as fh:
-                    if gzip_output:
-                        with gzip.GzipFile(
-                            fileobj=out, mode="wb", mtime=0, compresslevel=6
-                        ) as gz:
-                            while chunk := fh.read(1 << 20):
-                                n += chunk.count(b"\n")
-                                gz.write(chunk)
-                    else:
-                        while chunk := fh.read(1 << 20):
-                            n += chunk.count(b"\n")
-                            out.write(chunk)
         return n
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -172,6 +172,60 @@ class TestSnapshotExport:
         b3 = (tmp_path / "o3" / "snapshots/v7" / "variation-descriptors.ndjson.gz").read_bytes()
         assert _gz.decompress(b3) == _gz.decompress(b1)
 
+    def test_compression_runs_in_executors_not_driver(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The driver stage of a non-empty export is concat-only: patch
+        gzip.GzipFile to raise IN THE DRIVER PROCESS (executor workers
+        import their own unpatched module copy) — the export must still
+        succeed, and its bytes must equal the former driver-side
+        compressor's output (one mtime=0 level-6 member per non-empty
+        shard, concatenated in shard order)."""
+        import gzip as _gz
+        import io
+
+        from genegraph_spark.plans import snapshot_export as SE
+
+        store = self._store(spark, tmp_path)
+        datasets = [
+            {"output_basename": "variation-descriptors.ndjson",
+             "entity_type": "variation"}
+        ]
+
+        def _boom(*a, **k):
+            raise AssertionError(
+                "driver-side gzip.GzipFile called for a NON-EMPTY export"
+            )
+
+        monkeypatch.setattr(SE.gzip, "GzipFile", _boom)
+        m = SE.write_snapshots(
+            store, datasets, str(tmp_path / "oe"), "snapshots/vX", shards=2
+        )
+        monkeypatch.undo()
+        assert m["counts"]["variation-descriptors.ndjson.gz"] == 2
+        got = (
+            tmp_path / "oe" / "snapshots/vX" / "variation-descriptors.ndjson.gz"
+        ).read_bytes()
+
+        # former writer, reproduced: gzip each sorted shard's text bytes
+        # on one thread (member per shard, mtime=0, level 6)
+        docs = SE.latest_versions(store.read("variation"))
+        lines = SE._ndjson_lines(docs, "is_version_of")
+        shards = (
+            lines.repartitionByRange(2, "_k")
+            .sortWithinPartitions("_k", "line")
+            .select("line")
+        )
+        want = io.BytesIO()
+        for part in shards.rdd.glom().collect():
+            if not part:
+                continue
+            with _gz.GzipFile(
+                fileobj=want, mode="wb", mtime=0, compresslevel=6
+            ) as z:
+                z.write(("\n".join(r["line"] for r in part) + "\n").encode())
+        assert got == want.getvalue()
+
     def test_zero_row_export_is_valid_gzip(self, spark, tmp_path):
         import gzip as _gz
 
