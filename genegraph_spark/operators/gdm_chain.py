@@ -22,6 +22,7 @@ same bounded lookups the reference does driver-side via ``q/select``
 from __future__ import annotations
 
 from functools import reduce
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -265,14 +266,15 @@ def _transform_gdm(gdm, qs, dictionary, entrez_gene, affiliation, names):
     # q/union arm as a separate Jena query. At corpus scale the unit of
     # parallelism is the EVENT (graph column), not the construct — the
     # per-construct jobs are each fully distributed over events.
+    def _arm(name):
+        # threaded compile+materialize, same rationale and pool shape
+        # as _transform_gdm_corpus (guide §2.6)
+        return qs[name].run(source, **params).localCheckpoint(eager=True)
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        arms = list(pool.map(_arm, CONSTRUCT_ORDER))
     unlinked = (
-        reduce(
-            DataFrame.unionByName,
-            [
-                qs[name].run(source, **params).localCheckpoint(eager=True)
-                for name in CONSTRUCT_ORDER
-            ],
-        )
+        reduce(DataFrame.unionByName, arms)
         .dropDuplicates()
         # cut before the unlink rewrite: feeding the lazy union+dedup
         # (an Aggregate over 22 branches) into the next query's MINUS
@@ -573,16 +575,30 @@ def _transform_gdm_corpus(events, query_dir, dictionary, names, seeds, construct
         per_graph = sl.select(
             "graph", *[tag_iri(v).alias(v) for v in bound]
         )
-        unlinked = (
-            reduce(
-                DataFrame.unionByName,
-                [
+        # The 22 constructs are independent until the union: compile +
+        # materialize them on a small driver thread pool (optimization
+        # guide §2.6 — overlap independent jobs). Compile wall is
+        # dominated by py4j/Catalyst waits that release the GIL, and
+        # each arm's checkpoint job back-fills executors freed by the
+        # previous arm's tail; pool.map preserves construct order.
+        # run() creates per-call state over an immutable AST, so the
+        # compiled queries are safe to run concurrently.
+        def _arm(name):
+            sc = source.sparkSession.sparkContext
+            sc.setJobDescription(f"gdm construct {name}")
+            try:
+                return (
                     qs[name]
                     .run(source, per_graph=per_graph, **params)
                     .localCheckpoint(eager=True)
-                    for name in constructs
-                ],
-            )
+                )
+            finally:
+                sc.setJobDescription(None)
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            arms = list(pool.map(_arm, constructs))
+        unlinked = (
+            reduce(DataFrame.unionByName, arms)
             .dropDuplicates()
             .localCheckpoint(eager=True)
         )

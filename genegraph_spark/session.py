@@ -62,6 +62,14 @@ def get_spark(
         "spark.sql.files.maxPartitionBytes": os.environ.get("SPARK_GRAFT_MAX_PART_BYTES", "4m"),
         "spark.sql.files.openCostInBytes": "1m",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # per-DataFrame-call Python call-site capture (enriched error
+        # contexts) costs an inspect.stack() walk + TWO extra py4j round
+        # trips on EVERY DataFrame API call — measured ~2.2s of a 6.4s
+        # SPARQL construct compile and ~a third of all py4j traffic in
+        # plan-construction-heavy paths (the GDM corpus chain issues
+        # ~14k calls per construct). Production engines trade the
+        # debug-context frill for compile latency.
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
         # smaller Arrow batches → the JVM feeder thread overlaps with the
         # Python worker instead of alternating (a partition is otherwise
         # a single batch: feed, wait, compute, wait)
