@@ -114,7 +114,15 @@ def construct_kg(
     # pass; do it on the scan-side frame once, never on post-shuffle
     # frames — see operators.partitioning.)
     dp = spark.sparkContext.defaultParallelism
-    low_split = pages.rdd.getNumPartitions() < dp
+    # inputFiles() short-circuit first: one gateway call against the
+    # (cached) file index, vs the .rdd probe's full physical-planning
+    # pass — a lake-scale input with >= dp files skips planning
+    # entirely and never pays either branch below
+    try:
+        many_files = len(pages.inputFiles()) >= dp
+    except Exception:
+        many_files = False
+    low_split = not many_files and pages.rdd.getNumPartitions() < dp
     if low_split and not use_golden_text:
         # real html extraction is the expensive per-row stage; a single-
         # row-group fixture scan would run it in ONE Python worker. The
