@@ -403,8 +403,6 @@ def embedding_lsh_near_duplicates(
     no natural blocking key exists — candidates come only from bucket
     joins (never all-pairs), and hot buckets are AQE-skew-splittable,
     exactly like the MinHash banding above."""
-    from .similarity import cosine_expr
-
     # The vector rides along on each band row (``carry``), so the bucket
     # self-join yields both pair vectors directly — no candidate-distinct
     # plus two re-attach joins (the former shape; those joins ran as
@@ -421,11 +419,22 @@ def embedding_lsh_near_duplicates(
     # action, reclaimed by the ContextCleaner when dropped — repeated
     # calls don't accumulate pinned cache entries. At lake scale this
     # becomes a persisted intermediate.
+    from .similarity import dot_expr, norm_expr
+
+    # Precompute each vector's norm ONCE and carry it on the band rows:
+    # the verify otherwise re-evaluates BOTH norms per candidate pair
+    # inside the bucket join (3 interpreted 64-element higher-order
+    # folds per pair instead of 1 — plan-audited; at 1.5M candidates
+    # that tripled the join's per-row work). The pair expression is
+    # dot/(na*nb) over the very same values sqrt(dot(v,v)) produces, so
+    # every rounded cosine is bit-identical to the inline form.
+    emb = emb.withColumn("_gg_n", norm_expr(F.col(vec_col).cast("array<double>")))
     buckets = hyperplane_lsh_buckets(
-        emb, id_col, vec_col, dim, n_planes, n_bands, seed, carry=[vec_col]
+        emb, id_col, vec_col, dim, n_planes, n_bands, seed,
+        carry=[vec_col, "_gg_n"],
     ).localCheckpoint(eager=False)
     a, b = buckets.alias("a"), buckets.alias("b")
-    cos = cosine_expr(F.col("va"), F.col("vb"))
+    cos = dot_expr(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     # cosine + threshold BEFORE the pair dedup: the verify is a cheap
     # per-row fold computed map-side right out of the bucket join (at
     # worst n_bands times per true pair), while deduping first would
@@ -441,6 +450,8 @@ def embedding_lsh_near_duplicates(
             F.col(f"b.{id_col}").alias("id_b"),
             F.col(f"a.{vec_col}").alias("va"),
             F.col(f"b.{vec_col}").alias("vb"),
+            F.col("a._gg_n").alias("_na"),
+            F.col("b._gg_n").alias("_nb"),
         )
         .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
         .where(F.col("cosine") >= threshold)
