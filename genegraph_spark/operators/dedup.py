@@ -290,12 +290,20 @@ def embedding_near_duplicates(
             "for keyless corpora use embedding_lsh_near_duplicates, which "
             "derives random-hyperplane LSH buckets instead of a crossJoin"
         )
-    from .similarity import cosine_expr
+    from .similarity import dot_expr, norm_expr
 
-    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(group_col))
-    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(group_col))
+    # per-vector norm computed once per side, not per pair (same
+    # bit-identical factoring as embedding_lsh_near_duplicates)
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm_expr(F.col(vec_col)).alias("_na"), F.col(group_col),
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm_expr(F.col(vec_col)).alias("_nb"), F.col(group_col),
+    )
     pairs = a.join(b, [group_col], "inner").where(F.col("id_a") < F.col("id_b"))
-    cos = cosine_expr(F.col("va"), F.col("vb"))
+    cos = dot_expr(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb"))
     return pairs.select("id_a", "id_b", F.round(cos, 6).alias("cosine")).where(
         F.col("cosine") >= threshold
     )

@@ -46,14 +46,31 @@ def cosine_topk(
 
     Self-matches (same id) are excluded. Deterministic tie-break on
     neighbor id. The query side is broadcast — corpus never shuffles."""
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("qvec"))
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("cvec"))
+    # norms factored out of the per-pair expression: a corpus vector's
+    # norm is otherwise re-evaluated once PER QUERY inside the join
+    # (n_queries interpreted folds instead of one). dot/(nc*nq) flows
+    # the same values through the same sqrt/multiply/divide, so rounded
+    # cosines are bit-identical to the inline form.
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("_nq"),
+    )
+    c = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("cvec"),
+        norm_expr(F.col(vec_col)).alias("_nc"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("qvec"), F.col("cvec"))
+                / (F.col("_nq") * F.col("_nc")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
@@ -164,17 +181,31 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign each vector to its max-cosine centroid (one broadcast join +
     window argmax; the 'coarse quantizer'). Returns corpus + centroid_id."""
-    cen = centroids.select(F.col(centroid_id_col), F.col(vec_col).alias("cenvec"))
+    # norms factored out of the per-pair score: a corpus vector's norm
+    # is otherwise re-evaluated once per CENTROID (K interpreted folds
+    # instead of one); same values through the same ops — rounded
+    # scores bit-identical (the discipline embedding-LSH established)
+    cen = centroids.select(
+        F.col(centroid_id_col),
+        F.col(vec_col).alias("cenvec"),
+        norm_expr(F.col(vec_col)).alias("_ncen"),
+    )
     # 6dp-rounded score before the argmax so the assignment is
     # reproducible across engines/float-op orders (ties break on id)
-    scored = corpus.join(F.broadcast(cen)).select(
-        "*", F.round(cosine_expr(F.col(vec_col), F.col("cenvec")), 6).alias("_cscore")
+    scored = corpus.withColumn("_nv", norm_expr(F.col(vec_col))).join(
+        F.broadcast(cen)
+    ).select(
+        "*",
+        F.round(
+            dot_expr(F.col(vec_col), F.col("cenvec")) / (F.col("_nv") * F.col("_ncen")),
+            6,
+        ).alias("_cscore"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_cscore"), F.asc(centroid_id_col))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .drop("_rn", "_cscore", "cenvec")
+        .drop("_rn", "_cscore", "cenvec", "_nv", "_ncen")
     )
 
 
@@ -199,23 +230,36 @@ def ivf_topk(
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
     # queries pick their n_probe nearest centroids (rounded score —
     # same determinism contract as the assignment)
-    cen = centroids.select("centroid_id", F.col(vec_col).alias("cenvec"))
-    q = queries.select(F.col(query_id_col), F.col(vec_col).alias("qvec"))
+    cen = centroids.select(
+        "centroid_id", F.col(vec_col).alias("cenvec"),
+        norm_expr(F.col(vec_col)).alias("_ncen"),
+    )
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("qvec"),
+        norm_expr(F.col(vec_col)).alias("_nq"),
+    )
     qc = q.join(F.broadcast(cen)).select(
-        query_id_col, "qvec", "centroid_id",
-        F.round(cosine_expr(F.col("qvec"), F.col("cenvec")), 6).alias("_s"),
+        query_id_col, "qvec", "_nq", "centroid_id",
+        F.round(
+            dot_expr(F.col("qvec"), F.col("cenvec")) / (F.col("_nq") * F.col("_ncen")),
+            6,
+        ).alias("_s"),
     )
     wq = Window.partitionBy(query_id_col).orderBy(F.desc("_s"), F.asc("centroid_id"))
     probes = qc.withColumn("_rn", F.row_number().over(wq)).where(F.col("_rn") <= n_probe).drop(
         "_rn", "_s"
     )
     scored = (
-        assigned.join(F.broadcast(probes), "centroid_id")
+        assigned.withColumn("_nv", norm_expr(F.col(vec_col)))
+        .join(F.broadcast(probes), "centroid_id")
         .where(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             id_col,
-            F.round(cosine_expr(F.col("qvec"), F.col(vec_col)), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("qvec"), F.col(vec_col)) / (F.col("_nq") * F.col("_nv")),
+                6,
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
@@ -391,15 +435,21 @@ def pq_topk(
         .where(F.col("_rn") <= k * refine)
         .select(query_id_col, id_col, "adc")
     )
-    full = corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cv"))
+    full = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+        norm_expr(F.col(vec_col).cast("array<double>")).alias("_nc"),
+    )
     exact = (
         cands.join(full, id_col)
-        .join(F.broadcast(q), query_id_col)
+        .join(F.broadcast(q.withColumn("_nq", norm_expr(F.col("qv")))), query_id_col)
         .select(
             query_id_col,
             id_col,
             "adc",
-            F.round(cosine_expr(F.col("qv"), F.col("cv")), 6).alias("cosine"),
+            F.round(
+                dot_expr(F.col("qv"), F.col("cv")) / (F.col("_nq") * F.col("_nc")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
@@ -531,11 +581,22 @@ class IvfIndex:
 
         id_col = self.meta["id_col"]
         vec_col = self.meta["vec_col"]
-        cen = self.centroids.select("centroid_id", F.col(vec_col).alias("cenvec"))
-        q = queries.select(F.col(query_id_col), F.col(vec_col).alias("qvec"))
+        # norms factored out of probe and scan scoring (same
+        # bit-identity argument as ivf_topk)
+        cen = self.centroids.select(
+            "centroid_id", F.col(vec_col).alias("cenvec"),
+            norm_expr(F.col(vec_col)).alias("_ncen"),
+        )
+        q = queries.select(
+            F.col(query_id_col), F.col(vec_col).alias("qvec"),
+            norm_expr(F.col(vec_col)).alias("_nq"),
+        )
         qc = q.join(F.broadcast(cen)).select(
-            query_id_col, "qvec", "centroid_id",
-            F.round(cosine_expr(F.col("qvec"), F.col("cenvec")), 6).alias("_s"),
+            query_id_col, "qvec", "_nq", "centroid_id",
+            F.round(
+                dot_expr(F.col("qvec"), F.col("cenvec")) / (F.col("_nq") * F.col("_ncen")),
+                6,
+            ).alias("_s"),
         )
         wq = Window.partitionBy(query_id_col).orderBy(F.desc("_s"), F.asc("centroid_id"))
         probes = (
@@ -549,12 +610,17 @@ class IvfIndex:
             F.col("centroid_id").isin(probe_ids)
         )
         scored = (
-            part.join(F.broadcast(probes), "centroid_id")
+            part.withColumn("_nv", norm_expr(F.col(vec_col)))
+            .join(F.broadcast(probes), "centroid_id")
             .where(F.col(id_col) != F.col(query_id_col))
             .select(
                 query_id_col,
                 id_col,
-                F.round(cosine_expr(F.col("qvec"), F.col(vec_col)), 6).alias("cosine"),
+                F.round(
+                    dot_expr(F.col("qvec"), F.col(vec_col))
+                    / (F.col("_nq") * F.col("_nv")),
+                    6,
+                ).alias("cosine"),
             )
         )
         w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
